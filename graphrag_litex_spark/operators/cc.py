@@ -1,0 +1,70 @@
+"""E3: connected components as an iterative hash-join min-label propagation.
+
+Canonicalization must be order-independent (the reference's greedy resolver
+is not — /root/reference/extraction/entity_resolver.py:39-54, SURVEY.md Q5):
+the transitive closure of the similarity relation is exactly connected
+components. No GraphX/GraphFrames: a pure DataFrame loop —
+
+    label(v) := min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint over the symmetrized edge list. Each round is one
+shuffle (join) + one partial/final hash aggregation; lineage is truncated
+per round with localCheckpoint so plans stay O(1) deep; convergence is
+detected by counting changed labels (an AQE-coalesced count, not a
+collect of data). Diameter of linking components is tiny (name-variant
+clusters), so rounds ≈ 2-3; the loop is still correct for arbitrary graphs
+and bounded by max_iter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "norm_name",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """-> (id_col, label) where label = component minimum of ``id_col``.
+
+    ``vertices``: one column ``id_col`` (distinct ids).
+    ``edges``: (src_col, dst_col) pairs; symmetrized internally.
+    """
+    sym = hard_checkpoint(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    labels = hard_checkpoint(
+        vertices.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
+    )
+
+    for _ in range(max_iter):
+        # Neighbor label messages: for edge (u,v), v receives u's label.
+        msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "label")
+        new_labels = hard_checkpoint(
+            labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # Release the superseded checkpoint immediately — waiting for Python
+        # GC + ContextCleaner lets cached RDDs pile up across iterations.
+        release(labels)
+        labels = new_labels
+        if changed == 0:
+            break
+
+    release(sym)
+    return labels.select(F.col("u").alias(id_col), "label")

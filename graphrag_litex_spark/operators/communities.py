@@ -1,0 +1,410 @@
+"""F1/F2/E5/E6: community detection, hierarchy, stats, summaries.
+
+The reference runs two-level Infomap (Louvain fallback) via NetworkX
+(/root/reference/indexing/community_detection.py:42-100) — effectively
+UNWEIGHTED because its strength lookup never hits (SURVEY.md Q3). Infomap
+does not exist on Spark; per SURVEY.md F1 the substitute is synchronous
+**Label Propagation** as an iterative DataFrame loop (same skeleton as the
+CC loop): each round every node adopts the most frequent label among its
+neighbors (tie -> smallest label), which is deterministic and
+order-independent. Communities are outside the triple P/R gate, so the
+algorithm substitution is sanctioned; min-size enforcement, the hierarchy
+recursion shape, and the stats formulas replicate the reference exactly:
+
+  * min-size (E6, community_detection.py:102-116): communities smaller than
+    ``min_size`` are merged into the largest valid community; if none is
+    valid the largest small one is kept.
+  * sub-levels (F2, :157-198): a community larger than 2*min_size is
+    re-clustered on its induced subgraph; smaller ones are copied through
+    with a parent pointer; sub-communities below min_size are dropped.
+    All communities of a level are processed in ONE DataFrame pass.
+  * stats (E5, :125-155): density = 2*internal/(n*(n-1)) (nx.density),
+    flow = internal/(internal+external), description_length = binary
+    entropy of (flow, 1-flow); external edges counted against the FULL
+    graph, as the reference does for sub-levels too (:186).
+
+Divergence (documented): self-loop relationships are excluded from the
+community graph (NetworkX would count them in density's numerator, skewing
+the formula's simple-graph assumption).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+
+def _und_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected pairs (u < v), self-loops dropped."""
+    return (
+        edges.select(
+            F.least("src_id", "dst_id").alias("u"), F.greatest("src_id", "dst_id").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _sym(und: DataFrame) -> DataFrame:
+    return und.select("u", "v").union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def label_propagation(
+    vertices: DataFrame, und_edges: DataFrame, iters: int = 8
+) -> DataFrame:
+    """Synchronous LPA -> (entity_id, label); deterministic tie-breaking."""
+    sym = hard_checkpoint(_sym(und_edges))
+    labels = hard_checkpoint(
+        vertices.select(F.col("entity_id").alias("u"), F.col("entity_id").alias("label"))
+    )
+    for _ in range(iters):
+        msgs = sym.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counts = msgs.groupBy("u", "label").count()
+        # Most-frequent neighbor label, tie -> smallest label: max over a
+        # sortable (count, inverted-label) pair would need string negation,
+        # so use max_by with a struct ordered by (count desc) and resolve
+        # ties via min(label) among the max-count candidates.
+        w = Window.partitionBy("u").orderBy(F.col("count").desc(), F.col("label").asc())
+        new = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("u", "label")
+        )
+        # Isolated vertices keep their own label.
+        new_labels = hard_checkpoint(
+            labels.select("u")
+            .join(new, "u", "left")
+            .withColumn("label", F.coalesce("label", F.col("u")))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        release(labels)
+        labels = new_labels
+        if changed == 0:
+            break
+    release(sym)
+    return labels.select(F.col("u").alias("entity_id"), "label")
+
+
+def _enforce_min_size(membership: DataFrame, min_size: int) -> DataFrame:
+    """E6 (community_detection.py:102-116) on (entity_id, label) rows."""
+    sizes = membership.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    largest = sizes.orderBy(F.col("sz").desc(), F.col("label").asc()).limit(1)
+    has_valid = sizes.where(F.col("sz") >= min_size).limit(1).count() > 0
+    if has_valid:
+        target = (
+            sizes.where(F.col("sz") >= min_size)
+            .orderBy(F.col("sz").desc(), F.col("label").asc())
+            .limit(1)
+            .collect()[0]["label"]
+        )
+        valid = sizes.where(F.col("sz") >= min_size).select("label")
+    else:
+        target = largest.collect()[0]["label"]
+        valid = largest.select("label")
+    return (
+        membership.join(
+            F.broadcast(valid.withColumn("_valid", F.lit(True))), "label", "left"
+        )
+        .withColumn("label", F.when(F.col("_valid").isNull(), F.lit(target)).otherwise(F.col("label")))
+        .select("entity_id", "label")
+    )
+
+
+def detect_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    levels: int = 3,
+    min_size: int = 3,
+    lpa_iters: int = 8,
+) -> DataFrame:
+    """-> long-form membership (level int, community_id string,
+    parent string, entity_id string); SURVEY.md §1 communities table."""
+    und = hard_checkpoint(_und_edges(edges))
+    vertices = nodes.select("entity_id")
+
+    l0 = _enforce_min_size(label_propagation(vertices, und, lpa_iters), min_size)
+    membership = hard_checkpoint(
+        l0.select(
+            F.lit(0).alias("level"),
+            F.concat(F.lit("0_"), F.col("label")).alias("community_id"),
+            F.lit(None).cast("string").alias("parent"),
+            "entity_id",
+        )
+    )
+
+    prev = membership
+    for level in range(1, levels):
+        sizes = prev.groupBy("community_id").agg(F.count(F.lit(1)).alias("sz"))
+        small = sizes.where(F.col("sz") <= 2 * min_size).select("community_id")
+        big = sizes.where(F.col("sz") > 2 * min_size).select("community_id")
+
+        # Pass-through: small parents copied with a parent pointer
+        # (community_detection.py:170-177).
+        passthrough = prev.join(F.broadcast(small), "community_id").select(
+            F.lit(level).alias("level"),
+            F.concat(F.lit(f"{level}_"), F.col("community_id")).alias("community_id"),
+            F.col("community_id").alias("parent"),
+            "entity_id",
+        )
+
+        # Re-cluster big parents on their induced subgraphs, all in one pass:
+        # restrict edges to intra-parent pairs, then LPA.
+        big_members = hard_checkpoint(
+            prev.join(F.broadcast(big), "community_id").select("community_id", "entity_id")
+        )
+        mu = big_members.select(
+            F.col("entity_id").alias("u"), F.col("community_id").alias("cu")
+        )
+        mv = big_members.select(
+            F.col("entity_id").alias("v"), F.col("community_id").alias("cv")
+        )
+        sub_edges = hard_checkpoint(
+            und.join(mu, "u")
+            .join(mv, "v")
+            .where(F.col("cu") == F.col("cv"))
+            .select("u", "v")
+        )
+        sub_labels = label_propagation(
+            big_members.select("entity_id"), sub_edges, lpa_iters
+        )
+        sub = (
+            sub_labels.join(big_members, "entity_id")
+            .withColumn(
+                "child_id", F.concat(F.lit(f"{level}_"), F.col("label"))
+            )
+        )
+        # Drop sub-communities below min_size (community_detection.py:184).
+        child_sizes = sub.groupBy("child_id").agg(F.count(F.lit(1)).alias("csz"))
+        sub_kept = sub.join(
+            F.broadcast(child_sizes.where(F.col("csz") >= min_size).select("child_id")),
+            "child_id",
+        ).select(
+            F.lit(level).alias("level"),
+            F.col("child_id").alias("community_id"),
+            F.col("community_id").alias("parent"),
+            "entity_id",
+        )
+        cur = hard_checkpoint(passthrough.unionByName(sub_kept))
+        membership = membership.unionByName(cur)
+        prev = cur
+
+    return membership
+
+
+def community_stats(communities: DataFrame, edges: DataFrame) -> DataFrame:
+    """E5 stats per (level, community_id) — formulas from
+    community_detection.py:125-155, computed against the full graph."""
+    und = _und_edges(edges)
+    sym = _sym(und)  # each undirected edge appears in both directions
+
+    m = communities.select("level", "community_id", "entity_id")
+    mx = m.select(
+        F.col("level"), F.col("community_id").alias("cx"), F.col("entity_id").alias("u")
+    )
+    my = m.select(
+        F.col("level").alias("level_y"),
+        F.col("community_id").alias("cy"),
+        F.col("entity_id").alias("v_y"),
+    )
+    # For each directed edge copy (u -> v) and u's community at each level,
+    # classify v as inside/outside that community (at the same level).
+    per_edge = (
+        sym.join(mx, "u")
+        .join(
+            my,
+            (F.col("v") == F.col("v_y")) & (F.col("level") == F.col("level_y")),
+            "left",
+        )
+        .select(
+            "level",
+            "cx",
+            F.when(F.col("cy") == F.col("cx"), F.lit(1)).otherwise(F.lit(0)).alias("is_int"),
+        )
+    )
+    cnt = per_edge.groupBy("level", "cx").agg(
+        (F.sum("is_int") / 2).cast("double").alias("internal"),
+        F.sum(1 - F.col("is_int")).cast("double").alias("external"),
+    )
+    sizes = m.groupBy("level", "community_id").agg(F.count(F.lit(1)).alias("size"))
+    joined = sizes.join(
+        cnt.withColumnRenamed("cx", "community_id"), ["level", "community_id"], "left"
+    ).fillna({"internal": 0.0, "external": 0.0})
+
+    total = F.col("internal") + F.col("external")
+    pi = F.when(total > 0, F.col("internal") / total).otherwise(F.lit(0.0))
+    pe = F.when(total > 0, F.col("external") / total).otherwise(F.lit(0.0))
+    ent = -(
+        F.when(pi > 0, pi * F.log2(pi)).otherwise(F.lit(0.0))
+        + F.when(pe > 0, pe * F.log2(pe)).otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "level",
+        "community_id",
+        "size",
+        F.when(
+            F.col("size") > 1,
+            2.0 * F.col("internal") / (F.col("size") * (F.col("size") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("density"),
+        F.when(F.col("size") > 1, pi).otherwise(F.lit(0.0)).alias("flow"),
+        F.when(F.col("size") > 1, ent).otherwise(F.lit(0.0)).alias("description_length"),
+        F.col("internal").alias("internal_edges"),
+        F.col("external").alias("external_edges"),
+    )
+
+
+def summarize_communities(
+    communities: DataFrame,
+    stats: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    top_findings: int = 5,
+) -> DataFrame:
+    """S11: deterministic community reports.
+
+    Shape mirrors the reference's LLM summary dict {title, summary, rating,
+    findings: [{summary, explanation}]} (indexing/summarizer.py:31-38,
+    181-208) with the LLM replaced by column expressions: title = highest-
+    degree member entity; findings = strongest intra-community edges;
+    rating clamped to [0, 10] (H9). ``full_text`` concatenates title +
+    summary + finding summaries for embedding, mirroring
+    utils/embedding_utils.py:42-50.
+    """
+    m = communities.select("level", "community_id", "entity_id")
+
+    # Within-community degree per member.
+    sym = _sym(_und_edges(edges))
+    mu = m.withColumnRenamed("entity_id", "u")
+    mv = m.select(
+        F.col("level").alias("level_v"),
+        F.col("community_id").alias("cid_v"),
+        F.col("entity_id").alias("v_m"),
+    )
+    deg = (
+        sym.join(mu, "u")
+        .join(
+            mv,
+            (F.col("v") == F.col("v_m"))
+            & (F.col("level") == F.col("level_v"))
+            & (F.col("community_id") == F.col("cid_v")),
+        )
+        .groupBy("level", "community_id", "u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    named = deg.join(
+        nodes.select(F.col("entity_id").alias("u"), "name"), "u", "left"
+    )
+    w_title = Window.partitionBy("level", "community_id").orderBy(
+        F.col("deg").desc(), F.col("name").asc()
+    )
+    titles = (
+        named.withColumn("_rn", F.row_number().over(w_title))
+        .where(F.col("_rn") == 1)
+        .select("level", "community_id", F.col("name").alias("title"))
+    )
+
+    # Findings: top intra-community edges by strength.
+    e = edges.select("src_id", "dst_id", "src", "dst", "pred", "strength", "n_obs")
+    ms = m.withColumnRenamed("entity_id", "src_id")
+    md = m.select(
+        F.col("level").alias("level_d"),
+        F.col("community_id").alias("cid_d"),
+        F.col("entity_id").alias("dst_id_m"),
+    )
+    intra = (
+        e.join(ms, "src_id")
+        .join(
+            md,
+            (F.col("dst_id") == F.col("dst_id_m"))
+            & (F.col("level") == F.col("level_d"))
+            & (F.col("community_id") == F.col("cid_d")),
+        )
+        .select("level", "community_id", "src", "pred", "dst", "strength", "n_obs")
+    )
+    w_find = Window.partitionBy("level", "community_id").orderBy(
+        F.col("strength").desc(), F.col("src").asc(), F.col("dst").asc(), F.col("pred").asc()
+    )
+    findings = (
+        intra.withColumn("_rn", F.row_number().over(w_find))
+        .where(F.col("_rn") <= top_findings)
+        .withColumn(
+            "finding",
+            F.struct(
+                F.concat_ws(" ", "src", "pred", "dst").alias("summary"),
+                F.concat(
+                    F.lit("observed "),
+                    F.col("n_obs").cast("string"),
+                    F.lit(" times with strength "),
+                    F.round("strength", 3).cast("string"),
+                ).alias("explanation"),
+            ),
+        )
+        .groupBy("level", "community_id")
+        .agg(F.sort_array(F.collect_list(F.struct("_rn", "finding"))).alias("_fs"))
+        .select(
+            "level", "community_id", F.col("_fs.finding").alias("findings")
+        )
+    )
+
+    member_names = (
+        m.join(nodes.select("entity_id", "name"), "entity_id", "left")
+        .groupBy("level", "community_id")
+        .agg(F.array_sort(F.collect_list("name")).alias("_names"))
+        .select(
+            "level",
+            "community_id",
+            F.concat(
+                F.lit("Community of "),
+                F.size("_names").cast("string"),
+                F.lit(" entities including "),
+                F.concat_ws(", ", F.slice("_names", 1, 3)),
+                F.lit("."),
+            ).alias("summary"),
+        )
+    )
+
+    base = (
+        stats.select("level", "community_id", "size", "density", "flow")
+        .join(titles, ["level", "community_id"], "left")
+        .join(member_names, ["level", "community_id"], "left")
+        .join(findings, ["level", "community_id"], "left")
+        .withColumn("findings", F.coalesce("findings", F.array()))
+        # rating in [0, 10] (clamp semantics per indexing/summarizer.py:181-208)
+        .withColumn(
+            "rating",
+            F.round(
+                F.least(
+                    F.lit(10.0), F.col("size") / 3.0 + 5.0 * F.col("density")
+                ),
+                2,
+            ),
+        )
+    )
+    return base.select(
+        "level",
+        "community_id",
+        "title",
+        "summary",
+        "rating",
+        "findings",
+        F.concat_ws(
+            " ",
+            F.col("title"),
+            F.col("summary"),
+            F.concat_ws(" ", F.col("findings.summary")),
+        ).alias("full_text"),
+        "size",
+        "density",
+        "flow",
+    )

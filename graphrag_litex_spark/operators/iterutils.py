@@ -1,0 +1,61 @@
+"""Iteration-safe checkpointing for DataFrame loops (CC, LPA).
+
+Iterative DataFrame algorithms (connected components, label propagation)
+re-join each iteration's output with itself. Two failure modes on stock
+Spark 4.x, both observed and diagnosed here (jstack showed the driver
+burning minutes in ``SizeInBytesOnlyStatsPlanVisitor`` doing Toom-Cook
+BigInteger multiplication):
+
+  1. ``cache()`` does not truncate the logical plan, so the plan tree (and
+     analysis/cache-lookup cost) doubles per iteration.
+  2. ``localCheckpoint()`` truncates the plan BUT preserves the origin
+     plan's *estimated* statistics on the resulting ``LogicalRDD``
+     (stats rewrite in ExistingRDD.scala). A self-join squares the
+     sizeInBytes estimate, so after n iterations the estimate is a
+     ~2^n-bit BigInteger — at iteration ~20 the optimizer spends minutes
+     multiplying million-digit numbers and the job appears hung.
+
+``hard_checkpoint`` fixes both: localCheckpoint for plan/lineage
+truncation, then re-wrap the checkpointed RDD[InternalRow] in a FRESH
+LogicalRDD via ``SparkSession.internalCreateDataFrame`` — which carries no
+origin stats, so estimates reset to a constant every iteration. Falls back
+to plain localCheckpoint if the (package-private, but py4j-visible) API is
+unavailable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def hard_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + strip preserved origin statistics.
+
+    Returns a DataFrame whose logical plan is a bare LogicalRDD over the
+    checkpointed data. The underlying checkpoint RDD is kept on the
+    returned object as ``_graft_ckpt`` so callers may ``release()`` it.
+    """
+    ck = df.localCheckpoint(eager=eager)
+    try:
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(jrdd, jdf.schema(), False)
+        out = DataFrame(new_jdf, df.sparkSession)
+    except Exception:
+        # Private API unavailable (e.g. Spark Connect): keep the plain
+        # checkpoint — correct, but subject to failure mode (2) above for
+        # very long loops.
+        out = ck
+    out._graft_ckpt = ck  # type: ignore[attr-defined]
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the checkpoint backing a ``hard_checkpoint`` result."""
+    ck = getattr(df, "_graft_ckpt", None)
+    if ck is not None:
+        try:
+            ck.unpersist(blocking=False)
+        except Exception:
+            pass

@@ -1,0 +1,351 @@
+"""The KG-construction pipeline spine (SURVEY.md §7 stage tables).
+
+transcripts -> chunks -> extractions -> {mentions, raw_edges, raw_claims}
+           -> canon_map (linking + CC) -> nodes / edges / triples / claims
+           -> communities + stats -> summaries
+
+Every stage is materialized to parquet under ``out_dir`` and recorded in a
+``_manifest.json`` with a fingerprint of (pipeline version, config, input
+fingerprint); a re-run with ``resume=True`` skips stages whose fingerprint
+matches and whose output exists — the checkpoint-resumable stage boundaries
+the north rule requires (the reference's analog is the save/load JSON
+round-trip, /root/reference/main.py:105-135). Stage outputs carry
+provenance (source_id, chunk_id) per row = per-partition lineage.
+
+Scale design notes (local[32] is a proxy for a 1000-executor cluster):
+  * the only Python on the hot path is the Arrow-batched extraction UDF and
+    nothing downstream of it — normalization, linking, CC, merges,
+    communities are all Catalyst expressions/joins;
+  * canon_map is tiny (distinct normalized names, not mentions) and is
+    broadcast into the two resolution joins (D1) — no shuffle of the big
+    side by name;
+  * merge aggregations use salted two-phase aggregation for hot keys
+    (operators/merge.py) and AQE handles post-shuffle coalescing/skew;
+  * parquet stage materialization doubles as lineage truncation for the
+    iterative stages (CC, LPA).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.functions.normalize import SIM_THRESHOLD
+from graphrag_litex_spark.operators import communities as comm_ops
+from graphrag_litex_spark.operators import merge as merge_ops
+from graphrag_litex_spark.operators.cc import connected_components
+from graphrag_litex_spark.operators.extraction import (
+    explode_mentions,
+    explode_raw_claims,
+    explode_raw_edges,
+    extract_chunks,
+)
+from graphrag_litex_spark.operators.linking import candidate_pairs, distinct_norm_names
+from graphrag_litex_spark.operators.normalize_ops import norm_name_col
+
+PIPELINE_VERSION = 4
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Engine knobs (reference analogs: /root/reference/config.py)."""
+
+    min_strength: float = 0.5  # simple_graph_builder.py:83-86
+    sim_threshold: float = SIM_THRESHOLD  # entity_resolver.py:10-12
+    salted: bool = True
+    salt_buckets: int = 16
+    cc_max_iter: int = 25
+    lpa_iters: int = 8
+    min_community_size: int = 3  # config.py:41
+    levels: int = 3  # community_detection.py:35
+
+
+class KGPipeline:
+    STAGES = [
+        "chunks",
+        "extractions",
+        "mentions",
+        "raw_edges",
+        "raw_claims",
+        "canon_map",
+        "nodes",
+        "edges",
+        "triples",
+        "claims",
+        "communities",
+        "community_stats",
+        "summaries",
+    ]
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        transcripts_path: str,
+        out_dir: str,
+        config: PipelineConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.transcripts_path = transcripts_path
+        self.out_dir = out_dir
+        self.config = config or PipelineConfig()
+        os.makedirs(out_dir, exist_ok=True)
+        self._manifest_path = os.path.join(out_dir, "_manifest.json")
+
+    # ---- checkpoint manifest -------------------------------------------
+    def _input_fingerprint(self) -> str:
+        h = hashlib.sha256()
+        h.update(str(PIPELINE_VERSION).encode())
+        h.update(json.dumps(asdict(self.config), sort_keys=True).encode())
+        p = self.transcripts_path
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(dp, f) for dp, _, fs in os.walk(p) for f in fs
+            )
+        else:
+            files = [p]
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        return h.hexdigest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _save_manifest(self, manifest: dict) -> None:
+        with open(self._manifest_path, "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def _stage_path(self, name: str) -> str:
+        return os.path.join(self.out_dir, name)
+
+    def _materialize(
+        self, name: str, build, manifest: dict, fingerprint: str, resume: bool
+    ) -> DataFrame:
+        """Run ``build()`` unless a fingerprint-matching checkpoint exists."""
+        path = self._stage_path(name)
+        entry = manifest.get(name)
+        if (
+            resume
+            and entry
+            and entry.get("fingerprint") == fingerprint
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            return self.spark.read.parquet(path)
+        df = build()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        manifest[name] = {"fingerprint": fingerprint, "rows": out.count()}
+        self._save_manifest(manifest)
+        return out
+
+    # ---- run -------------------------------------------------------------
+    def run(self, resume: bool = True, until: str | None = None) -> dict[str, DataFrame]:
+        cfg = self.config
+        fp = self._input_fingerprint()
+        manifest = self._load_manifest()
+        mat = lambda name, build: self._materialize(name, build, manifest, fp, resume)  # noqa: E731
+        results: dict[str, DataFrame] = {}
+
+        def done(name: str) -> bool:
+            results_has = name in results
+            if until and self.STAGES.index(name) > self.STAGES.index(until):
+                return True
+            return results_has
+
+        transcripts = self.spark.read.parquet(self.transcripts_path)
+
+        # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
+        # (deterministic ids, reference extraction/text_chunker.py:92,107).
+        # Turn text is carried through UNMODIFIED (per-turn text equality
+        # invariant, BASELINE input_hint).
+        results["chunks"] = mat(
+            "chunks",
+            lambda: transcripts.select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                "tool",
+                "ts",
+                F.concat_ws("_", "conv_id", "turn_idx").alias("chunk_id"),
+            ),
+        )
+        if until == "chunks":
+            return results
+
+        # S2 extraction (C1/C4): one Arrow-batched pandas UDF pass.
+        results["extractions"] = mat(
+            "extractions",
+            lambda: extract_chunks(
+                results["chunks"].select("conv_id", "turn_idx", "chunk_id", "text")
+            ).drop("text"),
+        )
+        if until == "extractions":
+            return results
+
+        # S3/S4 + raw claims: pure explodes (JVM-side).
+        results["mentions"] = mat(
+            "mentions",
+            lambda: explode_mentions(results["extractions"]).withColumn(
+                "norm_name", norm_name_col("name")
+            ),
+        )
+        results["raw_edges"] = mat("raw_edges", lambda: explode_raw_edges(results["extractions"]))
+        results["raw_claims"] = mat(
+            "raw_claims", lambda: explode_raw_claims(results["extractions"])
+        )
+        if until in ("mentions", "raw_edges", "raw_claims"):
+            return results
+
+        # S5/S6 linking + connected-components canonicalization (D6 + E3).
+        def build_canon() -> DataFrame:
+            names = distinct_norm_names(results["mentions"], "name")
+            pairs = candidate_pairs(names, cfg.sim_threshold)
+            labels = connected_components(
+                names, pairs, id_col="norm_name", max_iter=cfg.cc_max_iter
+            )
+            return labels.select(
+                "norm_name",
+                F.col("label").alias("canonical"),
+                F.sha2(F.col("label"), 256).substr(1, 32).alias("entity_id"),
+            )
+
+        results["canon_map"] = mat("canon_map", build_canon)
+        if until == "canon_map":
+            return results
+
+        canon = F.broadcast(results["canon_map"])
+
+        # S7 nodes (E1): canonical merge-agg.
+        results["nodes"] = mat(
+            "nodes",
+            lambda: merge_ops.merge_nodes(
+                results["mentions"].join(canon, "norm_name"),
+                salted=cfg.salted,
+                salt_buckets=cfg.salt_buckets,
+            ),
+        )
+
+        # Canonicalized relationship rows (D1: two broadcast hash joins;
+        # inner-join semantics drop unknown names,
+        # indexing/simple_graph_builder.py:96-97).
+        def canon_edges() -> DataFrame:
+            raw = results["raw_edges"]
+            src_map = canon.select(
+                F.col("norm_name").alias("_src_norm"),
+                F.col("canonical").alias("src"),
+                F.col("entity_id").alias("src_id"),
+            )
+            dst_map = canon.select(
+                F.col("norm_name").alias("_dst_norm"),
+                F.col("canonical").alias("dst"),
+                F.col("entity_id").alias("dst_id"),
+            )
+            return (
+                raw.withColumn("_src_norm", norm_name_col("source"))
+                .withColumn("_dst_norm", norm_name_col("target"))
+                .join(F.broadcast(src_map), "_src_norm")
+                .join(F.broadcast(dst_map), "_dst_norm")
+            )
+
+        # Triples: the P/R-gated artifact — per-turn grain, strength filter
+        # applied (FIXTURES.md §2 golden_triples shape).
+        results["triples"] = mat(
+            "triples",
+            lambda: canon_edges()
+            .where(F.col("strength") >= cfg.min_strength)
+            .select(
+                F.col("source_id").alias("conv_id"),
+                "turn_idx",
+                F.col("src").alias("subj"),
+                "pred",
+                F.col("dst").alias("obj"),
+                "strength",
+            ),
+        )
+
+        # S8 edges (E2): pair merge.
+        results["edges"] = mat(
+            "edges",
+            lambda: merge_ops.merge_edges(
+                canon_edges(),
+                min_strength=cfg.min_strength,
+                salted=cfg.salted,
+                salt_buckets=cfg.salt_buckets,
+            ),
+        )
+        if until in ("nodes", "edges", "triples"):
+            return results
+
+        # S9 claims (D2 + E4): resolve claim entity names -> canonical ids,
+        # drop claims with zero resolved entities
+        # (indexing/simple_graph_builder.py:126-147), content dedup.
+        def build_claims() -> DataFrame:
+            raw = results["raw_claims"]
+            per_claim = (
+                raw.select(
+                    "source_id",
+                    "chunk_id",
+                    "content",
+                    F.explode("entity_names").alias("ename"),
+                )
+                .withColumn("norm_name", norm_name_col("ename"))
+                .join(canon, "norm_name")  # inner: unknown names dropped (D2)
+                .groupBy("source_id", "chunk_id", "content")
+                .agg(F.array_sort(F.collect_set("entity_id")).alias("entity_ids"))
+            )
+            return merge_ops.merge_claims(per_claim)
+
+        results["claims"] = mat("claims", build_claims)
+        if until == "claims":
+            return results
+
+        # S10 communities (F1/F2 via LPA) + stats (E5) + min-size (E6).
+        def build_communities() -> DataFrame:
+            return comm_ops.detect_communities(
+                results["nodes"],
+                results["edges"],
+                levels=cfg.levels,
+                min_size=cfg.min_community_size,
+                lpa_iters=cfg.lpa_iters,
+            )
+
+        results["communities"] = mat("communities", build_communities)
+        results["community_stats"] = mat(
+            "community_stats",
+            lambda: comm_ops.community_stats(results["communities"], results["edges"]),
+        )
+        if until in ("communities", "community_stats"):
+            return results
+
+        # S11 summaries: deterministic pluggable summarizer (reference
+        # indexing/summarizer.py; LLM calls replaced by column expressions).
+        results["summaries"] = mat(
+            "summaries",
+            lambda: comm_ops.summarize_communities(
+                results["communities"],
+                results["community_stats"],
+                results["nodes"],
+                results["edges"],
+            ),
+        )
+        return results
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts_path: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    resume: bool = True,
+    until: str | None = None,
+) -> dict[str, DataFrame]:
+    return KGPipeline(spark, transcripts_path, out_dir, config).run(resume=resume, until=until)

@@ -1,0 +1,71 @@
+"""E3 connected-components fixtures: transitivity + permutation invariance
+(the property the reference's greedy resolver lacks, SURVEY.md Q5)."""
+
+import pandas as pd
+
+from graphrag_litex_spark.operators.cc import connected_components
+from graphrag_litex_spark.oracle import link_names
+
+
+def _run_cc(spark, vertices, edges):
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": vertices}))
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    return {
+        r["norm_name"]: r["label"]
+        for r in connected_components(vdf, edf).collect()
+    }
+
+
+def test_chain_transitivity(spark):
+    # A~B, B~C but A!~C: all three must share one canonical label (min).
+    labels = _run_cc(spark, ["a", "b", "c", "z"], [("a", "b"), ("b", "c")])
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["z"] == "z"
+
+
+def test_two_components(spark):
+    labels = _run_cc(
+        spark,
+        ["a", "b", "c", "d", "e"],
+        [("a", "b"), ("c", "d"), ("d", "e")],
+    )
+    assert labels["a"] == labels["b"] == "a"
+    assert labels["c"] == labels["d"] == labels["e"] == "c"
+
+
+def test_long_path_converges(spark):
+    # Path of 12 vertices — requires multiple propagation rounds.
+    verts = [f"v{i:02d}" for i in range(12)]
+    edges = [(f"v{i:02d}", f"v{i+1:02d}") for i in range(11)]
+    labels = _run_cc(spark, verts, edges)
+    assert set(labels.values()) == {"v00"}
+
+
+def test_matches_union_find_oracle(spark):
+    names = {
+        "acme corp",
+        "acme corporation",
+        "acme labs",
+        "globex inc",
+        "globex incorporated",
+        "bob smithers",
+    }
+    oracle_map = link_names(names)
+    # Build the same candidate edges the oracle used and run distributed CC.
+    from graphrag_litex_spark.operators.linking import candidate_pairs
+
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": sorted(names)}))
+    pairs = candidate_pairs(vdf)
+    labels = {
+        r["norm_name"]: r["label"]
+        for r in connected_components(vdf, pairs).collect()
+    }
+    assert labels == oracle_map
+
+
+def test_permutation_invariance(spark):
+    verts = ["m", "a", "q", "b", "c"]
+    edges = [("q", "m"), ("a", "b")]
+    l1 = _run_cc(spark, verts, edges)
+    l2 = _run_cc(spark, list(reversed(verts)), list(reversed(edges)))
+    assert l1 == l2

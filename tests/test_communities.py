@@ -1,0 +1,107 @@
+"""F1/E5/E6 fixtures: two 5-cliques joined by one bridge + isolated dyads
+(FIXTURES.md §5 community set)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators import communities as C
+
+
+def _edges_df(spark, pairs):
+    rows = [
+        (a, b, a, b, "rel", 0.9, 1) for a, b in pairs
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src_id", "dst_id", "src", "dst", "pred", "strength", "n_obs"])
+    )
+
+
+def _nodes_df(spark, ids):
+    return spark.createDataFrame(
+        pd.DataFrame({"entity_id": ids, "name": [i.upper() for i in ids]})
+    )
+
+
+@pytest.fixture(scope="module")
+def clique_graph(spark):
+    left = [f"a{i}" for i in range(5)]
+    right = [f"b{i}" for i in range(5)]
+    pairs = []
+    for grp in (left, right):
+        pairs += [(x, y) for i, x in enumerate(grp) for y in grp[i + 1 :]]
+    pairs.append(("a0", "b0"))  # bridge
+    pairs += [("x0", "x1"), ("y0", "y1")]  # dyads (below min size)
+    ids = left + right + ["x0", "x1", "y0", "y1"]
+    return _nodes_df(spark, ids), _edges_df(spark, pairs)
+
+
+def test_two_cliques_detected_and_dyads_absorbed(clique_graph):
+    nodes, edges = clique_graph
+    comms = C.detect_communities(nodes, edges, levels=1, min_size=3, lpa_iters=6)
+    rows = comms.where(F.col("level") == 0).collect()
+    by_comm = {}
+    for r in rows:
+        by_comm.setdefault(r["community_id"], set()).add(r["entity_id"])
+    # All 14 vertices remain assigned.
+    assert sum(len(v) for v in by_comm.values()) == 14
+    # The two cliques end up in separate communities.
+    comm_of = {e: c for c, es in by_comm.items() for e in es}
+    assert comm_of["a1"] == comm_of["a2"] == comm_of["a3"] == comm_of["a4"]
+    assert comm_of["b1"] == comm_of["b2"] == comm_of["b3"] == comm_of["b4"]
+    assert comm_of["a1"] != comm_of["b1"]
+    # Dyads (size 2 < min 3) are merged into the largest community (E6).
+    for dyad in ("x0", "x1", "y0", "y1"):
+        assert comm_of[dyad] in {comm_of["a1"], comm_of["b1"]}
+
+
+def test_community_stats_formulas(spark, clique_graph):
+    nodes, edges = clique_graph
+    # Hand-pin a membership: the two cliques as two communities.
+    membership = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "cA", None, f"a{i}") for i in range(5)]
+            + [(0, "cB", None, f"b{i}") for i in range(5)],
+            columns=["level", "community_id", "parent", "entity_id"],
+        )
+    )
+    stats = {r["community_id"]: r for r in C.community_stats(membership, edges).collect()}
+    a = stats["cA"]
+    # 5-clique: internal = 10, external = 1 (bridge a0-b0).
+    assert a["size"] == 5
+    assert a["internal_edges"] == 10.0
+    assert a["external_edges"] == 1.0
+    # density = 2*10/(5*4) = 1.0 (nx.density of a clique).
+    assert abs(a["density"] - 1.0) < 1e-9
+    # flow = 10/11.
+    assert abs(a["flow"] - 10 / 11) < 1e-9
+    # description_length = binary entropy of (10/11, 1/11).
+    import math
+
+    pi, pe = 10 / 11, 1 / 11
+    want_dl = -(pi * math.log2(pi) + pe * math.log2(pe))
+    assert abs(a["description_length"] - want_dl) < 1e-9
+
+
+def test_min_size_no_valid_keeps_largest(spark):
+    # Only dyads: no community >= min_size -> keep the largest small one
+    # and merge the rest into it (community_detection.py:107-114).
+    nodes = _nodes_df(spark, ["x0", "x1", "y0", "y1", "y2"])
+    edges = _edges_df(spark, [("x0", "x1"), ("y0", "y1"), ("y1", "y2")])
+    comms = C.detect_communities(nodes, edges, levels=1, min_size=4, lpa_iters=4)
+    labels = {r["entity_id"]: r["community_id"] for r in comms.collect()}
+    assert len(set(labels.values())) == 1
+
+
+def test_summaries_shape(spark, clique_graph):
+    nodes, edges = clique_graph
+    comms = C.detect_communities(nodes, edges, levels=1, min_size=3, lpa_iters=6)
+    stats = C.community_stats(comms, edges)
+    summ = C.summarize_communities(comms, stats, nodes, edges).collect()
+    assert len(summ) >= 2
+    for r in summ:
+        assert 0.0 <= r["rating"] <= 10.0
+        assert r["title"]
+        assert r["full_text"].startswith(r["title"])
+        for f in r["findings"]:
+            assert f["summary"] and f["explanation"]
