@@ -1,38 +1,666 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query at sf0.001; ``queries()`` maps
+every implemented operator (SURVEY.md §2) to a (spark, sf_dir) callable;
+``oracle_sql()`` gives the DuckDB-equivalent SQL. KG-pipeline queries run
+over the deterministic synthetic transcripts corpus (BASELINE input_hint
+shape) generated under data/gen/sf{sf}/ — the DuckDB oracles for those
+read the single-process golden parquet produced by the SAME pure-Python
+extractor/linker (graphrag_litex_spark.oracle), making the comparison a
+true differential test of the distributed pipeline. Operator-breadth
+queries run over the driver-provided testdata views.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark import datagen
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Generate corpora + goldens for the sfs the driver exercises (idempotent;
+# pure Python, no Spark needed).
+_CORPUS = {sf: datagen.ensure_corpus(sf) for sf in (0.001, 0.01)}
+
+# DuckDB-side normalization identical to H2 (entity_resolver.py:14-20):
+_DDB_NORM = "trim(regexp_replace(lower(strip_accents({col})), '[^a-z0-9]+', ' ', 'g'))"
+# DuckDB-side text normalization identical to operators.dedup.norm_text_col:
+_DDB_TEXT_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+# Stopword list literals shared with operators.text_analysis.STOPWORDS:
+from graphrag_litex_spark.operators.text_analysis import STOPWORDS as _SW
+
+_SW_EN, _SW_DE, _SW_FR, _SW_ES = (
+    "[" + ", ".join(f"'{w}'" for w in _SW[lang]) + "]" for lang in ("en", "de", "fr", "es")
+)
+
+_KG_CACHE: dict[float, dict[str, DataFrame]] = {}
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    return float(tail[2:]) if tail.startswith("sf") else 0.01
+
+
+def _kg(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
+    """Run (or resume) the KG pipeline for the sf-scaled corpus."""
+    if sf not in _KG_CACHE:
+        from graphrag_litex_spark.plans.pipeline import run_pipeline
+
+        paths = datagen.ensure_corpus(sf)
+        out = os.path.join(paths["dir"], "kg")
+        _KG_CACHE[sf] = run_pipeline(spark, paths["transcripts"], out, resume=True)
+    return _KG_CACHE[sf]
+
+
+def _gold(sf: float, name: str) -> str:
+    return _CORPUS.setdefault(sf, datagen.ensure_corpus(sf))[name]
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Top entities by graph degree with merged descriptions (E1+E2+D1)."""
+    kg = _kg(spark, 0.001)
+    edges = kg["edges"]
+    deg = (
+        edges.select(F.col("src").alias("name"))
+        .unionAll(edges.select(F.col("dst").alias("name")))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    nodes = kg["nodes"].select(
+        F.col("canonical_name").alias("name"), "type", "description", "n_mentions"
+    )
+    return (
+        deg.join(nodes, "name")
+        .orderBy(F.col("degree").desc(), F.col("name").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# queries: one entry per implemented operator
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- KG pipeline (differential vs single-process golden oracle) ----
+
+    def kg_triples_agg(spark, sf_dir):
+        t = _kg(spark, _sf_from_dir(sf_dir))["triples"]
+        return t.groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("strength"), 6).alias("avg_strength"),
+        )
+
+    def kg_canon_map(spark, sf_dir):
+        return _kg(spark, _sf_from_dir(sf_dir))["canon_map"].select("norm_name", "canonical")
+
+    def kg_nodes_agg(spark, sf_dir):
+        n = _kg(spark, _sf_from_dir(sf_dir))["nodes"]
+        return n.select(
+            F.col("canonical_name"),
+            F.col("n_mentions").cast("long").alias("n_mentions"),
+            F.col("n_instances").cast("long").alias("n_instances"),
+        )
+
+    def kg_edges_merged(spark, sf_dir):
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return e.select(
+            "src",
+            "dst",
+            "pred",
+            F.round("strength", 6).alias("strength"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+        )
+
+    def kg_claims_agg(spark, sf_dir):
+        c = _kg(spark, _sf_from_dir(sf_dir))["claims"]
+        return c.select(
+            F.lower(F.col("content")).alias("content_key"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.size("entity_ids").cast("long").alias("n_entities"),
+        )
+
+    def kg_chunks(spark, sf_dir):
+        ch = _kg(spark, _sf_from_dir(sf_dir))["chunks"]
+        return ch.select("conv_id", "turn_idx", "chunk_id", "text")
+
+    def kg_reassembly(spark, sf_dir):
+        ch = _kg(spark, _sf_from_dir(sf_dir))["chunks"]
+        return (
+            ch.groupBy("conv_id")
+            .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "text"))).alias("_s"))
+            .select(
+                "conv_id",
+                F.concat_ws(" ", F.col("_s.text")).alias("conversation"),
+                F.size("_s").cast("long").alias("n_turns"),
+            )
+        )
+
+    def kg_top_entities_by_degree(spark, sf_dir):
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        deg = (
+            e.select(F.col("src").alias("name"))
+            .unionAll(e.select(F.col("dst").alias("name")))
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return deg.orderBy(F.col("degree").desc(), F.col("name").asc()).limit(10)
+
+    # Rows-only (iterative graph algorithms; no SQL equivalent):
+    def kg_communities(spark, sf_dir):
+        return _kg(spark, _sf_from_dir(sf_dir))["communities"]
+
+    def kg_community_stats(spark, sf_dir):
+        s = _kg(spark, _sf_from_dir(sf_dir))["community_stats"]
+        return s.select(
+            "level",
+            "community_id",
+            "size",
+            F.round("density", 6).alias("density"),
+            F.round("flow", 6).alias("flow"),
+        )
+
+    def kg_summaries(spark, sf_dir):
+        s = _kg(spark, _sf_from_dir(sf_dir))["summaries"]
+        return s.select("level", "community_id", "title", "rating", "summary")
+
+    def kg_query_topk(spark, sf_dir):
+        from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
+
+        s = _kg(spark, _sf_from_dir(sf_dir))["summaries"]
+        return select_top_k(embed_summaries(s), "who acquired acme corp", level=0, k=5).select(
+            "level", "community_id", "title", "score"
+        )
+
+    # ---- relational operator breadth (TPC-H-ish testdata) ----
+
+    def agg_pricing_summary(spark, sf_dir):
+        li = spark.read.parquet(_t(sf_dir, "lineitem"))
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+
+    def join_customer_orders(spark, sf_dir):
+        o = spark.read.parquet(_t(sf_dir, "orders"))
+        c = spark.read.parquet(_t(sf_dir, "customer"))
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_price"),
+            )
+        )
+
+    def semi_join_customers(spark, sf_dir):
+        o = spark.read.parquet(_t(sf_dir, "orders"))
+        c = spark.read.parquet(_t(sf_dir, "customer"))
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+        )
+
+    def anti_join_customers(spark, sf_dir):
+        o = spark.read.parquet(_t(sf_dir, "orders"))
+        c = spark.read.parquet(_t(sf_dir, "customer"))
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+        )
+
+    def topk_orders(spark, sf_dir):
+        o = spark.read.parquet(_t(sf_dir, "orders"))
+        return (
+            o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+        )
+
+    def window_events(spark, sf_dir):
+        from pyspark.sql import Window
+
+        e = spark.read.parquet(_t(sf_dir, "events"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        )
+
+    # ---- training-data toolbox (documents / embeddings) ----
+
+    def doc_fingerprint(spark, sf_dir):
+        from graphrag_litex_spark.operators.text_analysis import fingerprint
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return fingerprint(d)
+
+    def dedup_exact(spark, sf_dir):
+        from graphrag_litex_spark.operators.dedup import exact_duplicates
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return exact_duplicates(d).select("text_hash", "n_docs", "representative_id")
+
+    def dedup_normalized(spark, sf_dir):
+        from graphrag_litex_spark.operators.dedup import normalized_duplicates
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return normalized_duplicates(d)
+
+    def text_quality(spark, sf_dir):
+        from graphrag_litex_spark.operators.text_analysis import quality_features
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return quality_features(d).select(
+            "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"
+        )
+
+    def lang_id(spark, sf_dir):
+        from graphrag_litex_spark.operators.text_analysis import language_id
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return language_id(d).select("doc_id", "lang", "lang_pred")
+
+    def token_stats(spark, sf_dir):
+        from graphrag_litex_spark.operators.text_analysis import token_count_col
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return (
+            d.withColumn("n_tokens", token_count_col("text"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            )
+        )
+
+    def similarity_topk(spark, sf_dir):
+        from graphrag_litex_spark.operators.similarity import brute_force_topk
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return brute_force_topk(e.where(F.col("vec_id") != 0), list(qvec), k=10)
+
+    def knn_join_sample(spark, sf_dir):
+        from graphrag_litex_spark.operators.similarity import knn_join
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        left = e.where(F.col("vec_id") < 20)
+        return knn_join(left, e, k=3)
+
+    def embedding_dup_pairs(spark, sf_dir):
+        from graphrag_litex_spark.operators.dedup import embedding_cosine_pairs
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        return embedding_cosine_pairs(e, threshold=0.3)
+
+    def multimodal_features(spark, sf_dir):
+        from graphrag_litex_spark.operators.multimodal import docs_as_media, extract_features
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return extract_features(docs_as_media(d)).select("media_id", "kind", "n_bytes")
+
+    # Rows-only scale paths (LSH internals aren't ANSI-SQL expressible):
+    def dedup_minhash_lsh(spark, sf_dir):
+        from graphrag_litex_spark.operators.dedup import minhash_lsh_candidates
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return minhash_lsh_candidates(d, jaccard_threshold=0.5)
+
+    def dedup_simhash(spark, sf_dir):
+        from graphrag_litex_spark.operators.dedup import simhash_duplicates
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return simhash_duplicates(d)
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        from graphrag_litex_spark.operators.dedup import ngram_jaccard_pairs
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
+
+    def ann_lsh_topk(spark, sf_dir):
+        from graphrag_litex_spark.operators.similarity import lsh_bucketed_topk
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return lsh_bucketed_topk(e.where(F.col("vec_id") != 0), list(qvec), k=10, planes=4)
+
+    for fn in (
+        kg_triples_agg,
+        kg_canon_map,
+        kg_nodes_agg,
+        kg_edges_merged,
+        kg_claims_agg,
+        kg_chunks,
+        kg_reassembly,
+        kg_top_entities_by_degree,
+        kg_communities,
+        kg_community_stats,
+        kg_summaries,
+        kg_query_topk,
+        agg_pricing_summary,
+        join_customer_orders,
+        semi_join_customers,
+        anti_join_customers,
+        topk_orders,
+        window_events,
+        doc_fingerprint,
+        dedup_exact,
+        dedup_normalized,
+        text_quality,
+        lang_id,
+        token_stats,
+        similarity_topk,
+        knn_join_sample,
+        embedding_dup_pairs,
+        multimodal_features,
+        dedup_minhash_lsh,
+        dedup_simhash,
+        dedup_ngram_jaccard,
+        ann_lsh_topk,
+    ):
+        q[fn.__name__] = fn
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle_sql: DuckDB equivalents (driver runs these at sf=0.01)
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sf = 0.01
+    triples = _gold(sf, "golden_triples")
+    mentions = _gold(sf, "golden_mentions")
+    canon = _gold(sf, "golden_canon_map")
+    claims = _gold(sf, "golden_claims")
+    transcripts = _gold(sf, "transcripts")
+    norm_ename = _DDB_NORM.format(col="c.ename")
+
+    pred_key = "lpad(cast(length(pred) as varchar), 6, '0') || pred"
+    return {
+        # ---- KG pipeline: differential vs single-process golden outputs ----
+        "kg_triples_agg": f"""
+            SELECT subj, pred, obj, count(*) AS n,
+                   round(avg(strength), 6) AS avg_strength
+            FROM read_parquet('{triples}')
+            GROUP BY subj, pred, obj
+        """,
+        "kg_canon_map": f"""
+            SELECT norm_name, canonical FROM read_parquet('{canon}')
+        """,
+        "kg_nodes_agg": f"""
+            SELECT canonical AS canonical_name,
+                   count(*) AS n_mentions,
+                   count(DISTINCT conv_id || '_' || cast(turn_idx AS varchar)) AS n_instances
+            FROM read_parquet('{mentions}')
+            GROUP BY canonical
+        """,
+        "kg_edges_merged": f"""
+            SELECT subj AS src, obj AS dst,
+                   arg_max(pred, {pred_key}) AS pred,
+                   round(avg(strength), 6) AS strength,
+                   count(*) AS n_obs
+            FROM read_parquet('{triples}')
+            GROUP BY subj, obj
+        """,
+        "kg_claims_agg": f"""
+            WITH ents AS (
+                SELECT lower(c.content) AS content_key, cm.canonical AS eid
+                FROM (SELECT content, unnest(entities) AS ename
+                      FROM read_parquet('{claims}')) c
+                JOIN read_parquet('{canon}') cm
+                  ON cm.norm_name = {norm_ename}
+            )
+            SELECT c.content_key, count(*) AS n_obs, e.n_entities
+            FROM (SELECT lower(content) AS content_key FROM read_parquet('{claims}')) c
+            JOIN (SELECT content_key, count(DISTINCT eid) AS n_entities
+                  FROM ents GROUP BY content_key) e USING (content_key)
+            GROUP BY c.content_key, e.n_entities
+        """,
+        "kg_chunks": f"""
+            SELECT conv_id, turn_idx,
+                   conv_id || '_' || cast(turn_idx AS varchar) AS chunk_id,
+                   text
+            FROM read_parquet('{transcripts}')
+        """,
+        "kg_reassembly": f"""
+            SELECT conv_id,
+                   string_agg(text, ' ' ORDER BY turn_idx) AS conversation,
+                   count(*) AS n_turns
+            FROM read_parquet('{transcripts}')
+            GROUP BY conv_id
+        """,
+        "kg_top_entities_by_degree": f"""
+            WITH merged AS (
+                SELECT subj AS src, obj AS dst FROM read_parquet('{triples}')
+                GROUP BY subj, obj
+            ), deg AS (
+                SELECT name, count(*) AS degree FROM (
+                    SELECT src AS name FROM merged
+                    UNION ALL
+                    SELECT dst AS name FROM merged
+                ) GROUP BY name
+            )
+            SELECT name, degree FROM deg
+            ORDER BY degree DESC, name ASC LIMIT 10
+        """,
+        # ---- relational breadth ----
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(cast(l_quantity AS decimal(28,4))) AS sum_qty,
+                   sum(cast(l_extendedprice AS decimal(28,4))) AS sum_base_price,
+                   sum(cast(l_extendedprice * (1 - l_discount) AS decimal(28,4))) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_customer_orders": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   sum(cast(o_totalprice AS decimal(28,4))) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+        """,
+        "semi_join_customers": """
+            SELECT c_nationkey, count(*) AS n_customers_with_orders
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "anti_join_customers": """
+            SELECT c_nationkey, count(*) AS n_customers_without_orders
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_events": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS rn,
+                   round(lag(value) OVER w, 6) AS prev_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # ---- training-data toolbox ----
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(text) AS fp_raw,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp_norm
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS representative_id
+            FROM documents
+            GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "dedup_normalized": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_hash,
+                   count(*) AS n_docs, min(doc_id) AS representative_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "token_stats": """
+            WITH toks AS (
+                SELECT lang,
+                       CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')) = ''
+                            THEN 0
+                            ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '))
+                       END AS n_tokens
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens,
+                   round(avg(n_tokens), 6) AS avg_tokens
+            FROM toks GROUP BY lang
+        """,
+        "multimodal_features": """
+            SELECT cast(doc_id AS varchar) AS media_id,
+                   'image' AS kind,
+                   cast(octet_length(encode(text)) AS int) AS n_bytes
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH g AS (
+                SELECT doc_id, text, {_DDB_TEXT_NORM} AS norm FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_c,
+                       len(list_filter(string_split(norm, ' '),
+                           x -> list_contains({_SW_EN}, x))) AS sw
+                FROM g
+            )
+            SELECT doc_id, n_tokens,
+                   round(CASE WHEN n_tokens > 0 THEN sw * 1.0 / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+                   round(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0 END, 6) AS punct_ratio,
+                   round(
+                       least(n_tokens / 100.0, 1.0) * 0.4
+                       + least(CASE WHEN n_tokens > 0 THEN sw * 1.0 / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3
+                       + (1.0 - least(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0 END * 10.0, 1.0)) * 0.2
+                       + (1.0 - least(CASE WHEN n_chars > 0 THEN upper_c * 1.0 / n_chars ELSE 0 END * 5.0, 1.0)) * 0.1,
+                       6) AS quality_score
+            FROM h
+        """,
+        "lang_id": f"""
+            WITH g AS (
+                SELECT doc_id, lang, string_split({_DDB_TEXT_NORM}, ' ') AS toks FROM documents
+            ), h AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> list_contains({_SW_EN}, x))) AS h_en,
+                       len(list_filter(toks, x -> list_contains({_SW_DE}, x))) AS h_de,
+                       len(list_filter(toks, x -> list_contains({_SW_FR}, x))) AS h_fr,
+                       len(list_filter(toks, x -> list_contains({_SW_ES}, x))) AS h_es
+                FROM g
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM h
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+                 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id != 0)
+            SELECT vec_id,
+                   round(CASE WHEN sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)) = 0
+                              THEN 0.0
+                              ELSE list_dot_product(v, qv)
+                                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+                         END, 6) AS cosine
+            FROM e, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "knn_join_sample": """
+            WITH l AS (SELECT vec_id AS left_id, CAST(embedding AS DOUBLE[]) AS lv
+                       FROM embeddings WHERE vec_id < 20),
+                 r AS (SELECT vec_id AS right_id, CAST(embedding AS DOUBLE[]) AS rv
+                       FROM embeddings),
+                 scored AS (
+                     SELECT left_id, right_id,
+                            round(list_dot_product(lv, rv)
+                                  / (sqrt(list_dot_product(lv, lv)) * sqrt(list_dot_product(rv, rv))),
+                                  6) AS cosine
+                     FROM l JOIN r ON left_id != right_id
+                 ), ranked AS (
+                     SELECT left_id, right_id, cosine,
+                            row_number() OVER (PARTITION BY left_id
+                                               ORDER BY cosine DESC, right_id ASC) AS rank
+                     FROM scored
+                 )
+            SELECT left_id, right_id, cosine, cast(rank AS int) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 scored AS (
+                     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) = 0
+                                       THEN 0.0
+                                       ELSE list_dot_product(a.v, b.v)
+                                            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                                  END, 6) AS cosine
+                     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                 )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH d AS (
+                SELECT doc_id, lang, {_DDB_TEXT_NORM} AS norm FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                       CASE WHEN len(string_split(norm, ' ')) < 3 THEN [norm]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(string_split(norm, ' ')) - 1),
+                                i -> array_to_string(string_split(norm, ' ')[i:i+2], ' ')))
+                       END AS sh
+                FROM d
+            ), scored AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+                                  ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                                       / len(list_distinct(list_concat(a.sh, b.sh)))
+                             END, 6) AS jaccard
+                FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+    }

@@ -1,0 +1,106 @@
+"""Benchmark: KG pipeline throughput + headline query latencies.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_triples_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": X, ...}
+
+The headline metric is triples/sec through the full KG-construction
+pipeline (extraction -> linking -> CC -> materialization), cold run, which
+is the BASELINE.json target metric. Per-query timings cover the flagship
+queries from __spark_entry__. Scaling-efficiency evidence (local[8] vs
+local[32]) is produced by tools/bench_scaling.py -> BENCH/BASELINE.md.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) — used to derive the
+scale factor for the synthetic transcript corpus; SPARK_GRAFT_CPUS
+(default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+
+    import __spark_entry__ as E
+    from graphrag_litex_spark import datagen
+    from graphrag_litex_spark.plans.pipeline import run_pipeline
+    from graphrag_litex_spark.session import get_spark
+
+    sf = E._sf_from_dir(sf_dir)
+    paths = datagen.ensure_corpus(sf)
+    spark = get_spark(
+        app_name="graphrag_litex_spark_bench",
+        cores=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+
+    # Cold full-pipeline run (the headline): fresh output dir every time.
+    out = os.path.join(paths["dir"], "kg_bench")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, paths["transcripts"], out, resume=False, until="claims")
+    pipeline_sec = time.time() - t0
+    n_triples = res["triples"].count()
+    n_turns = spark.read.parquet(paths["transcripts"]).count()
+    timings["kg_pipeline_to_claims"] = round(pipeline_sec, 3)
+
+    # Graph stages (communities/summaries) timed separately — they operate
+    # on the dedup'd graph, not the corpus, so they don't scale with turns.
+    t0 = time.time()
+    res = run_pipeline(spark, paths["transcripts"], out, resume=True)
+    timings["kg_communities_and_summaries"] = round(time.time() - t0, 3)
+
+    # Headline queries (shared stage tables are warm now).
+    E._KG_CACHE[sf] = res
+    qs = E.queries()
+    for name in (
+        "kg_triples_agg",
+        "kg_top_entities_by_degree",
+        "kg_reassembly",
+        "agg_pricing_summary",
+        "join_customer_orders",
+        "window_events",
+        "similarity_topk",
+        "dedup_minhash_lsh",
+        "text_quality",
+    ):
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # pragma: no cover
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {ex}", file=sys.stderr)
+
+    triples_per_sec = n_triples / pipeline_sec if pipeline_sec > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_triples_per_sec",
+                "value": round(triples_per_sec, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_turns": n_turns,
+                "n_triples": n_triples,
+                "cpus": cpus,
+                "pipeline_sec": round(pipeline_sec, 2),
+                "turns_per_sec": round(n_turns / pipeline_sec, 2) if pipeline_sec else 0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 3
+GEN_VERSION = 4
 GLOBAL_SEED = 42
 
 ORGS = [
@@ -231,6 +231,7 @@ def ensure_corpus(sf: float, base_dir: str | None = None) -> dict[str, str]:
         "dir": out,
         "transcripts": os.path.join(out, "transcripts.parquet"),
         "golden_raw_triples": os.path.join(out, "golden_raw_triples.parquet"),
+        "golden_mentions": os.path.join(out, "golden_mentions.parquet"),
         "golden_triples": os.path.join(out, "golden_triples.parquet"),
         "golden_canon_map": os.path.join(out, "golden_canon_map.parquet"),
         "golden_claims": os.path.join(out, "golden_claims.parquet"),

@@ -66,9 +66,12 @@ def merge_nodes(mentions: DataFrame, salted: bool = True, salt_buckets: int = 16
             F.min("name").alias("name"),
             F.min("type").alias("type"),
             F.max_by("description", _desc_key()).alias("description"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("instances")))).alias(
-                "instances"
-            ),
+            # salt = hash(chunk_id), so a given (source_id, chunk_id) instance
+            # lands in exactly one salt bucket: the partial collect_sets are
+            # globally disjoint and flatten needs NO final distinct (an
+            # array_distinct over struct arrays is O(n²) and dominated the
+            # whole pipeline on hot entities before this was removed).
+            F.array_sort(F.flatten(F.collect_list("instances"))).alias("instances"),
             F.sum("n_mentions").alias("n_mentions"),
         )
     else:
@@ -116,9 +119,8 @@ def merge_edges(
         final = partial.groupBy("src_id", "dst_id", "src", "dst").agg(
             F.max_by("pred", _desc_key("pred")).alias("pred"),
             (F.sum("_s_sum") / F.sum("_s_cnt")).alias("strength"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("instances")))).alias(
-                "instances"
-            ),
+            # disjoint-by-salt: no final distinct needed (see merge_nodes).
+            F.array_sort(F.flatten(F.collect_list("instances"))).alias("instances"),
             F.sum("_s_cnt").alias("n_obs"),
         )
     else:

@@ -1,0 +1,91 @@
+"""Text analysis for corpus curation: language-ID, quality scoring, token
+counting, document fingerprinting. All pure column expressions (JVM-side),
+designed to be oracle-checkable in DuckDB with identical SQL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.dedup import norm_text_col
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for", "with", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "no", "por", "para", "una", "que"],
+}
+
+
+def tokens_col(text_col="text"):
+    return F.split(norm_text_col(text_col), " ")
+
+
+def token_count_col(text_col="text"):
+    t = norm_text_col(text_col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def stopword_hits_col(text_col, lang: str):
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col(text_col), lambda t: F.array_contains(arr, t)))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred``: argmax over per-language stopword hit counts
+    (ties broken by language code order); 'und' when no hits."""
+    hits = [stopword_hits_col(text_col, lang).alias(f"_h_{lang}") for lang in STOPWORDS]
+    out = docs.select("*", *hits)
+    best = F.greatest(*[F.col(f"_h_{lang}") for lang in STOPWORDS])
+    pred = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        pred = F.when(
+            (F.col(f"_h_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out.withColumn("lang_pred", pred).drop(*[f"_h_{lang}" for lang in STOPWORDS])
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds deterministic quality-scoring features + a composite score:
+
+    n_chars, n_tokens, mean_token_len, punct_ratio, upper_ratio,
+    stopword_ratio (en), quality_score in [0, 1].
+    """
+    raw = F.col(text_col)
+    n_chars = F.length(raw)
+    n_tokens = token_count_col(text_col)
+    punct = F.length(F.regexp_replace(raw, r"[^.,;:!?]", ""))
+    upper = F.length(F.regexp_replace(raw, r"[^A-Z]", ""))
+    sw = stopword_hits_col(text_col, "en")
+    mean_tok = F.when(n_tokens > 0, F.length(norm_text_col(text_col)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, upper / n_chars).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tokens > 0, sw / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + F.least(sw_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(upper_ratio * 5.0, F.lit(1.0))) * 0.1
+    )
+    return (
+        docs.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", F.round(mean_tok, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("upper_ratio", F.round(upper_ratio, 6))
+        .withColumn("stopword_ratio", F.round(sw_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stable document fingerprints: md5 of raw and of normalized text."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_raw"),
+        F.md5(norm_text_col(text_col)).alias("fp_norm"),
+    )

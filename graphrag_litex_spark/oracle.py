@@ -86,11 +86,14 @@ def run_oracle(transcripts: pa.Table) -> dict[str, pa.Table]:
 
     raw_rows: list[tuple] = []  # conv_id, turn_idx, subj_surface, pred, obj_surface, strength
     claim_rows: list[tuple] = []
+    mention_rows: list[tuple] = []  # conv_id, turn_idx, name, norm_name, type, description
     norm_names: set[str] = set()
     for c, t, x in zip(conv, turn, text):
         res = extract_turn(x)
         for e in res["entities"]:
-            norm_names.add(normalize_name(e["name"]))
+            nn = normalize_name(e["name"])
+            norm_names.add(nn)
+            mention_rows.append((c, t, e["name"], nn, e["type"], e["description"]))
         for r in res["relationships"]:
             raw_rows.append((c, t, r["source"], r["description"], r["target"], r["strength"]))
         for cl in res["claims"]:
@@ -126,6 +129,19 @@ def run_oracle(transcripts: pa.Table) -> dict[str, pa.Table]:
                 "pred": pa.array([r[3] for r in triple_rows], pa.string()),
                 "obj": pa.array([r[4] for r in triple_rows], pa.string()),
                 "strength": pa.array([r[5] for r in triple_rows], pa.float64()),
+            }
+        ),
+        "golden_mentions": _tbl(
+            {
+                "conv_id": pa.array([r[0] for r in mention_rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in mention_rows], pa.int32()),
+                "name": pa.array([r[2] for r in mention_rows], pa.string()),
+                "norm_name": pa.array([r[3] for r in mention_rows], pa.string()),
+                "canonical": pa.array(
+                    [canon[r[3]] for r in mention_rows], pa.string()
+                ),
+                "type": pa.array([r[4] for r in mention_rows], pa.string()),
+                "description": pa.array([r[5] for r in mention_rows], pa.string()),
             }
         ),
         "golden_canon_map": _tbl(

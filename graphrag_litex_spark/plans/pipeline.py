@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,10 +140,15 @@ class KGPipeline:
             and os.path.exists(os.path.join(path, "_SUCCESS"))
         ):
             return self.spark.read.parquet(path)
+        t0 = time.time()
         df = build()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        manifest[name] = {"fingerprint": fingerprint, "rows": out.count()}
+        manifest[name] = {
+            "fingerprint": fingerprint,
+            "rows": out.count(),
+            "sec": round(time.time() - t0, 2),
+        }
         self._save_manifest(manifest)
         return out
 
@@ -165,10 +171,14 @@ class KGPipeline:
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).
         # Turn text is carried through UNMODIFIED (per-turn text equality
-        # invariant, BASELINE input_hint).
+        # invariant, BASELINE input_hint). Repartition by hash(conv_id) so
+        # downstream extraction parallelism never depends on the source's
+        # file layout (a single small parquet file would otherwise pin the
+        # whole hot path to one task; SURVEY.md §4 partitioning note).
+        n_part = max(self.spark.sparkContext.defaultParallelism * 2, 8)
         results["chunks"] = mat(
             "chunks",
-            lambda: transcripts.select(
+            lambda: transcripts.repartition(n_part, "conv_id").select(
                 "conv_id",
                 "turn_idx",
                 "role",

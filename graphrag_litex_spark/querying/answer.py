@@ -1,0 +1,123 @@
+"""Query path: question -> top-k community summaries -> map/reduce answer.
+
+Reference lifecycle (SURVEY.md §3.2): filter summaries by level (G5), embed
+question + summaries and rank by cosine (C7 + G1,
+/root/reference/utils/embedding_utils.py:17-40), per-summary "map" answers
+with helpfulness scores, filter empties, sort by helpfulness (G2), one
+"reduce" call (J1, /root/reference/querying/map_reduce.py:21-61).
+
+Deterministic sandbox substitutions (pluggable, same interfaces):
+  * embeddings: hashing featurizer (functions/normalize.hash_embed) as an
+    Arrow-batched pandas UDF — stands in for MiniLM
+    (utils/llm_client.py:38-46);
+  * map answer: the summary's findings filtered by question-token overlap;
+    helpfulness = 100 * token-overlap Jaccard (stands in for the LLM's
+    0-100 helpfulness, utils/prompts.py:167-181);
+  * reduce: deterministic concatenation of the top answers sorted by
+    helpfulness (stands in for the GLOBAL_ANSWER_PROMPT call).
+
+The level filter uses the typed ``level`` column, fixing the reference's
+fragile id-prefix hack (SURVEY.md Q4); the reference's pre-selection
+``random.shuffle`` (Q5/G4) is deliberately omitted — scoring makes order
+irrelevant and determinism is required.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from graphrag_litex_spark.functions.normalize import hash_embed
+from graphrag_litex_spark.operators.similarity import cosine_col
+
+EMBED_DIM = 64
+
+
+def make_embed_udf(dim: int = EMBED_DIM):
+    def _batch(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: hash_embed(t or "", dim))
+
+    return F.pandas_udf(_batch, T.ArrayType(T.DoubleType()))
+
+
+def embed_summaries(summaries: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Materializable summary_embeddings table (the reference caches
+    embeddings per summary id, utils/embedding_utils.py:52-63)."""
+    return summaries.withColumn("embedding", make_embed_udf(dim)(F.col("full_text")))
+
+
+def select_top_k(
+    summary_embeddings: DataFrame,
+    question: str,
+    level: int = 0,
+    k: int = 10,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """G1: top-k summaries by cosine vs the question embedding.
+
+    The single question vector is a broadcast literal; ranking compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    """
+    qv = hash_embed(question, dim)
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    return (
+        summary_embeddings.where(F.col("level") == level)
+        .withColumn("score", F.round(cosine_col(F.col("embedding"), q), 6))
+        .orderBy(F.col("score").desc(), F.col("community_id").asc())
+        .limit(k)
+    )
+
+
+def map_answers(selected: DataFrame, question: str) -> DataFrame:
+    """J1 map: per-summary answer + helpfulness, as column expressions.
+
+    answer = finding summaries sharing >=1 token with the question;
+    helpfulness = 100 * Jaccard(question tokens, full_text tokens).
+    """
+    q_tokens = F.array(*[F.lit(t) for t in sorted(set(question.lower().split()))])
+    s_tokens = F.array_distinct(F.split(F.lower(F.col("full_text")), r"[^a-z0-9]+"))
+    inter = F.size(F.array_intersect(s_tokens, q_tokens))
+    union = F.size(F.array_union(s_tokens, q_tokens))
+    helpful = F.when(union > 0, F.round(100.0 * inter / union, 4)).otherwise(F.lit(0.0))
+    relevant = F.filter(
+        F.col("findings"),
+        lambda f: F.size(
+            F.array_intersect(F.split(F.lower(f["summary"]), r"[^a-z0-9]+"), q_tokens)
+        )
+        > 0,
+    )
+    return selected.select(
+        "level",
+        "community_id",
+        F.col("title"),
+        F.concat_ws(" ", F.transform(relevant, lambda f: f["summary"])).alias("answer"),
+        helpful.alias("helpfulness"),
+        F.col("score"),
+    ).where(F.col("answer") != "")  # drop empty map answers (map_reduce.py:35)
+
+
+def answer_question(
+    summaries: DataFrame,
+    question: str,
+    level: int = 0,
+    k: int = 10,
+) -> dict:
+    """Full query pipeline; the reduce step collects <= k tiny rows (the
+    only driver-side collection in the engine, mirroring the reference's
+    single reduce LLM call)."""
+    emb = embed_summaries(summaries)
+    selected = select_top_k(emb, question, level=level, k=k)
+    mapped = map_answers(selected, question).orderBy(
+        F.col("helpfulness").desc(), F.col("community_id").asc()
+    )
+    rows = mapped.collect()
+    return {
+        "answer": " ".join(r["answer"] for r in rows),
+        "topics": [
+            {"topic": r["title"], "description": r["answer"], "helpfulness": r["helpfulness"]}
+            for r in rows
+        ],
+        "used_communities": [r["community_id"] for r in rows],
+    }
