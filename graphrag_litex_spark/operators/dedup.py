@@ -64,23 +64,32 @@ def normalized_duplicates(
 
 
 def word_shingles(text_col="text", k: int = 3):
-    """Distinct k-word shingles of a text column (array<string>), JVM-side."""
+    """Distinct k-word shingles of a text column (array<string>), JVM-side.
+
+    Built by zipping the token array with its own 1..k-1 shifted slices —
+    NOT with a positional ``transform(sequence(...), i -> slice(toks, i))``
+    lambda: Catalyst inlines the full tokenize expression into the lambda
+    body, re-evaluating normalization+split PER ELEMENT (observed 35s for
+    5k docs). With zip_with each slice is evaluated once per row.
+    """
     toks = F.split(norm_text_col(text_col), " ")
     n = F.size(toks)
-    shingle_at = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(0), n - k), lambda i: shingle_at(i))
-        )
+    shifted = lambda off: F.slice(  # noqa: E731
+        toks, off + 1, F.greatest(n - off, F.lit(0))
     )
+    grams = toks
+    for off in range(1, k):
+        # concat null-propagates, so trailing partial shingles become null.
+        grams = F.zip_with(grams, shifted(off), lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.filter(grams, lambda g: g.isNotNull())
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(F.array_distinct(full))
 
 
 def minhash_signature(shingles_col, num_hashes: int = 32):
-    """k minhash values: min over shingles of xxhash64(shingle, seed).
-
-    Column expression only — `aggregate` over the shingle array per hash
-    seed; codegen'd, no UDF.
-    """
+    """k minhash values as one array column: min over shingles of
+    xxhash64(shingle, seed). NOTE: as a single nested expression this can
+    exceed codegen limits for large k — minhash_signatures (plural, below)
+    is the scalable row-oriented formulation used by the LSH pipeline."""
     return F.array(
         *[
             F.array_min(
@@ -90,6 +99,69 @@ def minhash_signature(shingles_col, num_hashes: int = 32):
             ).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
+    )
+
+
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct k-word shingles as ROWS: (id, [extra_cols...], s).
+
+    The relational formulation — posexplode tokens, window-lead to build
+    shingles, row-level distinct — is the 100 TB path: no array-typed
+    higher-order functions (which drop out of codegen and/or go quadratic
+    on string arrays), every step a codegen'd projection or one shuffle.
+    Docs shorter than k tokens contribute their whole normalized text as a
+    single shingle (same semantics as word_shingles).
+    """
+    from pyspark.sql import Window
+
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    extra = list(extra_cols or [])
+    base = docs.repartition(n_part, F.col(id_col)).select(
+        F.col(id_col).alias("id"), *extra, norm_text_col(text_col).alias("norm")
+    )
+    toks = base.select(
+        "id", *extra, F.posexplode(F.split("norm", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        f for off in range(1, k) for f in (F.lit(" "), F.lead("tok", off).over(w))
+    ]
+    # concat null-propagates: trailing positions (missing leads) become NULL.
+    full = (
+        toks.select("id", *extra, F.concat(*parts).alias("s"))
+        .where(F.col("s").isNotNull())
+    )
+    short = base.where(F.size(F.split("norm", " ")) < k).select(
+        "id", *extra, F.col("norm").alias("s")
+    )
+    return full.unionByName(short).distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """-> (id, shingles array, sig array<long>) via shingle rows + one
+    groupBy with k min-aggregations + collect_set. Single shuffle after the
+    shingle window; everything stays in whole-stage codegen."""
+    rows = shingle_rows(docs, id_col, text_col, shingle_k)
+    agg = rows.groupBy("id").agg(
+        F.collect_set("s").alias("shingles"),
+        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)],
+    )
+    return agg.select(
+        "id",
+        "shingles",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -106,15 +178,19 @@ def minhash_lsh_candidates(
 
     -> (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint
+
     rows_per_band = num_hashes // bands
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # Materialize the signature stage: without a barrier, CollapseProject
+    # would inline the signature expression into every downstream band
+    # reference (num_hashes× recomputation per row). At cluster scale this
+    # would be a persisted stage table anyway.
+    base = hard_checkpoint(
+        minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
+    )
 
     banded = base.select(
         "id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -134,8 +210,10 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # Candidate ids only through the join+dedup shuffle (no array payloads);
+    # shingles re-attached once per UNIQUE pair for verification.
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -145,18 +223,16 @@ def minhash_lsh_candidates(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union))
+        pairs.withColumn("jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -172,48 +248,70 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold (optionally within a block).
 
-    Brute-force baseline for the LSH path; quadratic — use only at test
-    scale or within a strong blocking key.
+    Relational formulation: shingle ROWS self-joined on (block, shingle)
+    count the intersection per pair; |A union B| = |A| + |B| - |A inter B|.
+    Pairs sharing zero shingles never materialize (their Jaccard is 0 <
+    threshold by definition). Scales as sum over shingles of (docs sharing
+    that shingle)^2 — a frequency cap on boilerplate shingles is the skew
+    valve at 100 TB.
     """
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
-        word_shingles(text_col, shingle_k).alias("shingles"),
+    extra = [block_col] if block_col else None
+    rows = shingle_rows(docs, id_col, text_col, shingle_k, extra_cols=extra)
+    block_key = [block_col] if block_col else []
+    sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = rows.select(*block_key, F.col("id").alias("id_a"), F.col("s").alias("s"))
+    b = rows.select(
+        *[F.col(c).alias(f"{c}_b") for c in (block_key or [])],
+        F.col("id").alias("id_b"),
+        F.col("s").alias("s_b"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    cond = (F.col("s") == F.col("s_b")) & (F.col("id_a") < F.col("id_b"))
+    for c in block_key:
+        cond = cond & (F.col(c) == F.col(f"{c}_b"))
+    inter = a.join(b, cond).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
+
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union))
-        .where(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("jaccard", 6).alias("jaccard"),
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
-def simhash_signature(text_col="text", bits: int = 32):
-    """Bitwise-majority simhash over token hashes (column expression).
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """-> (id, simhash): bitwise-majority simhash over token hashes.
 
-    For each bit position, count tokens whose hash has the bit set; bit in
-    the signature = 1 iff count > n_tokens/2.
+    Relational: token rows -> one groupBy with ``bits`` conditional sums
+    (bit i of the signature = 1 iff more than half the token hashes have
+    bit i set). Token multiplicity counts, as in classic simhash.
     """
-    toks = F.split(norm_text_col(text_col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n = F.size(toks)
-
-    def bit(i: int):
-        mask = F.lit(1 << i).cast("long")
-        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != F.lit(0)))
-        return (cnt * 2 > n).cast("long") * F.lit(1 << i).cast("long")
-
-    sig = bit(0)
-    for i in range(1, bits):
-        sig = sig + bit(i)
-    return sig
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    toks = (
+        docs.repartition(n_part, F.col(id_col))
+        .select(F.col(id_col).alias("id"), norm_text_col(text_col).alias("norm"))
+        .select("id", F.explode(F.split("norm", " ")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    agg = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1)).cast("long")).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + (F.col(f"b{i}") * 2 > F.col("n")).cast("long") * F.lit(1 << i).cast("long")
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash_duplicates(
@@ -221,7 +319,7 @@ def simhash_duplicates(
 ) -> DataFrame:
     """Groups of documents with identical simhash signatures."""
     return (
-        docs.select(F.col(id_col).alias("id"), simhash_signature(text_col, bits).alias("simhash"))
+        simhash_signatures(docs, id_col, text_col, bits)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.array_sort(F.collect_list("id")).alias("doc_ids"))
         .where(F.col("n_docs") > 1)

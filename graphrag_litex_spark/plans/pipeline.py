@@ -52,6 +52,18 @@ from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 PIPELINE_VERSION = 4
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (metadata-only, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(dp, f)).num_rows
+    return total
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     """Engine knobs (reference analogs: /root/reference/config.py)."""
@@ -146,7 +158,7 @@ class KGPipeline:
         out = self.spark.read.parquet(path)
         manifest[name] = {
             "fingerprint": fingerprint,
-            "rows": out.count(),
+            "rows": _parquet_rows(path),  # footer metadata — no Spark job
             "sec": round(time.time() - t0, 2),
         }
         self._save_manifest(manifest)
