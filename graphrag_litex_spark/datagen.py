@@ -191,11 +191,33 @@ def n_convs_for_sf(sf: float) -> int:
     return max(20, int(round(50_000 * sf)))
 
 
+def _gen_range(args: tuple[int, int, int]) -> list[dict]:
+    lo, hi, seed = args
+    out: list[dict] = []
+    for c in range(lo, hi):
+        out.extend(generate_conversation(c, seed))
+    return out
+
+
 def generate_transcripts(sf: float, seed: int = GLOBAL_SEED) -> pa.Table:
-    """Full corpus at scale factor ``sf`` as an Arrow table, rows shuffled."""
-    rows: list[dict] = []
-    for c in range(n_convs_for_sf(sf)):
-        rows.extend(generate_conversation(c, seed))
+    """Full corpus at scale factor ``sf`` as an Arrow table, rows shuffled.
+
+    Per-conversation generation is a pure function of (conv_idx, seed), so
+    fanning ranges over a process pool is deterministic — results are
+    concatenated in conv order before the fixed-seed shuffle.
+    """
+    n = n_convs_for_sf(sf)
+    if n >= 2000:
+        import multiprocessing as mp
+
+        workers = min(24, mp.cpu_count())
+        step = (n + workers * 4 - 1) // (workers * 4)
+        ranges = [(lo, min(lo + step, n), seed) for lo in range(0, n, step)]
+        with mp.Pool(workers) as pool:
+            chunks = pool.map(_gen_range, ranges)
+        rows = [r for ch in chunks for r in ch]
+    else:
+        rows = _gen_range((0, n, seed))
     perm = np.random.RandomState(777).permutation(len(rows))
     rows = [rows[int(i)] for i in perm]
     return pa.table(

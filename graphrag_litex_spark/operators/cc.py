@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+from graphrag_litex_spark.operators.iterutils import (
+    hard_checkpoint,
+    loop_shuffle_partitions,
+    release,
+)
 
 
 def connected_components(
@@ -45,6 +49,9 @@ def connected_components(
     labels = hard_checkpoint(
         vertices.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
     )
+    n_state = labels.count() + sym.count()
+    ctx = loop_shuffle_partitions(vertices.sparkSession, n_state)
+    ctx.__enter__()
 
     for _ in range(max_iter):
         # Neighbor label messages: for edge (u,v), v receives u's label.
@@ -66,5 +73,6 @@ def connected_components(
         if changed == 0:
             break
 
+    ctx.__exit__()
     release(sym)
     return labels.select(F.col("u").alias(id_col), "label")

@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+from graphrag_litex_spark.operators.iterutils import (
+    hard_checkpoint,
+    loop_shuffle_partitions,
+    release,
+)
 
 
 def _und_edges(edges: DataFrame) -> DataFrame:
@@ -59,6 +63,8 @@ def label_propagation(
     labels = hard_checkpoint(
         vertices.select(F.col("entity_id").alias("u"), F.col("entity_id").alias("label"))
     )
+    ctx = loop_shuffle_partitions(vertices.sparkSession, labels.count() + sym.count())
+    ctx.__enter__()
     for _ in range(iters):
         msgs = sym.join(
             labels.select(F.col("u").alias("v"), "label"), "v"
@@ -91,6 +97,7 @@ def label_propagation(
         labels = new_labels
         if changed == 0:
             break
+    ctx.__exit__()
     release(sym)
     return labels.select(F.col("u").alias("entity_id"), "label")
 

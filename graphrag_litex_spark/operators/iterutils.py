@@ -51,6 +51,35 @@ def hard_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     return out
 
 
+class loop_shuffle_partitions:
+    """Context manager: size shuffle partitions to the loop's state size.
+
+    Iterative algorithms (CC, LPA) run dozens of tiny shuffles over state
+    that is usually orders of magnitude smaller than the corpus (distinct
+    names / entities). With corpus-sized shuffle-partition counts every
+    iteration pays per-task scheduling overhead times partitions — measured
+    ~2.5x slowdown of the whole linking stage at local[32] vs local[8] on
+    a 61-vertex graph. One partition per ~50k state rows, capped at the
+    session default, floors at 1.
+    """
+
+    def __init__(self, spark, n_rows: int, rows_per_partition: int = 50_000) -> None:
+        self.spark = spark
+        self.target = max(1, min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            n_rows // rows_per_partition + 1,
+        ))
+
+    def __enter__(self):
+        self._saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.target))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
+
 def release(df: DataFrame) -> None:
     """Unpersist the checkpoint backing a ``hard_checkpoint`` result."""
     ck = getattr(df, "_graft_ckpt", None)

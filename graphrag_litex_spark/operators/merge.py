@@ -40,25 +40,39 @@ def _salt(col: str, buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(buckets))
 
 
-def merge_nodes(mentions: DataFrame, salted: bool = True, salt_buckets: int = 16) -> DataFrame:
+def merge_nodes(
+    mentions: DataFrame,
+    salted: bool = True,
+    salt_buckets: int = 16,
+    max_instances: int | None = 10_000,
+) -> DataFrame:
     """S7 nodes from canonicalized mentions.
 
     Input columns: entity_id, canonical, norm_name, name, type, description,
     source_id, chunk_id. Output: one row per canonical entity (E1).
+
+    ``n_instances`` is always EXACT; the stored ``instances`` array is
+    capped at ``max_instances`` (sorted prefix) — hot entities at corpus
+    scale would otherwise carry O(corpus) provenance arrays in one row (the
+    full per-mention provenance remains queryable in the mentions stage
+    table). ``max_instances=None`` keeps everything (reference semantics,
+    models/entity.py:55-57).
     """
+    cap = lambda c: F.slice(c, 1, max_instances) if max_instances else c  # noqa: E731
     base = mentions.withColumn("instance", F.struct("source_id", "chunk_id"))
-    agg_exprs = lambda: [  # noqa: E731
-        F.min(F.when(F.col("norm_name") == F.col("canonical"), F.col("name"))).alias("name"),
-        F.min("type").alias("type"),
-        F.max_by("description", _desc_key()).alias("description"),
-        F.collect_set("instance").alias("instances"),
-        F.count(F.lit(1)).alias("n_mentions"),
-    ]
     if salted:
         partial = (
             base.withColumn("_salt", _salt("chunk_id", salt_buckets))
             .groupBy("entity_id", "canonical", "_salt")
-            .agg(*agg_exprs())
+            .agg(
+                F.min(F.when(F.col("norm_name") == F.col("canonical"), F.col("name"))).alias(
+                    "name"
+                ),
+                F.min("type").alias("type"),
+                F.max_by("description", _desc_key()).alias("description"),
+                F.collect_set("instance").alias("instances"),
+                F.count(F.lit(1)).alias("n_mentions"),
+            )
         )
         final = partial.groupBy("entity_id", "canonical").agg(
             # partial "name" is min over canonical-form mentions in the salt
@@ -68,15 +82,28 @@ def merge_nodes(mentions: DataFrame, salted: bool = True, salt_buckets: int = 16
             F.max_by("description", _desc_key()).alias("description"),
             # salt = hash(chunk_id), so a given (source_id, chunk_id) instance
             # lands in exactly one salt bucket: the partial collect_sets are
-            # globally disjoint and flatten needs NO final distinct (an
-            # array_distinct over struct arrays is O(n²) and dominated the
-            # whole pipeline on hot entities before this was removed).
-            F.array_sort(F.flatten(F.collect_list("instances"))).alias("instances"),
+            # globally disjoint — exact distinct count by summing bucket set
+            # sizes, and flatten needs NO final distinct (an array_distinct
+            # over struct arrays is O(n²) and dominated the whole pipeline
+            # on hot entities before this was removed).
+            F.sum(F.size("instances")).alias("n_instances"),
+            cap(F.array_sort(F.flatten(F.collect_list(cap(F.array_sort("instances")))))).alias(
+                "instances"
+            ),
             F.sum("n_mentions").alias("n_mentions"),
         )
     else:
-        final = base.groupBy("entity_id", "canonical").agg(*agg_exprs())
-        final = final.withColumn("instances", F.array_sort("instances"))
+        final = base.groupBy("entity_id", "canonical").agg(
+            F.min(F.when(F.col("norm_name") == F.col("canonical"), F.col("name"))).alias("name"),
+            F.min("type").alias("type"),
+            F.max_by("description", _desc_key()).alias("description"),
+            F.collect_set("instance").alias("instances"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+        final = (
+            final.withColumn("n_instances", F.size("instances"))
+            .withColumn("instances", cap(F.array_sort("instances")))
+        )
     return final.select(
         "entity_id",
         F.col("canonical").alias("canonical_name"),
@@ -84,7 +111,7 @@ def merge_nodes(mentions: DataFrame, salted: bool = True, salt_buckets: int = 16
         "type",
         "description",
         "instances",
-        F.size("instances").alias("n_instances"),
+        F.col("n_instances").cast("long").alias("n_instances"),
         "n_mentions",
     )
 
@@ -94,6 +121,7 @@ def merge_edges(
     min_strength: float = 0.5,
     salted: bool = True,
     salt_buckets: int = 16,
+    max_instances: int | None = 10_000,
 ) -> DataFrame:
     """S8 edges: strength filter BEFORE merge (reference applies the filter
     at insert time, indexing/simple_graph_builder.py:83-86), then pair-merge
@@ -102,6 +130,7 @@ def merge_edges(
     Input columns: src_id, dst_id, src, dst, pred, strength, source_id,
     chunk_id.
     """
+    cap = lambda c: F.slice(c, 1, max_instances) if max_instances else c  # noqa: E731
     base = canon_edges.where(F.col("strength") >= min_strength).withColumn(
         "instance", F.struct("source_id", "chunk_id")
     )
@@ -119,16 +148,24 @@ def merge_edges(
         final = partial.groupBy("src_id", "dst_id", "src", "dst").agg(
             F.max_by("pred", _desc_key("pred")).alias("pred"),
             (F.sum("_s_sum") / F.sum("_s_cnt")).alias("strength"),
-            # disjoint-by-salt: no final distinct needed (see merge_nodes).
-            F.array_sort(F.flatten(F.collect_list("instances"))).alias("instances"),
+            # disjoint-by-salt: exact distinct count + no final distinct
+            # needed (see merge_nodes).
+            F.sum(F.size("instances")).alias("n_instances"),
+            cap(F.array_sort(F.flatten(F.collect_list(cap(F.array_sort("instances")))))).alias(
+                "instances"
+            ),
             F.sum("_s_cnt").alias("n_obs"),
         )
     else:
         final = base.groupBy("src_id", "dst_id", "src", "dst").agg(
             F.max_by("pred", _desc_key("pred")).alias("pred"),
             F.avg("strength").alias("strength"),
-            F.array_sort(F.collect_set("instance")).alias("instances"),
+            F.collect_set("instance").alias("instances"),
             F.count(F.lit(1)).alias("n_obs"),
+        )
+        final = (
+            final.withColumn("n_instances", F.size("instances"))
+            .withColumn("instances", cap(F.array_sort("instances")))
         )
     return final.select(
         "src_id",
@@ -138,7 +175,7 @@ def merge_edges(
         "pred",
         "strength",
         "instances",
-        F.size("instances").alias("n_instances"),
+        F.col("n_instances").cast("long").alias("n_instances"),
         "n_obs",
     )
 

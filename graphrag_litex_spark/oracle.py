@@ -78,26 +78,46 @@ def link_names(norm_names: set[str]) -> dict[str, str]:
     return canon
 
 
+def _extract_chunk(rows: list[tuple]) -> tuple[list, list, list]:
+    raw, claims, mentions = [], [], []
+    for c, t, x in rows:
+        res = extract_turn(x)
+        for e in res["entities"]:
+            nn = normalize_name(e["name"])
+            mentions.append((c, t, e["name"], nn, e["type"], e["description"]))
+        for r in res["relationships"]:
+            raw.append((c, t, r["source"], r["description"], r["target"], r["strength"]))
+        for cl in res["claims"]:
+            claims.append((c, t, cl["content"], cl["entities"]))
+    return raw, claims, mentions
+
+
 def run_oracle(transcripts: pa.Table) -> dict[str, pa.Table]:
     """Full golden pipeline over an in-memory transcripts table."""
     conv = transcripts.column("conv_id").to_pylist()
     turn = transcripts.column("turn_idx").to_pylist()
     text = transcripts.column("text").to_pylist()
+    all_rows = list(zip(conv, turn, text))
+
+    if len(all_rows) >= 100_000:
+        import multiprocessing as mp
+
+        workers = min(24, mp.cpu_count())
+        step = (len(all_rows) + workers * 2 - 1) // (workers * 2)
+        parts = [all_rows[i : i + step] for i in range(0, len(all_rows), step)]
+        with mp.Pool(workers) as pool:
+            results = pool.map(_extract_chunk, parts)
+    else:
+        results = [_extract_chunk(all_rows)]
 
     raw_rows: list[tuple] = []  # conv_id, turn_idx, subj_surface, pred, obj_surface, strength
     claim_rows: list[tuple] = []
     mention_rows: list[tuple] = []  # conv_id, turn_idx, name, norm_name, type, description
-    norm_names: set[str] = set()
-    for c, t, x in zip(conv, turn, text):
-        res = extract_turn(x)
-        for e in res["entities"]:
-            nn = normalize_name(e["name"])
-            norm_names.add(nn)
-            mention_rows.append((c, t, e["name"], nn, e["type"], e["description"]))
-        for r in res["relationships"]:
-            raw_rows.append((c, t, r["source"], r["description"], r["target"], r["strength"]))
-        for cl in res["claims"]:
-            claim_rows.append((c, t, cl["content"], cl["entities"]))
+    for raw, claims, mentions in results:
+        raw_rows.extend(raw)
+        claim_rows.extend(claims)
+        mention_rows.extend(mentions)
+    norm_names = {m[3] for m in mention_rows}
 
     canon = link_names(norm_names)
 

@@ -72,6 +72,7 @@ class PipelineConfig:
     sim_threshold: float = SIM_THRESHOLD  # entity_resolver.py:10-12
     salted: bool = True
     salt_buckets: int = 16
+    max_instances: int | None = 10_000  # provenance-array cap per node/edge
     cc_max_iter: int = 25
     lpa_iters: int = 8
     min_community_size: int = 3  # config.py:41
@@ -253,6 +254,7 @@ class KGPipeline:
                 results["mentions"].join(canon, "norm_name"),
                 salted=cfg.salted,
                 salt_buckets=cfg.salt_buckets,
+                max_instances=cfg.max_instances,
             ),
         )
 
@@ -302,6 +304,7 @@ class KGPipeline:
                 min_strength=cfg.min_strength,
                 salted=cfg.salted,
                 salt_buckets=cfg.salt_buckets,
+                max_instances=cfg.max_instances,
             ),
         )
         if until in ("nodes", "edges", "triples"):

@@ -1,0 +1,71 @@
+"""spark-submit entry point: build the knowledge graph from a transcripts
+table (SURVEY.md §K CLI analog of /root/reference/graphrag_lite_x.py:151-182).
+
+Usage:
+    spark-submit --py-files graphrag_litex_spark.zip jobs/build_graph.py \
+        --transcripts /path/to/transcripts_parquet \
+        --output /path/to/kg_out \
+        [--min-strength 0.5] [--no-resume] [--until STAGE] \
+        [--question "..."] [--level 0] [--top-k 10]
+
+On a cluster, omit the master override (spark-submit supplies it); locally
+this falls back to local[$SPARK_GRAFT_CPUS]. The job is checkpoint-
+resumable: re-running with the same input/config skips completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Build a knowledge graph from transcripts")
+    p.add_argument("--transcripts", required=True, help="parquet path of the transcripts table")
+    p.add_argument("--output", required=True, help="output directory for stage tables")
+    p.add_argument("--min-strength", type=float, default=0.5)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--until", default=None, help="stop after this stage")
+    p.add_argument("--question", default=None, help="optionally answer a question after build")
+    p.add_argument("--level", type=int, default=0)
+    p.add_argument("--top-k", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        try:  # under spark-submit the session builder inherits the master
+            spark = SparkSession.builder.appName("kgx_build_graph").getOrCreate()
+        except Exception:
+            from graphrag_litex_spark.session import get_spark
+
+            spark = get_spark("kgx_build_graph")
+
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    cfg = PipelineConfig(min_strength=args.min_strength)
+    res = run_pipeline(
+        spark,
+        args.transcripts,
+        args.output,
+        config=cfg,
+        resume=not args.no_resume,
+        until=args.until,
+    )
+    for name, df in res.items():
+        print(f"stage {name}: written")
+
+    if args.question and "summaries" in res:
+        from graphrag_litex_spark.querying.answer import answer_question
+
+        ans = answer_question(res["summaries"], args.question, level=args.level, k=args.top_k)
+        print(json.dumps(ans, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""Query path (C7/G1/G2/J1) + sources + CLI entry."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.functions.normalize import hash_embed
+
+
+@pytest.fixture(scope="module")
+def summaries(spark):
+    rows = [
+        (0, "c1", "Acme Corp", "Community about acme corp acquisitions.", 8.0,
+         [{"summary": "acme corp acquired globex inc", "explanation": "x"}],
+         "Acme Corp Community about acme corp acquisitions. acme corp acquired globex inc"),
+        (0, "c2", "QuantumDB", "Community about quantumdb usage.", 5.0,
+         [{"summary": "alice johnson uses quantumdb", "explanation": "y"}],
+         "QuantumDB Community about quantumdb usage. alice johnson uses quantumdb"),
+        (1, "c3", "Other", "Unrelated level-1 community.", 2.0, [],
+         "Other Unrelated level-1 community."),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["level", "community_id", "title", "summary", "rating", "findings", "full_text"],
+        )
+    )
+
+
+def test_hash_embed_deterministic_and_normalized():
+    a = hash_embed("acme corp acquired globex")
+    b = hash_embed("acme corp acquired globex")
+    assert a == b
+    norm = sum(v * v for v in a) ** 0.5
+    assert abs(norm - 1.0) < 1e-9
+    assert hash_embed("") == [0.0] * 64
+
+
+def test_select_top_k_level_filter(summaries):
+    from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
+
+    emb = embed_summaries(summaries)
+    top = select_top_k(emb, "who acquired acme corp", level=0, k=10).collect()
+    assert all(r["level"] == 0 for r in top)
+    # The acme community must outrank the quantumdb one for an acme question.
+    assert top[0]["community_id"] == "c1"
+    assert top[0]["score"] >= top[-1]["score"]
+
+
+def test_answer_question_shape(summaries):
+    from graphrag_litex_spark.querying.answer import answer_question
+
+    ans = answer_question(summaries, "who acquired acme corp", level=0, k=5)
+    assert "acme corp acquired globex inc" in ans["answer"]
+    assert ans["topics"][0]["topic"] == "Acme Corp"
+    assert ans["used_communities"][0] == "c1"
+    # helpfulness sorted descending
+    hs = [t["helpfulness"] for t in ans["topics"]]
+    assert hs == sorted(hs, reverse=True)
+
+
+def test_documents_as_transcripts_adapter(spark):
+    from graphrag_litex_spark.sources.tables import documents_as_transcripts, read_transcripts
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10, 11], "text": ["Acme Corp acquired Globex Inc.", "x"]})
+    )
+    tr = documents_as_transcripts(docs)
+    assert tr.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert tr.count() == 2
+
+
+def test_read_transcripts_validates_schema(spark, corpus_sf0001, tmp_path):
+    from graphrag_litex_spark.sources.tables import read_transcripts
+
+    df = read_transcripts(spark, corpus_sf0001["transcripts"])
+    assert df.count() > 0
+    bad = df.drop("turn_idx")
+    p = str(tmp_path / "bad")
+    bad.write.parquet(p)
+    with pytest.raises(ValueError, match="turn_idx"):
+        read_transcripts(spark, p)
+
+
+def test_cli_build_graph(spark, corpus_sf0001, tmp_path, capsys):
+    import jobs.build_graph as job
+
+    rc = job.main(
+        [
+            "--transcripts",
+            corpus_sf0001["transcripts"],
+            "--output",
+            str(tmp_path / "kg"),
+            "--until",
+            "triples",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stage triples: written" in out

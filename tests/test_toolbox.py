@@ -1,0 +1,158 @@
+"""Training-data toolbox: dedup, similarity, text analysis, multimodal."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators import dedup as D
+from graphrag_litex_spark.operators import similarity as S
+from graphrag_litex_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog", "en"),
+        (2, "The quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the QUICK brown fox, jumps over the lazy dog!!", "en"),  # normalized dup
+        (4, "A completely different document about spark pipelines", "en"),
+        (5, "The quick brown fox jumps over the lazy cat", "en"),  # near dup of 1
+        (6, "und das ist ein anderes dokument mit der sprache", "de"),
+        (7, "tiny", "en"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_normalized_duplicates(docs):
+    groups = D.normalized_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_docs"] == 3 and g["representative_id"] == 1
+
+
+def test_shingle_rows_match_word_shingles(docs, spark):
+    """Row formulation == array formulation (same distinct shingle sets)."""
+    via_rows = {
+        (r["id"], r["s"]) for r in D.shingle_rows(docs, "doc_id", "text", 3).collect()
+    }
+    via_arrays = set()
+    for r in docs.select(
+        F.col("doc_id").alias("id"), D.word_shingles("text", 3).alias("sh")
+    ).collect():
+        for s in r["sh"]:
+            via_arrays.add((r["id"], s))
+    assert via_rows == via_arrays
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.2, block_col="lang").collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert pairs[(1, 3)] == 1.0  # normalization collapses case/punct
+    assert (1, 5) in pairs and pairs[(1, 5)] < 1.0  # near dup
+    assert all(a != 6 and b != 6 for a, b in pairs)  # different lang block
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in D.minhash_lsh_candidates(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_duplicates(docs):
+    groups = D.simhash_duplicates(docs).collect()
+    ids = {tuple(g["doc_ids"]) for g in groups}
+    assert (1, 2, 3) in ids  # identical after normalization => same signature
+
+
+def test_cosine_and_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    top = S.brute_force_topk(df.where(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 4]
+    assert abs(top[0]["cosine"] - 0.9 / math.sqrt(0.82)) < 1e-6
+
+
+def test_knn_join(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = S.knn_join(df.where(F.col("vec_id") < 2), df, k=2).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r["left_id"], []).append(r["right_id"])
+    assert len(by_left[0]) == 2 and len(by_left[1]) == 2
+    assert 0 not in by_left[0]  # self excluded
+
+
+def test_lsh_topk_subset_of_brute(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = rows[0][1]
+    approx = S.lsh_bucketed_topk(df.where(F.col("vec_id") != 0), q, k=5, planes=2).collect()
+    brute = {
+        r["vec_id"]: r["cosine"]
+        for r in S.brute_force_topk(df.where(F.col("vec_id") != 0), q, k=200).collect()
+    }
+    # Approx scores must agree with brute-force scores for the same ids.
+    for r in approx:
+        assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-6
+
+
+def test_language_id(docs):
+    preds = {r["doc_id"]: r["lang_pred"] for r in TA.language_id(docs).collect()}
+    assert preds[1] == "en"
+    assert preds[6] == "de"
+    assert preds[7] == "und"  # no stopwords
+
+
+def test_quality_features(docs):
+    feats = {r["doc_id"]: r for r in TA.quality_features(docs).collect()}
+    f1 = feats[1]
+    assert f1["n_tokens"] == 9
+    assert 0 <= f1["quality_score"] <= 1
+    assert feats[3]["punct_ratio"] > 0
+    assert feats[7]["n_tokens"] == 1
+
+
+def test_fingerprint_normalization(docs):
+    fp = {r["doc_id"]: r for r in TA.fingerprint(docs).collect()}
+    assert fp[1]["fp_raw"] != fp[3]["fp_raw"]
+    assert fp[1]["fp_norm"] == fp[3]["fp_norm"]
+
+
+def test_multimodal_plumbing(docs):
+    from graphrag_litex_spark.operators.multimodal import docs_as_media, extract_features
+
+    feats = {r["media_id"]: r for r in extract_features(docs_as_media(docs)).collect()}
+    assert feats["7"]["n_bytes"] == 4
+    assert len(feats["1"]["byte_histogram"]) == 16
+    assert sum(feats["1"]["byte_histogram"]) == feats["1"]["n_bytes"]
+    assert feats["1"]["byte_mean"] > 0
+
+
+def test_multimodal_stub_flag(docs):
+    from graphrag_litex_spark.operators.multimodal import docs_as_media, extract_features
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(docs_as_media(docs), decode_stub=False).collect()
