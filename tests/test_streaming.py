@@ -1,0 +1,61 @@
+"""Structured Streaming incremental ingest (streaming/incremental.py)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark, corpus_sf0001, tmp_path_factory):
+    """Split the sf0.001 corpus into two 'arriving' parquet files."""
+    d = tmp_path_factory.mktemp("arrivals")
+    t = pq.read_table(corpus_sf0001["transcripts"])
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "batch_0.parquet"))
+    return str(d), t, half
+
+
+def test_incremental_extraction_appends(spark, split_corpus, tmp_path_factory):
+    from graphrag_litex_spark.streaming.incremental import stream_extract
+
+    input_dir, t, half = split_corpus
+    out = str(tmp_path_factory.mktemp("stream_out"))
+
+    q = stream_extract(spark, input_dir, out, trigger_once=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(os.path.join(out, "mentions_delta")).count()
+    assert n1 > 0
+
+    # Second file arrives; availableNow trigger processes only the new file.
+    pq.write_table(t.slice(half), os.path.join(input_dir, "batch_1.parquet"))
+    q2 = stream_extract(spark, input_dir, out, trigger_once=True)
+    q2.awaitTermination(120)
+    mentions = spark.read.parquet(os.path.join(out, "mentions_delta"))
+    n2 = mentions.count()
+    assert n2 > n1
+
+    # The union of streamed deltas equals the batch pipeline's mentions.
+    from graphrag_litex_spark.operators.extraction import explode_mentions, extract_chunks
+
+    batch = extract_chunks(
+        spark.read.parquet(input_dir).select(
+            "conv_id", "turn_idx", "text",
+            F.concat_ws("_", "conv_id", "turn_idx").alias("chunk_id"),
+        )
+    ).drop("text")
+    want = explode_mentions(batch).count()
+    assert n2 == want
+
+
+def test_windowed_turn_activity_batch_semantics(spark, corpus_sf0001):
+    from graphrag_litex_spark.streaming.incremental import windowed_turn_activity
+
+    tr = spark.read.parquet(corpus_sf0001["transcripts"])
+    out = windowed_turn_activity(tr).collect()
+    assert len(out) > 0
+    total = sum(r["n_turns"] for r in out)
+    # Sliding windows (10m window, 5m slide) double-count each turn ~2x.
+    assert total == 2 * tr.count()
+    assert all(r["window_end"] > r["window_start"] for r in out)
