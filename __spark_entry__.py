@@ -403,7 +403,7 @@ def oracle_sql() -> dict[str, str]:
     mentions = _gold(sf, "golden_mentions")
     canon = _gold(sf, "golden_canon_map")
     claims = _gold(sf, "golden_claims")
-    transcripts = _gold(sf, "transcripts")
+    transcripts = _gold(sf, "transcripts") + "/*.parquet"  # multi-file table dir
     norm_ename = _DDB_NORM.format(col="c.ename")
 
     pred_key = "lpad(cast(length(pred) as varchar), 6, '0') || pred"

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 4
+GEN_VERSION = 5
 GLOBAL_SEED = 42
 
 ORGS = [
@@ -251,7 +251,7 @@ def ensure_corpus(sf: float, base_dir: str | None = None) -> dict[str, str]:
     manifest_path = os.path.join(out, "_manifest.json")
     paths = {
         "dir": out,
-        "transcripts": os.path.join(out, "transcripts.parquet"),
+        "transcripts": os.path.join(out, "transcripts"),  # parquet directory
         "golden_raw_triples": os.path.join(out, "golden_raw_triples.parquet"),
         "golden_mentions": os.path.join(out, "golden_mentions.parquet"),
         "golden_triples": os.path.join(out, "golden_triples.parquet"),
@@ -267,7 +267,20 @@ def ensure_corpus(sf: float, base_dir: str | None = None) -> dict[str, str]:
 
     os.makedirs(out, exist_ok=True)
     table = generate_transcripts(sf)
-    pq.write_table(table, paths["transcripts"])
+    # Write the transcripts as a MULTI-FILE directory (like any real
+    # Iceberg/warehouse table): a single parquet file is a single Spark
+    # input split, which would force a corpus-wide repartition shuffle in
+    # front of extraction. ~100k rows per file.
+    tdir = paths["transcripts"]
+    if os.path.exists(tdir) and not os.path.isdir(tdir):
+        os.remove(tdir)
+    os.makedirs(tdir, exist_ok=True)
+    n_files = max(1, min(256, table.num_rows // 100_000))
+    step = (table.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        pq.write_table(
+            table.slice(i * step, step), os.path.join(tdir, f"part-{i:05d}.parquet")
+        )
 
     # Golden oracle outputs (single-process, pure Python — see oracle.py).
     from graphrag_litex_spark import oracle

@@ -85,11 +85,12 @@ def merge_nodes(
             # globally disjoint — exact distinct count by summing bucket set
             # sizes, and flatten needs NO final distinct (an array_distinct
             # over struct arrays is O(n²) and dominated the whole pipeline
-            # on hot entities before this was removed).
+            # on hot entities before this was removed). The stored sample is
+            # capped WITHOUT sorting: array_sort over 100k+-element struct
+            # arrays for hot keys tripled the stage cost; instances are set
+            # semantics, sample order unspecified (counts stay exact).
             F.sum(F.size("instances")).alias("n_instances"),
-            cap(F.array_sort(F.flatten(F.collect_list(cap(F.array_sort("instances")))))).alias(
-                "instances"
-            ),
+            cap(F.flatten(F.collect_list(cap(F.col("instances"))))).alias("instances"),
             F.sum("n_mentions").alias("n_mentions"),
         )
     else:
@@ -148,12 +149,10 @@ def merge_edges(
         final = partial.groupBy("src_id", "dst_id", "src", "dst").agg(
             F.max_by("pred", _desc_key("pred")).alias("pred"),
             (F.sum("_s_sum") / F.sum("_s_cnt")).alias("strength"),
-            # disjoint-by-salt: exact distinct count + no final distinct
-            # needed (see merge_nodes).
+            # disjoint-by-salt: exact distinct count + no final distinct or
+            # sort needed (see merge_nodes).
             F.sum(F.size("instances")).alias("n_instances"),
-            cap(F.array_sort(F.flatten(F.collect_list(cap(F.array_sort("instances")))))).alias(
-                "instances"
-            ),
+            cap(F.flatten(F.collect_list(cap(F.col("instances"))))).alias("instances"),
             F.sum("_s_cnt").alias("n_obs"),
         )
     else:

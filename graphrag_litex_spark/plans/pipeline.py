@@ -49,7 +49,7 @@ from graphrag_litex_spark.operators.extraction import (
 from graphrag_litex_spark.operators.linking import candidate_pairs, distinct_norm_names
 from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 
-PIPELINE_VERSION = 6
+PIPELINE_VERSION = 7
 
 
 def _parquet_rows(path: str) -> int:
@@ -174,34 +174,29 @@ class KGPipeline:
         manifest = self._load_manifest()
         mat = lambda name, build: self._materialize(name, build, manifest, fp, resume)  # noqa: E731
         results: dict[str, DataFrame] = {}
-
-        def done(name: str) -> bool:
-            results_has = name in results
-            if until and self.STAGES.index(name) > self.STAGES.index(until):
-                return True
-            return results_has
-
         transcripts = self.spark.read.parquet(self.transcripts_path)
 
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).
         # Turn text is carried through UNMODIFIED (per-turn text equality
-        # invariant, BASELINE input_hint). Repartition by hash(conv_id) so
-        # downstream extraction parallelism never depends on the source's
-        # file layout (a single small parquet file would otherwise pin the
-        # whole hot path to one task; SURVEY.md §4 partitioning note).
+        # invariant, BASELINE input_hint). A trivial projection — kept as a
+        # VIEW (materializing it re-wrote the whole corpus once for nothing).
+        # Repartition ONLY when the source's file layout under-parallelizes
+        # the hot path (a well-partitioned warehouse table needs no shuffle
+        # here; a single small parquet file would otherwise pin extraction
+        # to one task; SURVEY.md §4).
         n_part = max(self.spark.sparkContext.defaultParallelism * 2, 8)
-        results["chunks"] = mat(
-            "chunks",
-            lambda: transcripts.repartition(n_part, "conv_id").select(
-                "conv_id",
-                "turn_idx",
-                "role",
-                "text",
-                "tool",
-                "ts",
-                F.concat_ws("_", "conv_id", "turn_idx").alias("chunk_id"),
-            ),
+        src = transcripts
+        if transcripts.rdd.getNumPartitions() < n_part // 2:
+            src = transcripts.repartition(n_part, "conv_id")
+        results["chunks"] = src.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            "ts",
+            F.concat_ws("_", "conv_id", "turn_idx").alias("chunk_id"),
         )
         if until == "chunks":
             return results
@@ -220,8 +215,15 @@ class KGPipeline:
                 F.when(F.col("kind") == "e", norm_name_col("name")),
             ),
         )
+        # NOT cached: five downstream stages each scan it once; zstd-decoding
+        # 334MB beats building a multi-GB deserialized cache (measured: the
+        # cache build tripled the first consumer's time and added GC churn).
         if until == "extractions":
             return results
+
+        # Hot-key stragglers bound the merge stages' reduce time: scale the
+        # salt so a hot entity's largest bucket shrinks with the cluster.
+        salt_buckets = max(cfg.salt_buckets, self.spark.sparkContext.defaultParallelism * 2)
 
         # S3/S4 + raw claims: pushdown-filtered VIEWS over the item table —
         # materializing them again would re-write the corpus-sized
@@ -261,7 +263,7 @@ class KGPipeline:
             lambda: merge_ops.merge_nodes(
                 results["mentions"].join(canon, "norm_name"),
                 salted=cfg.salted,
-                salt_buckets=cfg.salt_buckets,
+                salt_buckets=salt_buckets,
                 max_instances=cfg.max_instances,
             ),
         )
@@ -311,7 +313,7 @@ class KGPipeline:
                 canon_edges(),
                 min_strength=cfg.min_strength,
                 salted=cfg.salted,
-                salt_buckets=cfg.salt_buckets,
+                salt_buckets=salt_buckets,
                 max_instances=cfg.max_instances,
             ),
         )

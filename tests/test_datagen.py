@@ -14,7 +14,11 @@ def test_conversation_generation_is_pure():
 
 
 def test_schema_matches_input_hint(corpus_sf0001):
-    schema = pq.read_schema(corpus_sf0001["transcripts"])
+    import glob
+    import os
+
+    first = sorted(glob.glob(os.path.join(corpus_sf0001["transcripts"], "*.parquet")))[0]
+    schema = pq.read_schema(first)
     fields = {f.name: str(f.type) for f in schema}
     assert fields == {
         "conv_id": "string",

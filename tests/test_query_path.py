@@ -98,3 +98,17 @@ def test_cli_build_graph(spark, corpus_sf0001, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "stage triples: written" in out
+
+
+def test_sql_views(spark, corpus_sf0001, tmp_path):
+    from graphrag_litex_spark.plans.pipeline import run_pipeline
+    from graphrag_litex_spark.sql import register_graph_views
+
+    res = run_pipeline(spark, corpus_sf0001["transcripts"], str(tmp_path / "kg"),
+                       resume=True, until="triples")
+    names = register_graph_views(spark, res)
+    assert "kg_triples" in names
+    rows = spark.sql(
+        "SELECT subj, count(*) AS n FROM kg_triples GROUP BY subj ORDER BY n DESC LIMIT 3"
+    ).collect()
+    assert len(rows) == 3 and rows[0]["n"] >= rows[-1]["n"]
