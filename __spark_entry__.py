@@ -193,14 +193,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- relational operator breadth (TPC-H-ish testdata) ----
 
+    # Money aggregates as exact integer cents: floor(x*100 + 0.5) computes the
+    # IDENTICAL double -> integer in Spark and DuckDB (decimal casts differ:
+    # Spark rounds HALF_UP, DuckDB half-even), so integer sums hash-match.
     def agg_pricing_summary(spark, sf_dir):
         li = spark.read.parquet(_t(sf_dir, "lineitem"))
         return li.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum(F.col("l_quantity").cast("decimal(28,4)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(28,4)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")).alias(
+                "sum_base_price_cents"
+            ),
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
-            ).alias("sum_disc_price"),
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+                ).cast("bigint")
+            ).alias("sum_disc_price_cents"),
             F.count(F.lit(1)).alias("count_order"),
         )
 
@@ -212,7 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("c_nationkey")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("total_price"),
+                F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+                    "total_price_cents"
+                ),
             )
         )
 
@@ -298,7 +307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("n_tokens").cast("long").alias("total_tokens"),
-                F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+                # integer-exact mean: floor(total*1e6/n) is the same double ->
+                # bigint in Spark and DuckDB (no float-format divergence)
+                F.floor(
+                    F.sum("n_tokens").cast("double") * 1000000.0 / F.count(F.lit(1))
+                ).cast("long").alias("avg_tokens_x1e6"),
             )
         )
 
@@ -339,7 +352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from graphrag_litex_spark.operators.dedup import simhash_duplicates
 
         d = spark.read.parquet(_t(sf_dir, "documents"))
-        return simhash_duplicates(d)
+        # scalar projection only: the driver's row canonicalizer can't sort
+        # array columns (round-1 crash), same shape as dedup_exact
+        return simhash_duplicates(d).select(
+            "simhash",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.array_min("doc_ids").alias("representative_id"),
+        )
 
     def dedup_ngram_jaccard(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import ngram_jaccard_pairs
@@ -405,6 +424,14 @@ def oracle_sql() -> dict[str, str]:
     claims = _gold(sf, "golden_claims")
     transcripts = _gold(sf, "transcripts") + "/*.parquet"  # multi-file table dir
     norm_ename = _DDB_NORM.format(col="c.ename")
+
+    # Pure-Python goldens for the LSH family over the driver testdata tables
+    # (xxhash64 replicated bit-for-bit in functions/xxh64.py; cached on disk).
+    from graphrag_litex_spark.oracle_docops import ensure_docops_goldens
+
+    docops = ensure_docops_goldens(
+        "/root/testdata/sf0.01", os.path.join(REPO, "data", "gen", "docops_sf0.01")
+    )
 
     pred_key = "lpad(cast(length(pred) as varchar), 6, '0') || pred"
     return {
@@ -477,16 +504,16 @@ def oracle_sql() -> dict[str, str]:
         # ---- relational breadth ----
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(cast(l_quantity AS decimal(28,4))) AS sum_qty,
-                   sum(cast(l_extendedprice AS decimal(28,4))) AS sum_base_price,
-                   sum(cast(l_extendedprice * (1 - l_discount) AS decimal(28,4))) AS sum_disc_price,
+                   cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+                   cast(sum(cast(floor(l_extendedprice * 100 + 0.5) AS bigint)) AS bigint) AS sum_base_price_cents,
+                   cast(sum(cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS bigint)) AS bigint) AS sum_disc_price_cents,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
         """,
         "join_customer_orders": """
             SELECT c_nationkey, count(*) AS n_orders,
-                   sum(cast(o_totalprice AS decimal(28,4))) AS total_price
+                   cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint)) AS bigint) AS total_price_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
         """,
@@ -543,8 +570,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT lang, count(*) AS n_docs,
-                   sum(n_tokens) AS total_tokens,
-                   round(avg(n_tokens), 6) AS avg_tokens
+                   cast(sum(n_tokens) AS bigint) AS total_tokens,
+                   cast(floor(cast(sum(n_tokens) AS double) * 1000000.0 / count(*)) AS bigint) AS avg_tokens_x1e6
             FROM toks GROUP BY lang
         """,
         "multimodal_features": """
@@ -641,6 +668,18 @@ def oracle_sql() -> dict[str, str]:
                      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
                  )
             SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+        """,
+        "dedup_simhash": f"""
+            SELECT simhash, n_docs, representative_id
+            FROM read_parquet('{docops["golden_simhash"]}')
+        """,
+        "dedup_minhash_lsh": f"""
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('{docops["golden_minhash_lsh"]}')
+        """,
+        "ann_lsh_topk": f"""
+            SELECT vec_id, cosine
+            FROM read_parquet('{docops["golden_ann_lsh_topk"]}')
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS (

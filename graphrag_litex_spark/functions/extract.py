@@ -91,6 +91,18 @@ _TOKEN = re.compile(r"[A-Za-z0-9À-ÖØ-öø-ÿ'&-]+")
 _WS = re.compile(r"\s+")
 _NON_ALNUM_LOWER = re.compile(r"[^a-z0-9]+")
 
+# Fast path: one regex finds each maximal run of capitalized tokens directly.
+# A token is capitalized iff its first char is uppercase; within the token
+# alphabet [A-Za-z0-9À-ÖØ-öø-ÿ'&-] the uppercase members are exactly
+# [A-ZÀ-ÖØ-Þ] (Latin-1: C0-D6 and D8-DE are upper; ß and E0-FF are lower),
+# so this match is PROVABLY identical to the token-loop run grouping for
+# every input — asserted against the loop implementation in
+# tests/test_extractor.py over the corpus + adversarial strings.
+_CAP_TOK = r"[A-ZÀ-ÖØ-Þ][A-Za-z0-9À-ÖØ-öø-ÿ'&-]*"
+_RUN = re.compile(
+    rf"(?<![A-Za-z0-9À-ÖØ-öø-ÿ'&-]){_CAP_TOK}(?:[^A-Za-z0-9À-ÖØ-öø-ÿ'&-]+{_CAP_TOK})*"
+)
+
 MAX_DESCRIPTION_LEN = 200
 
 
@@ -117,6 +129,96 @@ def _between_pred(text: str) -> str:
     return _NON_ALNUM_LOWER.sub(" ", text.lower()).strip()
 
 
+# Memo caches for the hot path: mention surfaces and between-texts are
+# Zipf-distributed in real corpora, so both hit constantly. Pure-function
+# memoization only (same key -> same value); bounded so adversarial input
+# can't grow them without limit (workers are long-lived under reuse).
+_MEMO_CAP = 262_144
+_type_memo: dict[str, str] = {}
+_pred_memo: dict[str, tuple[str, float] | None] = {}
+_tail_memo: dict[str, bool] = {}
+
+
+def _surface_type(surface: str) -> str:
+    t = _type_memo.get(surface)
+    if t is None:
+        if len(_type_memo) >= _MEMO_CAP:
+            _type_memo.clear()
+        t = _type_memo[surface] = _entity_type(_TOKEN.findall(surface))
+    return t
+
+
+def _pred_strength(between: str) -> tuple[str, float] | None:
+    """(normalized predicate, strength) if the inter-mention text is a known
+    predicate, else None — memoized on the RAW between-text."""
+    hit = _pred_memo.get(between, 0)  # 0 sentinel: absent (None is a value)
+    if hit != 0:  # cached tuple or cached None
+        return hit
+    pred = _between_pred(between)
+    strength = PREDICATES.get(pred)
+    val = (pred, strength) if strength is not None else None
+    if len(_pred_memo) >= _MEMO_CAP:
+        _pred_memo.clear()
+    _pred_memo[between] = val
+    return val
+
+
+def _is_claim_tail(raw_tail: str) -> bool:
+    hit = _tail_memo.get(raw_tail)
+    if hit is None:
+        if len(_tail_memo) >= _MEMO_CAP:
+            _tail_memo.clear()
+        hit = _tail_memo[raw_tail] = _between_pred(raw_tail) in CLAIM_TAILS
+    return hit
+
+
+def extract_turn_flat(text: str) -> tuple[list, list, list] | None:
+    """Hot-path extraction as flat tuples (no per-item dicts):
+
+    -> (entities [(name, type, description)...],
+        relationships [(source, target, pred, strength)...],
+        claims [(content, sorted entity names)...]) or None when empty.
+
+    Semantically identical to :func:`extract_turn` (which wraps this);
+    equivalence vs the token-loop reference implementation is asserted in
+    tests/test_extractor.py.
+    """
+    if not text:
+        return None
+    entities: list[tuple] = []
+    relationships: list[tuple] = []
+    claims: list[tuple] = []
+
+    for raw_sentence in _SENT_SPLIT.split(text):
+        sentence = _WS.sub(" ", raw_sentence).strip()
+        if not sentence:
+            continue
+
+        ms = list(_RUN.finditer(sentence))
+        if not ms:
+            continue
+
+        desc = sentence[:MAX_DESCRIPTION_LEN]
+        for m in ms:
+            surface = m.group(0)
+            entities.append((surface, _surface_type(surface), desc))
+
+        # Relationships: adjacent mention pairs whose inter-text is a known
+        # predicate (same-sentence => same-chunk, SURVEY Q7).
+        for m1, m2 in zip(ms, ms[1:]):
+            ps = _pred_strength(sentence[m1.end() : m2.start()])
+            if ps is not None:
+                relationships.append((m1.group(0), m2.group(0), ps[0], ps[1]))
+
+        # Claims: sentence tail after the last mention matches a claim tail.
+        if _is_claim_tail(sentence[ms[-1].end() :]):
+            claims.append((sentence, sorted({m.group(0) for m in ms})))
+
+    if not (entities or relationships or claims):
+        return None
+    return entities, relationships, claims
+
+
 def extract_turn(text: str) -> dict:
     """Extract entities, relationships and claims from one turn's text.
 
@@ -124,8 +226,26 @@ def extract_turn(text: str) -> dict:
     "relationships": [{"source","target","description","strength"}...],
     "claims": [{"content","entities": [...]}...]}`` — the reference's
     extraction shape (simple_entity_extractor.py:156-163,
-    simple_claim_extractor.py:171-207).
+    simple_claim_extractor.py:171-207). Thin dict-shaped wrapper over
+    :func:`extract_turn_flat` (the Arrow hot path uses the flat form).
     """
+    flat = extract_turn_flat(text)
+    if flat is None:
+        return {"entities": [], "relationships": [], "claims": []}
+    ents, rels, clms = flat
+    return {
+        "entities": [{"name": n, "type": t, "description": d} for n, t, d in ents],
+        "relationships": [
+            {"source": s, "target": o, "description": p, "strength": st}
+            for s, o, p, st in rels
+        ],
+        "claims": [{"content": c, "entities": e} for c, e in clms],
+    }
+
+
+def _extract_turn_ref(text: str) -> dict:
+    """Token-loop formulation of :func:`extract_turn` — the original
+    definition, kept as the equivalence-test reference implementation."""
     entities: list[dict] = []
     relationships: list[dict] = []
     claims: list[dict] = []
@@ -164,8 +284,6 @@ def extract_turn(text: str) -> dict:
                 }
             )
 
-        # Relationships: adjacent mention pairs whose inter-text is a known
-        # predicate (same-sentence => same-chunk, SURVEY Q7).
         for (s1, _t1, _a1, e1), (s2, _t2, a2, _e2) in zip(mentions, mentions[1:]):
             pred = _between_pred(sentence[e1:a2])
             strength = PREDICATES.get(pred)
@@ -179,7 +297,6 @@ def extract_turn(text: str) -> dict:
                     }
                 )
 
-        # Claims: sentence tail after the last mention matches a claim tail.
         tail = _between_pred(sentence[mentions[-1][3] :])
         if tail in CLAIM_TAILS:
             claims.append(

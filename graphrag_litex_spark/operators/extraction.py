@@ -111,47 +111,75 @@ def extract_chunks(chunks: DataFrame, extractor: Callable[[str], dict] | None = 
 # time per row (measured: 84k rows/s/core raw extractor vs ~10k through the
 # nested UDF). The pipeline hot path uses this; the nested UDF remains as
 # the reference-shaped API.
+#
+# The schema is deliberately NARROW (8 cols, kind-overloaded f1/f2/f3):
+# the item stream is ~4x the row count of the corpus, so every byte shipped
+# through the Arrow socket is paid 4x. chunk_id is NOT shipped through
+# Python — it is a pure function of (source_id, turn_idx) reattached as a
+# Catalyst expression (items_* views below); measured ~800MB less socket
+# traffic at sf10.
+#   kind 'e': f1=name,   f2=type,   f3=description
+#   kind 'r': f1=source, f2=target, f3=pred, strength
+#   kind 'c': f3=content, entity_names
 ITEM_SCHEMA = T.StructType(
     [
         T.StructField("source_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("chunk_id", T.StringType()),
         T.StructField("kind", T.StringType()),  # 'e' | 'r' | 'c'
-        T.StructField("name", T.StringType()),
-        T.StructField("type", T.StringType()),
-        T.StructField("description", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("target", T.StringType()),
-        T.StructField("pred", T.StringType()),
+        T.StructField("f1", T.StringType()),
+        T.StructField("f2", T.StringType()),
+        T.StructField("f3", T.StringType()),
         T.StructField("strength", T.DoubleType()),
-        T.StructField("content", T.StringType()),
         T.StructField("entity_names", T.ArrayType(T.StringType())),
     ]
 )
 
-_ITEM_COLS = [f.name for f in ITEM_SCHEMA]
+
+def chunk_id_col(source_col: str = "source_id", turn_col: str = "turn_idx") -> F.Column:
+    """chunk_id = '<conv>_<turn>' (deterministic ids, reference
+    extraction/text_chunker.py:92,107) as a Catalyst expression."""
+    return F.concat_ws("_", F.col(source_col), F.col(turn_col))
 
 
 def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = None) -> DataFrame:
     """Arrow-batched flat extraction: chunks -> one row per extracted item.
 
-    mentions   = kind 'e' (name/type/description)
-    raw_edges  = kind 'r' (source/target/pred/strength)
-    raw_claims = kind 'c' (content/entity_names)
+    Builds output COLUMNARLY (one Python list per column, dict-of-lists
+    pandas construction — no per-row tuple transpose) from the flat-tuple
+    extractor; per-row failures produce no items rather than task failures.
     """
     if extractor is None:
-        from graphrag_litex_spark.functions.extract import extract_turn as _ex
+        from graphrag_litex_spark.functions.extract import extract_turn_flat as _ex_flat
+
+        def _ex(x):
+            return _ex_flat(x)
     else:
-        _ex = extractor
+        def _ex(x):
+            res = extractor(x)
+            if not res:
+                return None
+            return (
+                [(e["name"], e["type"], e["description"]) for e in res["entities"]],
+                [
+                    (r["source"], r["target"], r["description"], float(r["strength"]))
+                    for r in res["relationships"]
+                ],
+                [(c["content"], list(c["entities"])) for c in res["claims"]],
+            )
 
     import pandas as pd  # noqa: F811 — inside-closure import for executors
 
     def batches(it):
         for pdf in it:
-            rows: list[tuple] = []
-            for c, t, ch, x in zip(
-                pdf["conv_id"], pdf["turn_idx"], pdf["chunk_id"], pdf["text"]
-            ):
+            sid: list = []
+            tix: list = []
+            kind: list = []
+            f1: list = []
+            f2: list = []
+            f3: list = []
+            stg: list = []
+            enames: list = []
+            for c, t, x in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
                 try:
                     res = _ex(x) if x else None
                 except Exception:
@@ -159,45 +187,68 @@ def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = N
                 if not res:
                     continue
                 t = int(t)
-                for e in res["entities"]:
-                    rows.append(
-                        (c, t, ch, "e", e["name"], e["type"], e["description"],
-                         None, None, None, None, None, None)
-                    )
-                for r in res["relationships"]:
-                    rows.append(
-                        (c, t, ch, "r", None, None, None,
-                         r["source"], r["target"], r["description"],
-                         float(r["strength"]), None, None)
-                    )
-                for cl in res["claims"]:
-                    rows.append(
-                        (c, t, ch, "c", None, None, None,
-                         None, None, None, None, cl["content"], cl["entities"])
-                    )
-            yield pd.DataFrame(rows, columns=_ITEM_COLS)
+                ents, rels, clms = res
+                for name, typ, desc in ents:
+                    sid.append(c); tix.append(t); kind.append("e")
+                    f1.append(name); f2.append(typ); f3.append(desc)
+                    stg.append(None); enames.append(None)
+                for s, o, p, st in rels:
+                    sid.append(c); tix.append(t); kind.append("r")
+                    f1.append(s); f2.append(o); f3.append(p)
+                    stg.append(st); enames.append(None)
+                for content, names in clms:
+                    sid.append(c); tix.append(t); kind.append("c")
+                    f1.append(None); f2.append(None); f3.append(content)
+                    stg.append(None); enames.append(names)
+            yield pd.DataFrame(
+                {
+                    "source_id": sid,
+                    "turn_idx": tix,
+                    "kind": kind,
+                    "f1": f1,
+                    "f2": f2,
+                    "f3": f3,
+                    "strength": stg,
+                    "entity_names": enames,
+                }
+            )
 
-    return chunks.mapInPandas(batches, ITEM_SCHEMA)
+    return chunks.select("conv_id", "turn_idx", "text").mapInPandas(batches, ITEM_SCHEMA)
 
 
 def items_mentions(items: DataFrame) -> DataFrame:
     """S3 mentions from the flat item stream."""
     return items.where(F.col("kind") == "e").select(
-        "source_id", "chunk_id", "turn_idx", "name", "type", "description"
+        "source_id",
+        chunk_id_col().alias("chunk_id"),
+        "turn_idx",
+        F.col("f1").alias("name"),
+        F.col("f2").alias("type"),
+        F.col("f3").alias("description"),
     )
 
 
 def items_raw_edges(items: DataFrame) -> DataFrame:
     """S4 raw_edges from the flat item stream."""
     return items.where(F.col("kind") == "r").select(
-        "source_id", "chunk_id", "turn_idx", "source", "target", "pred", "strength"
+        "source_id",
+        chunk_id_col().alias("chunk_id"),
+        "turn_idx",
+        F.col("f1").alias("source"),
+        F.col("f2").alias("target"),
+        F.col("f3").alias("pred"),
+        "strength",
     )
 
 
 def items_raw_claims(items: DataFrame) -> DataFrame:
     """Raw claims from the flat item stream."""
     return items.where(F.col("kind") == "c").select(
-        "source_id", "chunk_id", "turn_idx", "content", "entity_names"
+        "source_id",
+        chunk_id_col().alias("chunk_id"),
+        "turn_idx",
+        F.col("f3").alias("content"),
+        "entity_names",
     )
 
 

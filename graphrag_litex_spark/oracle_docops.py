@@ -1,0 +1,269 @@
+"""Single-process golden oracle for the non-SQL-expressible document/
+embedding operators (SimHash, MinHash+LSH, hyperplane-LSH ANN).
+
+Same stance as oracle.py for the KG pipeline: a pure-Python sequential
+implementation of the SAME deterministic algorithms (hashes via the
+pure-Python XXH64 in functions/xxh64.py, which is unit-tested to agree
+bit-for-bit with Spark's ``F.xxhash64``), producing golden parquet that the
+DuckDB oracle reads with ``read_parquet`` — turning the round-1 ``no_oracle``
+rows into real differential checks of the distributed plans.
+
+Float semantics: Python floats are IEEE doubles like the JVM's, and every
+fold here replicates the exact evaluation order of the corresponding column
+expression (``F.aggregate`` folds left-to-right), so cosines/projections
+agree bit-for-bit; rounding uses HALF_UP via decimal to match ``F.round``.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from graphrag_litex_spark.functions.xxh64 import (
+    xxhash64_int,
+    xxhash64_str,
+    xxhash64_str_int,
+)
+
+_NORM_PUNCT = re.compile(r"[^a-z0-9 ]+")
+_NORM_WS = re.compile(r"\s+")
+
+
+def norm_text(text: str) -> str:
+    """Python equivalent of operators.dedup.norm_text_col."""
+    return _NORM_WS.sub(" ", _NORM_PUNCT.sub(" ", (text or "").lower())).strip()
+
+
+def round_half_up(x: float, digits: int = 6) -> float:
+    """F.round semantics: BigDecimal HALF_UP on the double's exact value."""
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
+# ---- simhash (operators/dedup.py simhash_signatures/simhash_duplicates) ----
+
+
+_tok_hash_memo: dict[str, int] = {}
+
+
+def simhash_signature(text: str, bits: int = 32) -> int:
+    toks = norm_text(text).split(" ")  # norm=='' -> [''] like F.split
+    n = len(toks)
+    counts = [0] * bits
+    for t in toks:
+        h = _tok_hash_memo.get(t)
+        if h is None:
+            h = _tok_hash_memo[t] = xxhash64_str(t) & 0xFFFFFFFFFFFFFFFF
+        for i in range(bits):
+            counts[i] += (h >> i) & 1
+    sig = 0
+    for i in range(bits):
+        if counts[i] * 2 > n:
+            sig |= 1 << i
+    return sig
+
+
+def simhash_duplicates_golden(doc_ids: list, texts: list, bits: int = 32) -> pa.Table:
+    groups: dict[int, list] = {}
+    for d, t in zip(doc_ids, texts):
+        groups.setdefault(simhash_signature(t, bits), []).append(d)
+    rows = [(s, len(ids), min(ids)) for s, ids in groups.items() if len(ids) > 1]
+    rows.sort()
+    return pa.table(
+        {
+            "simhash": pa.array([r[0] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "representative_id": pa.array([r[2] for r in rows]),
+        }
+    )
+
+
+# ---- minhash + LSH (operators/dedup.py minhash_lsh_candidates) ----
+
+
+def word_shingle_set(text: str, k: int = 3) -> set[str]:
+    """Python equivalent of shingle_rows: distinct k-word shingles; docs
+    shorter than k tokens contribute the whole normalized text."""
+    norm = norm_text(text)
+    toks = norm.split(" ")
+    if len(toks) < k:
+        return {norm}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_lsh_golden(
+    doc_ids: list,
+    texts: list,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+) -> pa.Table:
+    rows_per_band = num_hashes // bands
+    shingles: dict = {}
+    sigs: dict = {}
+    buckets: dict[tuple, list] = {}
+    for d, t in zip(doc_ids, texts):
+        sh = word_shingle_set(t, shingle_k)
+        shingles[d] = sh
+        sig = [min(xxhash64_str_int(s, i) for s in sh) for i in range(num_hashes)]
+        sigs[d] = sig
+        for b in range(bands):
+            key = ",".join(
+                str(sig[b * rows_per_band + r]) for r in range(rows_per_band)
+            )
+            buckets.setdefault((b, xxhash64_str(key)), []).append(d)
+    cand: set[tuple] = set()
+    for members in buckets.values():
+        members = sorted(set(members))
+        for i, a in enumerate(members):
+            for b_ in members[i + 1 :]:
+                cand.add((a, b_) if a < b_ else (b_, a))
+    out = []
+    for a, b_ in cand:
+        inter = len(shingles[a] & shingles[b_])
+        union = len(shingles[a] | shingles[b_])
+        j = 1.0 if union == 0 else inter / union
+        if j >= jaccard_threshold:
+            out.append((a, b_, round_half_up(j, 6)))
+    out.sort()
+    return pa.table(
+        {
+            "id_a": pa.array([r[0] for r in out]),
+            "id_b": pa.array([r[1] for r in out]),
+            "jaccard": pa.array([r[2] for r in out], pa.float64()),
+        }
+    )
+
+
+# ---- hyperplane-LSH ANN (operators/similarity.py lsh_bucketed_topk) ----
+
+
+def _dot_fold(vec: list[float], signs: list[float]) -> float:
+    """Left fold, exact order of F.aggregate(zip_with(...))."""
+    acc = 0.0
+    for x, s in zip(vec, signs):
+        acc = acc + x * s
+    return acc
+
+
+_signs_memo: dict[tuple[int, int], list[list[float]]] = {}
+
+
+def _plane_signs(dim: int, planes: int) -> list[list[float]]:
+    key = (dim, planes)
+    tbl = _signs_memo.get(key)
+    if tbl is None:
+        tbl = _signs_memo[key] = [
+            [1.0 if xxhash64_int(p * 10_007 + j) % 2 == 0 else -1.0 for j in range(dim)]
+            for p in range(planes)
+        ]
+    return tbl
+
+
+def hyperplane_sig(vec: list[float], dim: int, planes: int) -> int:
+    sig = 0
+    vd = [float(v) for v in vec]
+    for p, signs in enumerate(_plane_signs(dim, planes)):
+        if _dot_fold(vd, signs) > 0:
+            sig += 2**p
+    return sig
+
+
+def _cosine_fold(a: list[float], b: list[float]) -> float:
+    na = 0.0
+    for v in a:
+        na = na + v * v
+    nb = 0.0
+    for v in b:
+        nb = nb + v * v
+    denom = na**0.5 * nb**0.5
+    if denom == 0:
+        return 0.0
+    return _dot_fold(a, b) / denom
+
+
+def ann_lsh_topk_golden(
+    vec_ids: list,
+    vecs: list,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 4,
+) -> pa.Table:
+    dim = len(query_vec)
+    q = [float(v) for v in query_vec]
+    qsig = hyperplane_sig(q, dim, planes)
+    scored = []
+    for vid, v in zip(vec_ids, vecs):
+        vd = [float(x) for x in v]
+        if hyperplane_sig(vd, dim, planes) == qsig:
+            scored.append((vid, round_half_up(_cosine_fold(vd, q), 6)))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    scored = scored[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in scored]),
+            "cosine": pa.array([r[1] for r in scored], pa.float64()),
+        }
+    )
+
+
+# ---- driver: compute goldens for a testdata sf dir (cached on disk) ----
+
+DOCOPS_VERSION = 1
+
+
+def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
+    """Compute (once) golden parquet for dedup_simhash / dedup_minhash_lsh /
+    ann_lsh_topk over the driver testdata tables in ``sf_dir``."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {
+        "golden_simhash": os.path.join(out_dir, "golden_simhash.parquet"),
+        "golden_minhash_lsh": os.path.join(out_dir, "golden_minhash_lsh.parquet"),
+        "golden_ann_lsh_topk": os.path.join(out_dir, "golden_ann_lsh_topk.parquet"),
+    }
+    manifest = os.path.join(out_dir, "_docops_manifest.json")
+    docs_pq = os.path.join(sf_dir, "documents.parquet")
+    emb_pq = os.path.join(sf_dir, "embeddings.parquet")
+    want = {
+        "version": DOCOPS_VERSION,
+        "docs_mtime": os.stat(docs_pq).st_mtime_ns,
+        "emb_mtime": os.stat(emb_pq).st_mtime_ns,
+    }
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want and all(os.path.exists(p) for p in paths.values()):
+                return paths
+
+    docs = pq.read_table(docs_pq, columns=["doc_id", "text"])
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    pq.write_table(simhash_duplicates_golden(doc_ids, texts), paths["golden_simhash"])
+    pq.write_table(
+        minhash_lsh_golden(doc_ids, texts, jaccard_threshold=0.5),
+        paths["golden_minhash_lsh"],
+    )
+
+    emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
+    vids = emb.column("vec_id").to_pylist()
+    vecs = emb.column("embedding").to_pylist()
+    qvec = None
+    rest_ids, rest_vecs = [], []
+    for vid, v in zip(vids, vecs):
+        if vid == 0:
+            qvec = v
+        else:
+            rest_ids.append(vid)
+            rest_vecs.append(v)
+    pq.write_table(
+        ann_lsh_topk_golden(rest_ids, rest_vecs, list(qvec), k=10, planes=4),
+        paths["golden_ann_lsh_topk"],
+    )
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return paths

@@ -49,7 +49,7 @@ from graphrag_litex_spark.operators.extraction import (
 from graphrag_litex_spark.operators.linking import candidate_pairs, distinct_norm_names
 from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 
-PIPELINE_VERSION = 7
+PIPELINE_VERSION = 8
 
 
 def _parquet_rows(path: str) -> int:
@@ -209,10 +209,10 @@ class KGPipeline:
         results["extractions"] = mat(
             "extractions",
             lambda: extract_items(
-                results["chunks"].select("conv_id", "turn_idx", "chunk_id", "text")
+                results["chunks"].select("conv_id", "turn_idx", "text")
             ).withColumn(
                 "norm_name",
-                F.when(F.col("kind") == "e", norm_name_col("name")),
+                F.when(F.col("kind") == "e", norm_name_col("f1")),
             ),
         )
         # NOT cached: five downstream stages each scan it once; zstd-decoding
@@ -230,8 +230,16 @@ class KGPipeline:
         # intermediate 3x for no checkpoint benefit (the kind filter and
         # column pruning reach the parquet scan; shared-disk write bandwidth
         # was the scaling bottleneck).
+        from graphrag_litex_spark.operators.extraction import chunk_id_col
+
         results["mentions"] = results["extractions"].where(F.col("kind") == "e").select(
-            "source_id", "chunk_id", "turn_idx", "name", "type", "description", "norm_name"
+            "source_id",
+            chunk_id_col().alias("chunk_id"),
+            "turn_idx",
+            F.col("f1").alias("name"),
+            F.col("f2").alias("type"),
+            F.col("f3").alias("description"),
+            "norm_name",
         )
         results["raw_edges"] = items_raw_edges(results["extractions"])
         results["raw_claims"] = items_raw_claims(results["extractions"])
