@@ -341,6 +341,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return extract_features(docs_as_media(d)).select("media_id", "kind", "n_bytes")
 
+    def kg_chunks_windowed(spark, sf_dir):
+        """B1 full: sliding token windows over multi-window documents."""
+        from graphrag_litex_spark.operators.chunking import chunk_documents_windowed
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return chunk_documents_windowed(d, chunk_size=20, overlap=5)
+
+    def vector_rag_topk(spark, sf_dir):
+        """J5: VectorRAG baseline retrieval (chunk -> embed -> cosine top-k)."""
+        from jobs.vector_rag_baseline import embed_chunks, vector_rag_topk as _topk
+        from graphrag_litex_spark.operators.chunking import chunk_documents_windowed
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        emb = embed_chunks(chunk_documents_windowed(d, chunk_size=20, overlap=5))
+        return _topk(emb, "what is this corpus about", k=5).select("chunk_id", "cosine")
+
     # Rows-only scale paths (LSH internals aren't ANSI-SQL expressible):
     def dedup_minhash_lsh(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import minhash_lsh_candidates
@@ -402,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_join_sample,
         embedding_dup_pairs,
         multimodal_features,
+        kg_chunks_windowed,
+        vector_rag_topk,
         dedup_minhash_lsh,
         dedup_simhash,
         dedup_ngram_jaccard,
@@ -432,6 +450,11 @@ def oracle_sql() -> dict[str, str]:
     docops = ensure_docops_goldens(
         "/root/testdata/sf0.01", os.path.join(REPO, "data", "gen", "docops_sf0.01")
     )
+    # Pure-Python goldens for the community path (LPA + hierarchy + stats +
+    # summaries + query top-k), derived from the KG goldens (oracle_graph.py).
+    from graphrag_litex_spark.oracle_graph import ensure_graph_goldens
+
+    graph = ensure_graph_goldens(_CORPUS.setdefault(sf, datagen.ensure_corpus(sf)))
 
     pred_key = "lpad(cast(length(pred) as varchar), 6, '0') || pred"
     return {
@@ -468,11 +491,36 @@ def oracle_sql() -> dict[str, str]:
                 JOIN read_parquet('{canon}') cm
                   ON cm.norm_name = {norm_ename}
             )
-            SELECT c.content_key, count(*) AS n_obs, e.n_entities
-            FROM (SELECT lower(content) AS content_key FROM read_parquet('{claims}')) c
+            -- n_obs counts DISTINCT (chunk, raw content) pairs: the engine
+            -- pre-groups claims per (chunk, content) before the merge, so an
+            -- identical claim sentence repeated within one turn counts once,
+            -- while case-variant sentences in one turn count separately
+            SELECT c.content_key,
+                   count(DISTINCT c.obs_key) AS n_obs,
+                   e.n_entities
+            FROM (SELECT lower(content) AS content_key,
+                         conv_id || '_' || cast(turn_idx AS varchar)
+                           || chr(10) || content AS obs_key
+                  FROM read_parquet('{claims}')) c
             JOIN (SELECT content_key, count(DISTINCT eid) AS n_entities
                   FROM ents GROUP BY content_key) e USING (content_key)
             GROUP BY c.content_key, e.n_entities
+        """,
+        "kg_communities": f"""
+            SELECT level, community_id, parent, entity_id
+            FROM read_parquet('{graph["golden_communities"]}')
+        """,
+        "kg_community_stats": f"""
+            SELECT level, community_id, size, density, flow
+            FROM read_parquet('{graph["golden_community_stats"]}')
+        """,
+        "kg_summaries": f"""
+            SELECT level, community_id, title, rating, summary
+            FROM read_parquet('{graph["golden_summaries"]}')
+        """,
+        "kg_query_topk": f"""
+            SELECT level, community_id, title, score
+            FROM read_parquet('{graph["golden_query_topk"]}')
         """,
         "kg_chunks": f"""
             SELECT conv_id, turn_idx,
@@ -668,6 +716,29 @@ def oracle_sql() -> dict[str, str]:
                      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
                  )
             SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+        """,
+        "kg_chunks_windowed": """
+            WITH d AS (
+                SELECT cast(doc_id AS varchar) AS source_id,
+                       string_split(text, ' ') AS toks
+                FROM documents WHERE text IS NOT NULL AND text != ''
+            ), p AS (
+                SELECT source_id, toks, len(toks) AS n_tok,
+                       CASE WHEN len(toks) <= 20 THEN 1
+                            ELSE cast(ceil((len(toks) - 20) / 15.0) AS int) + 1
+                       END AS n_win
+                FROM d
+            ), w AS (
+                SELECT source_id, toks, n_tok, unnest(range(n_win)) AS i FROM p
+            )
+            SELECT source_id, cast(i AS int) AS n,
+                   source_id || '_' || cast(i AS varchar) AS chunk_id,
+                   array_to_string(toks[i*15+1 : least(i*15+20, n_tok)], ' ') AS text
+            FROM w
+        """,
+        "vector_rag_topk": f"""
+            SELECT chunk_id, cosine
+            FROM read_parquet('{docops["golden_vector_rag"]}')
         """,
         "dedup_simhash": f"""
             SELECT simhash, n_docs, representative_id

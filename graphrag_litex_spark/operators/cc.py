@@ -50,29 +50,29 @@ def connected_components(
         vertices.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
     )
     n_state = labels.count() + sym.count()
-    ctx = loop_shuffle_partitions(vertices.sparkSession, n_state)
-    ctx.__enter__()
-
-    for _ in range(max_iter):
-        # Neighbor label messages: for edge (u,v), v receives u's label.
-        msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "label")
-        new_labels = hard_checkpoint(
-            labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        # Release the superseded checkpoint immediately — waiting for Python
-        # GC + ContextCleaner lets cached RDDs pile up across iterations.
-        release(labels)
-        labels = new_labels
-        if changed == 0:
-            break
-
-    ctx.__exit__()
-    release(sym)
+    # with-block + finally: a mid-loop Spark exception must not leave the
+    # session's shuffle-partition count overridden or leak checkpoint RDDs.
+    try:
+        with loop_shuffle_partitions(vertices.sparkSession, n_state):
+            for _ in range(max_iter):
+                # Neighbor label messages: for edge (u,v), v receives u's label.
+                msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "label")
+                new_labels = hard_checkpoint(
+                    labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "u")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .limit(1)
+                    .count()
+                )
+                # Release the superseded checkpoint immediately — waiting for
+                # Python GC + ContextCleaner lets cached RDDs pile up.
+                release(labels)
+                labels = new_labels
+                if changed == 0:
+                    break
+    finally:
+        release(sym)
     return labels.select(F.col("u").alias(id_col), "label")

@@ -63,42 +63,45 @@ def label_propagation(
     labels = hard_checkpoint(
         vertices.select(F.col("entity_id").alias("u"), F.col("entity_id").alias("label"))
     )
-    ctx = loop_shuffle_partitions(vertices.sparkSession, labels.count() + sym.count())
-    ctx.__enter__()
-    for _ in range(iters):
-        msgs = sym.join(
-            labels.select(F.col("u").alias("v"), "label"), "v"
-        ).select("u", "label")
-        counts = msgs.groupBy("u", "label").count()
-        # Most-frequent neighbor label, tie -> smallest label: max over a
-        # sortable (count, inverted-label) pair would need string negation,
-        # so use max_by with a struct ordered by (count desc) and resolve
-        # ties via min(label) among the max-count candidates.
-        w = Window.partitionBy("u").orderBy(F.col("count").desc(), F.col("label").asc())
-        new = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("u", "label")
-        )
-        # Isolated vertices keep their own label.
-        new_labels = hard_checkpoint(
-            labels.select("u")
-            .join(new, "u", "left")
-            .withColumn("label", F.coalesce("label", F.col("u")))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        release(labels)
-        labels = new_labels
-        if changed == 0:
-            break
-    ctx.__exit__()
-    release(sym)
+    # with-block + finally: a mid-loop Spark exception must not leave the
+    # session's shuffle-partition count overridden or leak checkpoint RDDs.
+    try:
+        with loop_shuffle_partitions(vertices.sparkSession, labels.count() + sym.count()):
+            for _ in range(iters):
+                msgs = sym.join(
+                    labels.select(F.col("u").alias("v"), "label"), "v"
+                ).select("u", "label")
+                counts = msgs.groupBy("u", "label").count()
+                # Most-frequent neighbor label, tie -> smallest label: max
+                # over a sortable (count, inverted-label) pair would need
+                # string negation, so rank by (count desc, label asc).
+                w = Window.partitionBy("u").orderBy(
+                    F.col("count").desc(), F.col("label").asc()
+                )
+                new = (
+                    counts.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .select("u", "label")
+                )
+                # Isolated vertices keep their own label.
+                new_labels = hard_checkpoint(
+                    labels.select("u")
+                    .join(new, "u", "left")
+                    .withColumn("label", F.coalesce("label", F.col("u")))
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "u")
+                    .where(F.col("n.label") != F.col("o.label"))
+                    .limit(1)
+                    .count()
+                )
+                release(labels)
+                labels = new_labels
+                if changed == 0:
+                    break
+    finally:
+        release(sym)
     return labels.select(F.col("u").alias("entity_id"), "label")
 
 

@@ -245,6 +245,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold (optionally within a block).
 
@@ -252,13 +253,30 @@ def ngram_jaccard_pairs(
     count the intersection per pair; |A union B| = |A| + |B| - |A inter B|.
     Pairs sharing zero shingles never materialize (their Jaccard is 0 <
     threshold by definition). Scales as sum over shingles of (docs sharing
-    that shingle)^2 — a frequency cap on boilerplate shingles is the skew
-    valve at 100 TB.
+    that shingle)^2.
+
+    ``max_doc_freq`` is the 100 TB skew valve: shingles shared by more than
+    that many documents (boilerplate headers, license blurbs) are dropped
+    BEFORE the self-join — one shingle in 1M docs would otherwise create a
+    10^12-row join partition. The intersection then undercounts only by
+    ultra-common shingles, which near-identical pairs still share through
+    their other (capped-frequency) shingles; denominators stay exact, so
+    capped jaccard is a lower bound and the filter can only lose pairs whose
+    overlap was MOSTLY boilerplate. Default None = exact (the oracle path).
     """
     extra = [block_col] if block_col else None
     rows = shingle_rows(docs, id_col, text_col, shingle_k, extra_cols=extra)
     block_key = [block_col] if block_col else []
     sizes = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        freq_key = [*block_key, "s"]
+        rare = (
+            rows.groupBy(*freq_key)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select(*freq_key)
+        )
+        rows = rows.join(rare, freq_key)  # drop boilerplate shingles
 
     a = rows.select(*block_key, F.col("id").alias("id_a"), F.col("s").alias("s"))
     b = rows.select(

@@ -44,19 +44,50 @@ def distinct_norm_names(mentions: DataFrame, name_col: str = "name") -> DataFram
     )
 
 
-def candidate_pairs(names: DataFrame, threshold: float = SIM_THRESHOLD) -> DataFrame:
+def candidate_pairs(
+    names: DataFrame,
+    threshold: float = SIM_THRESHOLD,
+    max_block_size: int | None = None,
+) -> DataFrame:
     """Similarity edges (a, b, sim) between distinct normalized names.
 
     Blocking key = first token (functions.normalize.blocking_key); scoring =
     char-3-gram Jaccard (functions.normalize.name_similarity) — both
     replicated as Catalyst expressions so the single-process oracle and this
     distributed version produce identical edges.
+
+    ``max_block_size`` is the pathological-block valve at 100 TB: a block
+    whose name count exceeds it (everything starting with "the ...") is
+    REFINED by a second blocking key (second token, else name length) so the
+    quadratic stays within sub-blocks. Opt-in because refinement drops
+    cross-sub-block pairs inside the giant block (documented recall
+    tradeoff); default None keeps exact first-token semantics, identical to
+    the single-process oracle. Tested with an adversarial boilerplate corpus
+    in tests/test_toolbox.py.
     """
     keyed = names.select(
         F.col("norm_name"),
         F.split_part(F.col("norm_name"), F.lit(" "), F.lit(1)).alias("block"),
         char_ngrams_col("norm_name").alias("grams"),
     )
+    if max_block_size is not None:
+        big = (
+            keyed.groupBy("block")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .where(F.col("_bs") > max_block_size)
+            .select("block", F.lit(True).alias("_big"))
+        )
+        sub = F.coalesce(
+            F.nullif(F.split_part(F.col("norm_name"), F.lit(" "), F.lit(2)), F.lit("")),
+            F.length("norm_name").cast("string"),
+        )
+        keyed = keyed.join(F.broadcast(big), "block", "left").select(
+            "norm_name",
+            F.when(F.col("_big").isNotNull(), F.concat_ws(" ", "block", sub))
+            .otherwise(F.col("block"))
+            .alias("block"),
+            "grams",
+        )
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

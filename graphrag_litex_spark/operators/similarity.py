@@ -72,14 +72,20 @@ def brute_force_topk(
 def hyperplane_signature(vec_col: Column, dim: int, planes: int = 16) -> Column:
     """Deterministic random-hyperplane LSH signature (bit-packed long).
 
-    Plane p's normal has component j = sign-ish hash of (p, j) mapped to
-    {-1, +1}; the signature bit is the sign of the projection. Fully
-    deterministic (xxhash64 seeds), no stored model.
+    Plane p's normal has component j = parity of xxhash64(p * 10007 + j)
+    mapped to {-1, +1}; the signature bit is the sign of the projection.
+    The sign table is computed ON THE DRIVER with the pure-Python XXH64
+    (functions/xxh64.py, bit-identical to ``F.xxhash64`` — unit-tested) and
+    embedded as ``planes`` literal double arrays: same values as the former
+    per-cell ``F.xxhash64(lit(...))`` expressions, but a dim-fold smaller
+    expression tree. No stored model, no randomness.
     """
+    from graphrag_litex_spark.functions.xxh64 import xxhash64_int
+
     def proj(p: int) -> Column:
         signs = F.array(
             *[
-                (F.when(F.xxhash64(F.lit(p * 10_007 + j)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)))
+                F.lit(1.0 if xxhash64_int(p * 10_007 + j) % 2 == 0 else -1.0)
                 for j in range(dim)
             ]
         )
@@ -134,28 +140,88 @@ def knn_join(
     vec_col: str = "embedding",
     block_col: str | None = None,
 ) -> DataFrame:
-    """For each left row: its k nearest right rows by cosine.
+    """For each left row: its k nearest right rows by cosine (EXACT).
 
-    Blocked cross-score + per-left-key window top-k. Quadratic within a
-    block — at 100 TB use lsh buckets as ``block_col``.
+    With ``block_col``: equi-join within blocks (quadratic per block). Without
+    one: an explicit ``crossJoin`` — Spark's cartesian operator parallelizes
+    over partition PAIRS, unlike the round-1 ``lit(1)`` equi-join whose single
+    hash key funneled both sides through one reducer. Still O(|L|x|R|) work by
+    definition of exact kNN — at 100 TB use :func:`knn_join_lsh` (bucketed,
+    multi-probe) instead.
     """
     lb = left.select(
         F.col(id_col).alias("left_id"),
         F.col(vec_col).alias("lv"),
-        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
+        *([F.col(block_col).alias("block")] if block_col else []),
     )
     rb = right.select(
         F.col(id_col).alias("right_id"),
         F.col(vec_col).alias("rv"),
-        *( [F.col(block_col).alias("block")] if block_col else [F.lit(1).alias("block")] ),
+        *([F.col(block_col).alias("block")] if block_col else []),
     )
-    scored = (
-        lb.join(rb, "block")
+    joined = lb.join(rb, "block") if block_col else lb.crossJoin(rb)
+    scored = joined.where(F.col("left_id") != F.col("right_id")).withColumn(
+        "cosine",
+        F.round(cosine_col(F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")), 6),
+    )
+    w = Window.partitionBy("left_id").orderBy(F.col("cosine").desc(), F.col("right_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("left_id", "right_id", "cosine", "rank")
+    )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    planes: int = 8,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate kNN join: candidates restricted to LSH-bucket matches.
+
+    Both sides get a random-hyperplane signature; each LEFT row probes its
+    own bucket plus every bucket within Hamming distance <= ``probe_bits``
+    (single-bit flips — the standard multi-probe recall recovery, so near
+    neighbors that land one plane away are still found). The join is a hash
+    equi-join on the bucket id: at 100 TB each bucket holds ~|R| / 2^planes
+    rows, no single-reducer funnel, no cartesian. Recall is tunable via
+    ``planes`` (fewer = bigger buckets = higher recall) and ``probe_bits``;
+    measured vs exact :func:`knn_join` in tests/test_toolbox.py.
+    """
+    if dim is None:
+        dim = len(right.select(vec_col).first()[0])
+    sig = hyperplane_signature(F.col(vec_col), dim, planes)
+    rb = right.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"), sig.alias("bucket")
+    )
+    probes = [F.col("_sig")]
+    if probe_bits >= 1:
+        probes += [F.col("_sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    if probe_bits >= 2:
+        probes += [
+            F.col("_sig").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+            for p in range(planes)
+            for q in range(p + 1, planes)
+        ]
+    lb = (
+        left.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("lv"), sig.alias("_sig"))
+        .withColumn("bucket", F.explode(F.array(*probes)))
+        .drop("_sig")
+    )
+    cand = (
+        lb.join(rb, "bucket")
         .where(F.col("left_id") != F.col("right_id"))
-        .withColumn(
-            "cosine",
-            F.round(cosine_col(F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")), 6),
-        )
+        .select("left_id", "lv", "right_id", "rv")
+        .distinct()  # a pair can match through several probes
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(cosine_col(F.col("lv").cast("array<double>"), F.col("rv").cast("array<double>")), 6),
     )
     w = Window.partitionBy("left_id").orderBy(F.col("cosine").desc(), F.col("right_id").asc())
     return (

@@ -210,9 +210,44 @@ def ann_lsh_topk_golden(
     )
 
 
+# ---- VectorRAG baseline top-k (jobs/vector_rag_baseline.py) ----
+
+
+def vector_rag_topk_golden(
+    doc_ids: list,
+    texts: list,
+    question: str,
+    k: int = 5,
+    chunk_size: int = 20,
+    overlap: int = 5,
+    dim: int = 64,
+) -> pa.Table:
+    """Chunk -> hash-embed -> cosine top-k, sequentially (the reference's
+    vector_rag.py:17-40 loop); differential against the Spark job's
+    chunking UDF + embed UDF + TakeOrderedAndProject plan."""
+    from graphrag_litex_spark.functions.normalize import hash_embed
+    from graphrag_litex_spark.operators.chunking import chunk_windows
+
+    qv = hash_embed(question, dim)
+    scored = []
+    for d, t in zip(doc_ids, texts):
+        for n, chunk in enumerate(chunk_windows(t, chunk_size, overlap)):
+            scored.append(
+                (f"{d}_{n}", round_half_up(_cosine_fold(hash_embed(chunk, dim), qv), 6))
+            )
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    scored = scored[:k]
+    return pa.table(
+        {
+            "chunk_id": pa.array([r[0] for r in scored]),
+            "cosine": pa.array([r[1] for r in scored], pa.float64()),
+        }
+    )
+
+
 # ---- driver: compute goldens for a testdata sf dir (cached on disk) ----
 
-DOCOPS_VERSION = 1
+DOCOPS_VERSION = 2
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -226,6 +261,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_simhash": os.path.join(out_dir, "golden_simhash.parquet"),
         "golden_minhash_lsh": os.path.join(out_dir, "golden_minhash_lsh.parquet"),
         "golden_ann_lsh_topk": os.path.join(out_dir, "golden_ann_lsh_topk.parquet"),
+        "golden_vector_rag": os.path.join(out_dir, "golden_vector_rag.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -247,6 +283,10 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     pq.write_table(
         minhash_lsh_golden(doc_ids, texts, jaccard_threshold=0.5),
         paths["golden_minhash_lsh"],
+    )
+    pq.write_table(
+        vector_rag_topk_golden(doc_ids, texts, "what is this corpus about", k=5),
+        paths["golden_vector_rag"],
     )
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])

@@ -1,0 +1,440 @@
+"""Single-process golden oracle for the community path (F1/F2/E5/E6 + S11 +
+query top-k) — extends oracle.py past claims.
+
+Pure-Python sequential implementations of the SAME deterministic algorithms
+as operators/communities.py and querying/answer.py (synchronous LPA with
+(count desc, label asc) tie-breaking, min-size enforcement, one-pass
+hierarchy recursion, nx-style density/flow stats, deterministic summarizer,
+hash-embed cosine top-k), computed from the golden triple/mention tables that
+oracle.py already emits. Float expressions replicate the exact evaluation
+order of the corresponding Catalyst expressions; rounding is HALF_UP via
+decimal to match ``F.round``. Turns the round-1 ``no_oracle`` rows for
+kg_communities / kg_community_stats / kg_summaries / kg_query_topk into real
+differential checks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from graphrag_litex_spark.functions.normalize import hash_embed
+
+GRAPH_GOLDEN_VERSION = 1
+
+
+def _r(x: float, digits: int) -> float:
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
+def _eid(canonical: str) -> str:
+    return hashlib.sha256(canonical.encode("utf-8")).hexdigest()[:32]
+
+
+def _pred_key(p: str) -> str:
+    return f"{len(p):06d}" + p
+
+
+# ---- graph construction from goldens (mirrors merge.py + pipeline.py) ----
+
+
+def merged_edges(triple_rows: list[tuple]) -> list[dict]:
+    """(conv_id, turn_idx, subj, pred, obj, strength) rows -> merged edges
+    (same identity/agg semantics as merge_edges; strength filter is already
+    applied in golden_triples)."""
+    groups: dict[tuple, list] = {}
+    for _c, _t, s, p, o, st in triple_rows:
+        groups.setdefault((s, o), []).append((p, st))
+    out = []
+    for (s, o), obs in groups.items():
+        preds = [p for p, _ in obs]
+        out.append(
+            {
+                "src": s,
+                "dst": o,
+                "src_id": _eid(s),
+                "dst_id": _eid(o),
+                "pred": max(preds, key=_pred_key),
+                "strength": sum(st for _, st in obs) / len(obs),
+                "n_obs": len(obs),
+            }
+        )
+    return out
+
+
+def node_names(mention_rows: list[tuple]) -> dict[str, str]:
+    """entity_id -> display name = min surface among canonical-form mentions
+    (merge_nodes name semantics)."""
+    best: dict[str, str] = {}
+    for name, norm_name, canonical in mention_rows:
+        if norm_name == canonical:
+            eid = _eid(canonical)
+            if eid not in best or name < best[eid]:
+                best[eid] = name
+    return best
+
+
+def _und_edges(edges: list[dict]) -> set[tuple[str, str]]:
+    out = set()
+    for e in edges:
+        a, b = e["src_id"], e["dst_id"]
+        if a != b:
+            out.add((a, b) if a < b else (b, a))
+    return out
+
+
+def _adj(und: set[tuple[str, str]]) -> dict[str, list[str]]:
+    adj: dict[str, list[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    return adj
+
+
+# ---- LPA + hierarchy (mirrors operators/communities.py) ----
+
+
+def label_propagation(vertices: list[str], und: set[tuple[str, str]], iters: int = 8) -> dict[str, str]:
+    adj = _adj(und)
+    labels = {v: v for v in vertices}
+    for _ in range(iters):
+        new = {}
+        for u in vertices:
+            nbrs = adj.get(u)
+            if not nbrs:
+                new[u] = u  # isolated: coalesce(label, u) resets to own id
+                continue
+            counts: dict[str, int] = {}
+            for v in nbrs:
+                lbl = labels[v]
+                counts[lbl] = counts.get(lbl, 0) + 1
+            # most frequent, tie -> smallest label
+            new[u] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def _enforce_min_size(labels: dict[str, str], min_size: int) -> dict[str, str]:
+    sizes: dict[str, int] = {}
+    for lbl in labels.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    valid = {lbl for lbl, sz in sizes.items() if sz >= min_size}
+    if valid:
+        target = min(valid, key=lambda lbl: (-sizes[lbl], lbl))
+    else:
+        target = min(sizes, key=lambda lbl: (-sizes[lbl], lbl))
+        valid = {target}
+    return {u: (lbl if lbl in valid else target) for u, lbl in labels.items()}
+
+
+def detect_communities(
+    vertices: list[str],
+    und: set[tuple[str, str]],
+    levels: int = 3,
+    min_size: int = 3,
+    lpa_iters: int = 8,
+) -> list[tuple[int, str, str | None, str]]:
+    """-> [(level, community_id, parent, entity_id)...]"""
+    l0 = _enforce_min_size(label_propagation(vertices, und, lpa_iters), min_size)
+    membership = [(0, "0_" + lbl, None, u) for u, lbl in l0.items()]
+    prev: dict[str, list[str]] = {}
+    for _lvl, cid, _par, u in membership:
+        prev.setdefault(cid, []).append(u)
+
+    for level in range(1, levels):
+        cur: list[tuple[int, str, str | None, str]] = []
+        nxt: dict[str, list[str]] = {}
+        for cid, members in prev.items():
+            if len(members) <= 2 * min_size:
+                child = f"{level}_{cid}"
+                for u in members:
+                    cur.append((level, child, cid, u))
+                nxt.setdefault(child, []).extend(members)
+            else:
+                mset = set(members)
+                sub_und = {(a, b) for a, b in und if a in mset and b in mset}
+                sub = label_propagation(sorted(mset), sub_und, lpa_iters)
+                children: dict[str, list[str]] = {}
+                for u, lbl in sub.items():
+                    children.setdefault(f"{level}_{lbl}", []).append(u)
+                for child, cmembers in children.items():
+                    if len(cmembers) >= min_size:  # below min_size: dropped
+                        for u in cmembers:
+                            cur.append((level, child, cid, u))
+                        nxt.setdefault(child, []).extend(cmembers)
+        membership.extend(cur)
+        prev = nxt
+
+    return membership
+
+
+# ---- stats (mirrors community_stats) ----
+
+
+def community_stats(
+    membership: list[tuple], und: set[tuple[str, str]]
+) -> list[dict]:
+    by_level: dict[int, dict[str, str]] = {}
+    sizes: dict[tuple[int, str], int] = {}
+    for level, cid, _par, u in membership:
+        by_level.setdefault(level, {})[u] = cid
+        sizes[(level, cid)] = sizes.get((level, cid), 0) + 1
+
+    internal: dict[tuple[int, str], int] = {}
+    external: dict[tuple[int, str], int] = {}
+    for level, comm_of in by_level.items():
+        for a, b in und:
+            for u, v in ((a, b), (b, a)):
+                cu = comm_of.get(u)
+                if cu is None:
+                    continue
+                if comm_of.get(v) == cu:
+                    internal[(level, cu)] = internal.get((level, cu), 0) + 1
+                else:
+                    external[(level, cu)] = external.get((level, cu), 0) + 1
+
+    out = []
+    for (level, cid), size in sizes.items():
+        internal_d = internal.get((level, cid), 0) / 2  # double like Spark
+        external_d = float(external.get((level, cid), 0))
+        total = internal_d + external_d
+        pi = internal_d / total if total > 0 else 0.0
+        density = 2.0 * internal_d / (size * (size - 1)) if size > 1 else 0.0
+        flow = pi if size > 1 else 0.0
+        out.append(
+            {
+                "level": level,
+                "community_id": cid,
+                "size": size,
+                "density": density,
+                "flow": flow,
+                "internal": internal_d,
+                "external": external_d,
+            }
+        )
+    return out
+
+
+# ---- summaries (mirrors summarize_communities) ----
+
+
+def summarize(
+    membership: list[tuple],
+    stats: list[dict],
+    und: set[tuple[str, str]],
+    edges: list[dict],
+    names: dict[str, str],
+    top_findings: int = 5,
+) -> list[dict]:
+    by_comm: dict[tuple[int, str], list[str]] = {}
+    comm_at: dict[int, dict[str, str]] = {}
+    for level, cid, _par, u in membership:
+        by_comm.setdefault((level, cid), []).append(u)
+        comm_at.setdefault(level, {})[u] = cid
+
+    adj = _adj(und)
+    out = []
+    for st in stats:
+        level, cid, size = st["level"], st["community_id"], st["size"]
+        members = by_comm[(level, cid)]
+        mset = set(members)
+
+        # title: max within-community degree, tie -> name asc (NULL if no
+        # intra edges — the deg join produces no row for this community)
+        best = None
+        for u in members:
+            deg = sum(1 for v in adj.get(u, ()) if v in mset)
+            if deg == 0:
+                continue
+            nm = names.get(u)
+            key = (-deg, nm if nm is not None else "￿￿")
+            if best is None or key < best[0]:
+                best = (key, nm)
+        title = best[1] if best else None
+
+        # findings: top intra edges by (strength desc, src, dst, pred)
+        intra = [
+            e
+            for e in edges
+            if e["src_id"] in mset
+            and e["dst_id"] in mset
+            and comm_at[level].get(e["src_id"]) == cid
+            and comm_at[level].get(e["dst_id"]) == cid
+        ]
+        intra.sort(key=lambda e: (-e["strength"], e["src"], e["dst"], e["pred"]))
+        findings = [f"{e['src']} {e['pred']} {e['dst']}" for e in intra[:top_findings]]
+
+        member_names = sorted(names.get(u, "") for u in members)
+        summary = (
+            f"Community of {len(members)} entities including "
+            + ", ".join(member_names[:3])
+            + "."
+        )
+        rating_raw = size / 3.0 + 5.0 * st["density"]
+        rating = _r(rating_raw if rating_raw < 10.0 else 10.0, 2)
+        full_parts = [p for p in (title, summary, " ".join(findings)) if p is not None]
+        full_text = " ".join(full_parts)
+        out.append(
+            {
+                "level": level,
+                "community_id": cid,
+                "title": title,
+                "summary": summary,
+                "rating": rating,
+                "full_text": full_text,
+                "findings": findings,
+            }
+        )
+    return out
+
+
+# ---- query top-k (mirrors querying/answer.select_top_k) ----
+
+
+def query_topk(
+    summaries: list[dict], question: str, level: int = 0, k: int = 5, dim: int = 64
+) -> list[dict]:
+    qv = hash_embed(question, dim)
+
+    def cosine(a: list[float], b: list[float]) -> float:
+        na = 0.0
+        for v in a:
+            na = na + v * v
+        nb = 0.0
+        for v in b:
+            nb = nb + v * v
+        denom = na**0.5 * nb**0.5
+        if denom == 0:
+            return 0.0
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc / denom
+
+    scored = [
+        {
+            "level": s["level"],
+            "community_id": s["community_id"],
+            "title": s["title"],
+            "score": _r(cosine(hash_embed(s["full_text"], dim), qv), 6),
+        }
+        for s in summaries
+        if s["level"] == level
+    ]
+    scored.sort(key=lambda r: (-r["score"], r["community_id"]))
+    return scored[:k]
+
+
+# ---- driver ----
+
+
+def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
+    """Compute (once) golden parquet for the community path from the KG
+    goldens that oracle.py already wrote under the same directory."""
+    out_dir = paths["dir"]
+    gpaths = {
+        "golden_communities": os.path.join(out_dir, "golden_communities.parquet"),
+        "golden_community_stats": os.path.join(out_dir, "golden_community_stats.parquet"),
+        "golden_summaries": os.path.join(out_dir, "golden_summaries.parquet"),
+        "golden_query_topk": os.path.join(out_dir, "golden_query_topk.parquet"),
+    }
+    manifest = os.path.join(out_dir, "_graph_manifest.json")
+    want = {
+        "version": GRAPH_GOLDEN_VERSION,
+        "triples_mtime": os.stat(paths["golden_triples"]).st_mtime_ns,
+        "mentions_mtime": os.stat(paths["golden_mentions"]).st_mtime_ns,
+    }
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if json.load(f) == want and all(os.path.exists(p) for p in gpaths.values()):
+                return gpaths
+
+    triples = pq.read_table(paths["golden_triples"])
+    triple_rows = list(
+        zip(
+            triples.column("conv_id").to_pylist(),
+            triples.column("turn_idx").to_pylist(),
+            triples.column("subj").to_pylist(),
+            triples.column("pred").to_pylist(),
+            triples.column("obj").to_pylist(),
+            triples.column("strength").to_pylist(),
+        )
+    )
+    mentions = pq.read_table(
+        paths["golden_mentions"], columns=["name", "norm_name", "canonical"]
+    )
+    mention_rows = list(
+        zip(
+            mentions.column("name").to_pylist(),
+            mentions.column("norm_name").to_pylist(),
+            mentions.column("canonical").to_pylist(),
+        )
+    )
+    canon = pq.read_table(paths["golden_canon_map"], columns=["canonical"])
+    vertices = sorted({_eid(c) for c in canon.column("canonical").to_pylist()})
+
+    edges = merged_edges(triple_rows)
+    names = node_names(mention_rows)
+    und = _und_edges(edges)
+
+    membership = detect_communities(vertices, und)
+    stats = community_stats(membership, und)
+    summaries = summarize(membership, stats, und, edges, names)
+    topk = query_topk(summaries, "who acquired acme corp", level=0, k=5)
+
+    pq.write_table(
+        pa.table(
+            {
+                "level": pa.array([m[0] for m in membership], pa.int32()),
+                "community_id": pa.array([m[1] for m in membership]),
+                "parent": pa.array([m[2] for m in membership], pa.string()),
+                "entity_id": pa.array([m[3] for m in membership]),
+            }
+        ),
+        gpaths["golden_communities"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "level": pa.array([s["level"] for s in stats], pa.int32()),
+                "community_id": pa.array([s["community_id"] for s in stats]),
+                "size": pa.array([s["size"] for s in stats], pa.int64()),
+                "density": pa.array([_r(s["density"], 6) for s in stats], pa.float64()),
+                "flow": pa.array([_r(s["flow"], 6) for s in stats], pa.float64()),
+            }
+        ),
+        gpaths["golden_community_stats"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "level": pa.array([s["level"] for s in summaries], pa.int32()),
+                "community_id": pa.array([s["community_id"] for s in summaries]),
+                "title": pa.array([s["title"] for s in summaries], pa.string()),
+                "rating": pa.array([s["rating"] for s in summaries], pa.float64()),
+                "summary": pa.array([s["summary"] for s in summaries]),
+            }
+        ),
+        gpaths["golden_summaries"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "level": pa.array([r["level"] for r in topk], pa.int32()),
+                "community_id": pa.array([r["community_id"] for r in topk]),
+                "title": pa.array([r["title"] for r in topk], pa.string()),
+                "score": pa.array([r["score"] for r in topk], pa.float64()),
+            }
+        ),
+        gpaths["golden_query_topk"],
+    )
+    with open(manifest, "w") as f:
+        json.dump(want, f)
+    return gpaths

@@ -88,3 +88,35 @@ def test_multi_sentence_multiple_triples():
     assert len(res["relationships"]) == 2
     preds = {r["description"] for r in res["relationships"]}
     assert preds == {"acquired", "leads"}
+
+
+def test_fast_path_equivalent_to_token_loop():
+    """The regex-run fast path (extract_turn) must produce IDENTICAL output
+    to the original token-loop formulation on corpus + adversarial text."""
+    from graphrag_litex_spark import datagen
+    from graphrag_litex_spark.functions.extract import _extract_turn_ref, extract_turn
+
+    texts = [r["text"] for c in range(300) for r in datagen.generate_conversation(c)]
+    texts += [
+        "", "x3Acme works at Globex", "ÁcmeCorp acquired Ün-ïted Ltd",
+        "ß lower But Acme-Corp's Q3", "A", "A B C", "a b c", "3M works at IBM",
+        "Acme, Bob & Carol visited Gotham City!", "Øystein Ågård works at Æther Labs",
+        "þorn Þorn lower þ upper Þ", "Trailing Acme",
+        "Acme...   multiple   spaces Bob", "O'Brien & Sons-Ltd leads D'Arcy",
+        "Acme works at Acme", "123 Numbers 456 Acme 789",
+    ]
+    for t in texts:
+        assert extract_turn(t) == _extract_turn_ref(t)
+
+
+def test_extract_turn_flat_matches_dict_shape():
+    from graphrag_litex_spark.functions.extract import extract_turn, extract_turn_flat
+
+    text = "Alice Johnson works at Acme Corp. Acme Corp won an industry award."
+    flat = extract_turn_flat(text)
+    d = extract_turn(text)
+    assert [e["name"] for e in d["entities"]] == [e[0] for e in flat[0]]
+    assert [(r["source"], r["target"], r["description"], r["strength"]) for r in d["relationships"]] == flat[1]
+    assert [(c["content"], c["entities"]) for c in d["claims"]] == flat[2]
+    assert extract_turn_flat("") is None
+    assert extract_turn_flat("no capitals here at all.") is None
