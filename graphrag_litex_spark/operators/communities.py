@@ -55,14 +55,57 @@ def _sym(und: DataFrame) -> DataFrame:
     return und.select("u", "v").union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
+def _lpa_driver_local(spark, ids: list, sym_pairs: list, iters: int) -> DataFrame:
+    """Small-graph physical strategy for LPA (same adaptive stance as the
+    union-find in cc.py): EXACTLY the distributed loop's semantics —
+    synchronous updates, most-frequent neighbor label with ties to the
+    smallest label, isolated vertices reset to their own id, early stop on
+    fixpoint. Identity with the distributed path asserted in
+    tests/test_communities.py."""
+    adj: dict = {}
+    for a, b in sym_pairs:
+        adj.setdefault(a, []).append(b)
+    labels = {v: v for v in ids}
+    for _ in range(iters):
+        new = {}
+        for u in ids:
+            nbrs = adj.get(u)
+            if not nbrs:
+                new[u] = u
+                continue
+            counts: dict = {}
+            for v in nbrs:
+                lbl = labels[v]
+                counts[lbl] = counts.get(lbl, 0) + 1
+            new[u] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
+        if new == labels:
+            break
+        labels = new
+    return spark.createDataFrame(
+        list(labels.items()), schema="entity_id string, label string"
+    )
+
+
 def label_propagation(
-    vertices: DataFrame, und_edges: DataFrame, iters: int = 8
+    vertices: DataFrame, und_edges: DataFrame, iters: int = 8, driver_threshold: int = 100_000
 ) -> DataFrame:
-    """Synchronous LPA -> (entity_id, label); deterministic tie-breaking."""
+    """Synchronous LPA -> (entity_id, label); deterministic tie-breaking.
+
+    Adaptive: state below ``driver_threshold`` rows runs driver-locally
+    (identical output, ~5x fewer tiny Spark jobs); larger graphs run the
+    distributed loop below.
+    """
     sym = hard_checkpoint(_sym(und_edges))
     labels = hard_checkpoint(
         vertices.select(F.col("entity_id").alias("u"), F.col("entity_id").alias("label"))
     )
+    if labels.count() + sym.count() <= driver_threshold:
+        ids = [r[0] for r in labels.select("u").collect()]
+        pairs = [(r[0], r[1]) for r in sym.select("u", "v").collect()]
+        out = _lpa_driver_local(vertices.sparkSession, ids, pairs, iters)
+        release(sym)
+        release(labels)
+        return out
     # with-block + finally: a mid-loop Spark exception must not leave the
     # session's shuffle-partition count overridden or leak checkpoint RDDs.
     try:

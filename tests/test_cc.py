@@ -69,3 +69,26 @@ def test_permutation_invariance(spark):
     l1 = _run_cc(spark, verts, edges)
     l2 = _run_cc(spark, list(reversed(verts)), list(reversed(edges)))
     assert l1 == l2
+
+
+def test_driver_local_matches_distributed_path(spark):
+    """The adaptive small-graph union-find must be byte-identical to the
+    distributed min-label loop on the same input."""
+    import random
+
+    rng = random.Random(13)
+    verts = [f"n{i:03d}" for i in range(120)]
+    edges = [
+        (verts[rng.randrange(120)], verts[rng.randrange(120)]) for _ in range(90)
+    ]
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": verts}))
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    local = {
+        r["norm_name"]: r["label"]
+        for r in connected_components(vdf, edf, driver_threshold=100_000).collect()
+    }
+    dist = {
+        r["norm_name"]: r["label"]
+        for r in connected_components(vdf, edf, driver_threshold=0).collect()
+    }
+    assert local == dist

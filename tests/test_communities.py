@@ -105,3 +105,22 @@ def test_summaries_shape(spark, clique_graph):
         assert r["full_text"].startswith(r["title"])
         for f in r["findings"]:
             assert f["summary"] and f["explanation"]
+
+
+def test_lpa_driver_local_matches_distributed(spark, clique_graph):
+    """Adaptive small-graph LPA must equal the distributed loop exactly."""
+    nodes, edges = clique_graph
+    und = C._und_edges(edges)
+    local = {
+        r["entity_id"]: r["label"]
+        for r in C.label_propagation(
+            nodes.select("entity_id"), und, iters=6, driver_threshold=100_000
+        ).collect()
+    }
+    dist = {
+        r["entity_id"]: r["label"]
+        for r in C.label_propagation(
+            nodes.select("entity_id"), und, iters=6, driver_threshold=0
+        ).collect()
+    }
+    assert local == dist
