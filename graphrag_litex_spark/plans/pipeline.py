@@ -114,10 +114,20 @@ class KGPipeline:
 
     # ---- checkpoint manifest -------------------------------------------
     def _input_fingerprint(self) -> str:
+        from graphrag_litex_spark.sources.tables import TABLE_PREFIX, input_fingerprint
+
         h = hashlib.sha256()
         h.update(str(PIPELINE_VERSION).encode())
         h.update(json.dumps(asdict(self.config), sort_keys=True).encode())
         p = self.transcripts_path
+        if p.startswith(TABLE_PREFIX):
+            # catalog table: Iceberg snapshot id when available, else the
+            # identifier alone (resume is then config-keyed only)
+            h.update(p.encode())
+            snap = input_fingerprint(self.spark, p)
+            if snap:
+                h.update(snap.encode())
+            return h.hexdigest()
         if os.path.isdir(p):
             files = sorted(
                 os.path.join(dp, f) for dp, _, fs in os.walk(p) for f in fs
@@ -174,7 +184,9 @@ class KGPipeline:
         manifest = self._load_manifest()
         mat = lambda name, build: self._materialize(name, build, manifest, fp, resume)  # noqa: E731
         results: dict[str, DataFrame] = {}
-        transcripts = self.spark.read.parquet(self.transcripts_path)
+        from graphrag_litex_spark.sources.tables import load_input
+
+        transcripts = load_input(self.spark, self.transcripts_path)
 
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).

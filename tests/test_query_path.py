@@ -112,3 +112,21 @@ def test_sql_views(spark, corpus_sf0001, tmp_path):
         "SELECT subj, count(*) AS n FROM kg_triples GROUP BY subj ORDER BY n DESC LIMIT 3"
     ).collect()
     assert len(rows) == 3 and rows[0]["n"] >= rows[-1]["n"]
+
+
+def test_table_identifier_ingestion(spark, corpus_sf0001, tmp_path):
+    """table:<identifier> input path — catalog-table (Iceberg-shaped)
+    ingestion exercised via a temp view; the full pipeline runs from it."""
+    from graphrag_litex_spark.plans.pipeline import run_pipeline
+    from graphrag_litex_spark.sources.tables import read_transcripts
+
+    spark.read.parquet(corpus_sf0001["transcripts"]).createOrReplaceTempView(
+        "transcripts_v"
+    )
+    df = read_transcripts(spark, "table:transcripts_v")
+    assert df.columns[:2] == ["conv_id", "turn_idx"]
+    res = run_pipeline(
+        spark, "table:transcripts_v", str(tmp_path / "kg_tbl"), resume=False,
+        until="canon_map",
+    )
+    assert res["canon_map"].count() == 60
