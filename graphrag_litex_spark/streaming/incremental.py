@@ -82,6 +82,50 @@ def stream_extract(
     return writer.start()
 
 
+CONV_STATE_SCHEMA = "n_turns long, max_turn_idx int, n_chars long"
+CONV_OUT_SCHEMA = "conv_id string, n_turns long, max_turn_idx int, n_chars long"
+
+
+def conversation_progress(transcripts_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-conversation running progress via
+    ``applyInPandasWithState`` (arbitrary keyed state — the pattern for
+    stateful logic Spark's built-in windowed aggs can't express).
+
+    State per conv_id = (turns seen, highest turn index, total characters);
+    every microbatch emits the UPDATED row for each conversation touched, so
+    a downstream sink always holds the latest per-conversation progress.
+    The final state equals the batch groupBy over the same rows — asserted
+    in tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, mx, ch = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["turn_idx"].max()))
+                ch += int(pdf["text"].fillna("").str.len().sum())
+        state.update((n, mx, ch))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "max_turn_idx": [mx],
+                "n_chars": [ch],
+            }
+        )
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        CONV_OUT_SCHEMA,
+        CONV_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_turn_activity(
     transcripts_stream: DataFrame,
     window: str = "10 minutes",

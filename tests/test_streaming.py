@@ -59,3 +59,52 @@ def test_windowed_turn_activity_batch_semantics(spark, corpus_sf0001):
     # Sliding windows (10m window, 5m slide) double-count each turn ~2x.
     assert total == 2 * tr.count()
     assert all(r["window_end"] > r["window_start"] for r in out)
+
+
+def test_conversation_progress_stateful(spark, split_corpus, tmp_path_factory):
+    """applyInPandasWithState: final per-conversation state across two
+    microbatch rounds equals the batch aggregation over all rows."""
+    from pyspark.sql.streaming import StreamingQuery  # noqa: F401 (api presence)
+
+    from graphrag_litex_spark.streaming.incremental import conversation_progress
+    from graphrag_litex_spark.sources.tables import TRANSCRIPT_SCHEMA
+
+    input_dir, t, half = split_corpus  # batch_0 + batch_1 exist by now
+    out = str(tmp_path_factory.mktemp("state_out"))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # two rounds -> state carries over
+        .parquet(input_dir)
+    )
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        conversation_progress(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)  # update-mode rows appended; latest wins below
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # latest update per conversation == batch aggregate over all files
+    updates = spark.read.parquet(out)
+    latest = {
+        r["conv_id"]: (r["n_turns"], r["max_turn_idx"], r["n_chars"])
+        for r in updates.orderBy("n_turns").collect()  # last write wins
+    }
+    batch = (
+        spark.read.parquet(input_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("turn_idx").alias("mx"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("ch"),
+        )
+        .collect()
+    )
+    want = {r["conv_id"]: (r["n"], r["mx"], r["ch"]) for r in batch}
+    assert latest == want
