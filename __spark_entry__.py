@@ -341,6 +341,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return extract_features(docs_as_media(d)).select("media_id", "kind", "n_bytes")
 
+    def windowed_activity(spark, sf_dir):
+        """Sliding-window (10m/5m) per-role activity over the transcripts
+        corpus — the streaming aggregation's batch semantics, exact-distinct
+        so it is oracle-comparable. Epoch-second window starts (timestamp
+        stringification differs across engines)."""
+        from graphrag_litex_spark.streaming.incremental import windowed_turn_activity
+
+        tr = spark.read.parquet(_gold(_sf_from_dir(sf_dir), "transcripts"))
+        return windowed_turn_activity(tr, exact_distinct=True).select(
+            F.unix_timestamp("window_start").cast("long").alias("ws"),
+            "role",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_convs").cast("long").alias("n_convs"),
+        )
+
     def kg_chunks_windowed(spark, sf_dir):
         """B1 full: sliding token windows over multi-window documents."""
         from graphrag_litex_spark.operators.chunking import chunk_documents_windowed
@@ -418,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         knn_join_sample,
         embedding_dup_pairs,
         multimodal_features,
+        windowed_activity,
         kg_chunks_windowed,
         vector_rag_topk,
         dedup_minhash_lsh,
@@ -716,6 +732,18 @@ def oracle_sql() -> dict[str, str]:
                      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
                  )
             SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.3
+        """,
+        "windowed_activity": f"""
+            WITH w AS (
+                SELECT (cast(floor(epoch(ts) / 300) AS bigint) - k.k) * 300 AS ws,
+                       role, conv_id
+                FROM read_parquet('{transcripts}')
+                CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+            )
+            SELECT ws, role,
+                   count(*) AS n_turns,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM w GROUP BY ws, role
         """,
         "kg_chunks_windowed": """
             WITH d AS (

@@ -131,17 +131,23 @@ def windowed_turn_activity(
     window: str = "10 minutes",
     slide: str = "5 minutes",
     watermark: str = "30 minutes",
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Watermarked sliding-window per-role turn counts (late-data pattern).
 
     Works on a streaming OR batch DataFrame with the transcripts schema.
+    ``exact_distinct`` swaps the streaming-friendly approx_count_distinct
+    for an exact distinct count (batch/oracle comparisons).
     """
+    distinct = (
+        F.count_distinct("conv_id") if exact_distinct else F.approx_count_distinct("conv_id")
+    )
     return (
         transcripts_stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("role"))
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
-            F.approx_count_distinct("conv_id").alias("n_convs"),
+            distinct.alias("n_convs"),
         )
         .select(
             F.col("w.start").alias("window_start"),
