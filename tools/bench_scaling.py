@@ -75,15 +75,23 @@ for _ in range(2):
 extract_sec = min(extract_secs)
 chunks.unpersist()
 
-# Segment 2: full pipeline, cold stage outputs.
+# Segment 2: full pipeline, cold stage outputs, {reps} in-JVM reps (min).
+# The FIRST pipeline run in a JVM pays one-time JIT/codegen compilation of
+# every stage's generated code (measured 2x on the total, up to 9x on
+# short stages); at 10^12-turn scale each stage runs for hours, so
+# steady-state (warm-JVM) throughput is the honest scaling quantity.
 base = "/dev/shm/kg_scale" if ramdisk else paths["dir"]
-out = os.path.join(base, f"kg_scale_{{cores}}")
-shutil.rmtree(out, ignore_errors=True)
-t0 = time.time()
-res = run_pipeline(spark, paths["transcripts"], out, resume=False, until="claims")
-sec = time.time() - t0
-n_triples = res["triples"].count()
-shutil.rmtree(out, ignore_errors=True) if ramdisk else None
+secs = []
+n_triples = 0
+for rep in range({reps}):
+    out = os.path.join(base, f"kg_scale_{{cores}}_{{rep}}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, paths["transcripts"], out, resume=False, until="claims")
+    secs.append(time.time() - t0)
+    n_triples = res["triples"].count()
+    shutil.rmtree(out, ignore_errors=True) if ramdisk else None
+sec = min(secs)
 print("RESULT " + json.dumps({{"cores": cores, "sec": round(sec, 2),
       "extract_sec": round(extract_sec, 2), "n_items": n_items,
       "n_triples": n_triples, "n_turns": n_turns,
@@ -132,9 +140,10 @@ def _run_pinned(code: str, cores: int) -> dict:
     raise RuntimeError(f"no RESULT line (cores={cores})")
 
 
-def run_at(cores: int, sf: float, ramdisk: bool) -> dict:
+def run_at(cores: int, sf: float, ramdisk: bool, reps: int) -> dict:
     return _run_pinned(
-        RUN_SNIPPET.format(repo=REPO, sf=sf, cores=cores, ramdisk=ramdisk), cores
+        RUN_SNIPPET.format(repo=REPO, sf=sf, cores=cores, ramdisk=ramdisk, reps=reps),
+        cores,
     )
 
 
@@ -143,11 +152,9 @@ def probe_at(cores: int) -> float:
 
 
 def best_of(reps: int, cores: int, sf: float, ramdisk: bool) -> dict:
-    runs = [run_at(cores, sf, ramdisk) for _ in range(reps)]
-    best = dict(min(runs, key=lambda r: r["sec"]))
-    best["extract_sec"] = min(r["extract_sec"] for r in runs)
-    best["extract_turns_per_sec"] = max(r["extract_turns_per_sec"] for r in runs)
-    return best
+    # one pinned JVM per level; extraction and pipeline each run `reps`
+    # times INSIDE it (steady-state: min) — see RUN_SNIPPET comment.
+    return run_at(cores, sf, ramdisk, reps)
 
 
 def main() -> None:
