@@ -46,7 +46,7 @@ from graphrag_litex_spark.operators.extraction import (
     items_raw_claims,
     items_raw_edges,
 )
-from graphrag_litex_spark.operators.linking import candidate_pairs, distinct_norm_names
+from graphrag_litex_spark.operators.linking import candidate_pairs
 from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 
 PIPELINE_VERSION = 8
@@ -260,7 +260,15 @@ class KGPipeline:
 
         # S5/S6 linking + connected-components canonicalization (D6 + E3).
         def build_canon() -> DataFrame:
-            names = distinct_norm_names(results["mentions"], "name")
+            # norm_name was computed once at extraction-write time (JVM
+            # expression); reuse it — recomputing normalization over every
+            # mention row doubled this stage's scan cost.
+            names = (
+                results["mentions"]
+                .select("norm_name")
+                .where(F.col("norm_name") != "")
+                .distinct()
+            )
             pairs = candidate_pairs(names, cfg.sim_threshold)
             labels = connected_components(
                 names, pairs, id_col="norm_name", max_iter=cfg.cc_max_iter
