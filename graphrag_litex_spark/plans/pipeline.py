@@ -113,30 +113,32 @@ class KGPipeline:
         self._manifest_path = os.path.join(out_dir, "_manifest.json")
 
     # ---- checkpoint manifest -------------------------------------------
-    def _input_fingerprint(self) -> str:
+    def _input_fingerprint(self, extra_inputs: list[str] | None = None) -> str:
         from graphrag_litex_spark.sources.tables import TABLE_PREFIX, input_fingerprint
 
+        if extra_inputs is None:
+            extra_inputs = self._load_manifest().get("extra_inputs", [])
         h = hashlib.sha256()
         h.update(str(PIPELINE_VERSION).encode())
         h.update(json.dumps(asdict(self.config), sort_keys=True).encode())
-        p = self.transcripts_path
-        if p.startswith(TABLE_PREFIX):
-            # catalog table: Iceberg snapshot id when available, else the
-            # identifier alone (resume is then config-keyed only)
-            h.update(p.encode())
-            snap = input_fingerprint(self.spark, p)
-            if snap:
-                h.update(snap.encode())
-            return h.hexdigest()
-        if os.path.isdir(p):
-            files = sorted(
-                os.path.join(dp, f) for dp, _, fs in os.walk(p) for f in fs
-            )
-        else:
-            files = [p]
-        for f in files:
-            st = os.stat(f)
-            h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        for p in [self.transcripts_path, *extra_inputs]:
+            if p.startswith(TABLE_PREFIX):
+                # catalog table: Iceberg snapshot id when available, else the
+                # identifier alone (resume is then config-keyed only)
+                h.update(p.encode())
+                snap = input_fingerprint(self.spark, p)
+                if snap:
+                    h.update(snap.encode())
+                continue
+            if os.path.isdir(p):
+                files = sorted(
+                    os.path.join(dp, f) for dp, _, fs in os.walk(p) for f in fs
+                )
+            else:
+                files = [p]
+            for f in files:
+                st = os.stat(f)
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
         return h.hexdigest()
 
     def _load_manifest(self) -> dict:
@@ -177,16 +179,72 @@ class KGPipeline:
         self._save_manifest(manifest)
         return out
 
+    # ---- incremental append ----------------------------------------------
+    def append_transcripts(self, new_path: str) -> int:
+        """Incremental corpus growth: extract ONLY the new transcripts and
+        append their items to the extractions stage; downstream stages are
+        invalidated (they rebuild from the combined item table on the next
+        ``run(resume=True)``), while extraction — the corpus-proportional
+        hot path that dominates at 10^12 turns — is never recomputed for
+        data already ingested. Returns the number of new turns ingested.
+        The streaming analog is streaming/incremental.stream_extract; this
+        is the batch path with manifest bookkeeping.
+        """
+        from graphrag_litex_spark.operators.extraction import extract_items
+        from graphrag_litex_spark.sources.tables import load_input
+
+        manifest = self._load_manifest()
+        extras = list(manifest.get("extra_inputs", []))
+        if new_path == self.transcripts_path or new_path in extras:
+            return 0  # idempotent: already ingested
+        entry = manifest.get("extractions")
+        path = self._stage_path("extractions")
+        if (
+            not entry
+            or entry.get("fingerprint") != self._input_fingerprint(extras)
+            or not os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            raise ValueError(
+                "append requires an up-to-date extractions stage; run() first"
+            )
+
+        new_tr = load_input(self.spark, new_path)
+        n_part = max(self.spark.sparkContext.defaultParallelism * 2, 8)
+        if new_tr.rdd.getNumPartitions() < n_part // 2:
+            new_tr = new_tr.repartition(n_part, "conv_id")
+        n_new = new_tr.count()
+        t0 = time.time()
+        items = extract_items(
+            new_tr.select("conv_id", "turn_idx", "text")
+        ).withColumn("norm_name", F.when(F.col("kind") == "e", norm_name_col("f1")))
+        items.write.mode("append").parquet(path)
+
+        extras.append(new_path)
+        manifest["extra_inputs"] = extras
+        manifest["extractions"] = {
+            "fingerprint": self._input_fingerprint(extras),
+            "rows": _parquet_rows(path),
+            "sec": round(time.time() - t0, 2),
+        }
+        self._save_manifest(manifest)  # downstream entries now stale -> rebuild
+        return n_new
+
     # ---- run -------------------------------------------------------------
     def run(self, resume: bool = True, until: str | None = None) -> dict[str, DataFrame]:
         cfg = self.config
-        fp = self._input_fingerprint()
         manifest = self._load_manifest()
+        extras = manifest.get("extra_inputs", [])
+        fp = self._input_fingerprint(extras)
         mat = lambda name, build: self._materialize(name, build, manifest, fp, resume)  # noqa: E731
         results: dict[str, DataFrame] = {}
+        from functools import reduce
+
         from graphrag_litex_spark.sources.tables import load_input
 
-        transcripts = load_input(self.spark, self.transcripts_path)
+        transcripts = reduce(
+            DataFrame.unionByName,
+            [load_input(self.spark, p) for p in [self.transcripts_path, *extras]],
+        )
 
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).

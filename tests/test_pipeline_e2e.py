@@ -125,3 +125,39 @@ def test_resume_is_noop(spark, corpus_sf0001, tmp_path):
     assert time.time() - t0 < 15
     assert res["nodes"].count() > 0
     assert os.path.exists(os.path.join(out, "_manifest.json"))
+
+
+def test_incremental_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_factory):
+    """Batch incrementality: pipeline(half A) + append(half B) must produce
+    the SAME graph as pipeline(A+B), with extraction never recomputed for A."""
+    import pyarrow.parquet as pq
+
+    from graphrag_litex_spark.plans.pipeline import KGPipeline, run_pipeline
+
+    d = tmp_path_factory.mktemp("incr")
+    t = pq.read_table(corpus_sf0001["transcripts"])
+    half = t.num_rows // 2
+    a_dir, b_dir = str(d / "a"), str(d / "b")
+    import os
+
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    pq.write_table(t.slice(0, half), os.path.join(a_dir, "part-0.parquet"))
+    pq.write_table(t.slice(half), os.path.join(b_dir, "part-0.parquet"))
+
+    out = str(d / "kg_incr")
+    run_pipeline(spark, a_dir, out, resume=False, until="claims")
+    pipe = KGPipeline(spark, a_dir, out)
+    n_new = pipe.append_transcripts(b_dir)
+    assert n_new == t.num_rows - half
+    assert pipe.append_transcripts(b_dir) == 0  # idempotent
+
+    res = pipe.run(resume=True, until="claims")
+    got = {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in res["triples"].collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(corpus_sf0001["golden_triples"]).collect()
+    }
+    assert got == want
