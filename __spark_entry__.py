@@ -404,6 +404,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return lsh_bucketed_topk(e.where(F.col("vec_id") != 0), list(qvec), k=10, planes=4)
 
+    def ann_ivf_topk(spark, sf_dir):
+        from graphrag_litex_spark.operators.similarity import ivf_topk
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ivf_topk(e.where(F.col("vec_id") != 0), list(qvec), k=10, n_centroids=8, nprobe=2)
+
     for fn in (
         kg_triples_agg,
         kg_canon_map,
@@ -440,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_simhash,
         dedup_ngram_jaccard,
         ann_lsh_topk,
+        ann_ivf_topk,
     ):
         q[fn.__name__] = fn
     return q
@@ -779,6 +787,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine
             FROM read_parquet('{docops["golden_ann_lsh_topk"]}')
+        """,
+        "ann_ivf_topk": f"""
+            SELECT vec_id, cosine
+            FROM read_parquet('{docops["golden_ann_ivf_topk"]}')
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS (

@@ -108,3 +108,8 @@ def xxhash64_str_int(s: str, i: int) -> int:
 def xxhash64_int(i: int) -> int:
     """Equivalent of ``F.xxhash64(F.lit(i))`` for an int literal."""
     return _signed(hash_int(i, SPARK_SEED))
+
+
+def xxhash64_long(i: int) -> int:
+    """Equivalent of ``F.xxhash64(long_col)`` (LongType lane, 8 bytes)."""
+    return _signed(hash_long(i, SPARK_SEED))

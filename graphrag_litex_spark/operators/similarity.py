@@ -132,6 +132,133 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer (centroid table, driver-side).
+
+    Seeds are the ``n_centroids`` rows with the smallest
+    ``(xxhash64(id), id)`` — a deterministic pseudo-random sample computed
+    as TakeOrderedAndProject (k-heap per partition, no global sort, no
+    ``rand()``), reproducible by any independent implementation via the
+    pure-Python XXH64. Optional Lloyd refinement rounds run as DataFrame
+    aggregations: assign every row to its argmax-cosine centroid (codegen'd
+    expression, :func:`ivf_assign`), then recompute each centroid as the
+    element-wise mean via ``posexplode`` + ``groupBy().avg()`` — one shuffle
+    of (n_centroids x dim) groups per round, corpus never collected.
+
+    The returned table is the index's ONLY driver-side state:
+    n_centroids x dim doubles (even 2^16 centroids x 1024 dims is ~0.5 GB of
+    literals — at that scale persist it as a table and broadcast-join
+    instead; for the coarse quantizers this engine targets, <= 2^10
+    centroids, literals are cheaper and stay in whole-stage codegen).
+    """
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r["_v"]] for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(embeddings, cents, vec_col=vec_col)
+        means = (
+            assigned.select(
+                "_cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+            )
+            .groupBy("_cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["_cid"], {})[r["pos"]] = r["m"]
+        # Empty clusters keep their previous centroid (standard Lloyd).
+        cents = [
+            [by_cid[c][j] for j in range(len(cents[c]))] if c in by_cid else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "_cid",
+) -> DataFrame:
+    """Adds ``out_col`` = argmax-cosine centroid id, as ONE JVM expression.
+
+    ``array_max`` over ``array<struct<score, cid>>`` picks the
+    lexicographic max — best score, ties to the larger cid — with the
+    centroid vectors embedded as literal arrays, so assignment runs inside
+    whole-stage codegen with zero Python and no join. At 100 TB this is the
+    index build: write the assigned corpus partitioned by ``out_col`` once,
+    and every probe after that is partition-pruned I/O.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_col(F.col(vec_col).cast("array<double>"), _query_lit(c)).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    return embeddings.withColumn(out_col, F.array_max(scored)["cid"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` closest inverted
+    lists (the second ANN scale path next to :func:`lsh_bucketed_topk`).
+
+    Probe selection is pure driver arithmetic over the tiny centroid table;
+    the corpus-side work is one codegen'd assignment + filter + exact top-k
+    within the probed lists (~ nprobe/n_centroids of the data). With
+    ``nprobe == n_centroids`` this is exactly :func:`brute_force_topk`
+    (asserted in tests). Pass a precomputed/Lloyd-refined ``centroids``
+    table to skip the seed scan — the materialized-index path.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, n_centroids, id_col, vec_col
+    )
+    q = [float(v) for v in query_vec]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        na = 0.0
+        for v in a:
+            na = na + v * v
+        nb = 0.0
+        for v in b:
+            nb = nb + v * v
+        denom = na**0.5 * nb**0.5
+        if denom == 0:
+            return 0.0
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc / denom
+
+    probes = sorted(range(len(cents)), key=lambda c: (-_cos(cents[c], q), c))[:nprobe]
+    probed = ivf_assign(embeddings, cents, vec_col=vec_col).where(
+        F.col("_cid").isin([int(p) for p in probes])
+    )
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

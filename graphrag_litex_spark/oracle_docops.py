@@ -24,6 +24,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.xxh64 import (
     xxhash64_int,
+    xxhash64_long,
     xxhash64_str,
     xxhash64_str_int,
 )
@@ -210,6 +211,43 @@ def ann_lsh_topk_golden(
     )
 
 
+# ---- IVF ANN (operators/similarity.py ivf_centroids/ivf_assign/ivf_topk) --
+
+
+def ann_ivf_topk_golden(
+    vec_ids: list,
+    vecs: list,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> pa.Table:
+    """Sequential replica of the IVF path: seeds = smallest
+    (xxhash64(long id), id); assignment = argmax cosine (ties to larger
+    cid, matching array_max's lexicographic struct compare); probes = top
+    ``nprobe`` centroids by (cosine desc, cid asc); exact top-k within."""
+    order = sorted(zip(vec_ids, vecs), key=lambda r: (xxhash64_long(int(r[0])), r[0]))
+    cents = [[float(x) for x in v] for _, v in order[:n_centroids]]
+    q = [float(v) for v in query_vec]
+    probes = set(
+        sorted(range(len(cents)), key=lambda c: (-_cosine_fold(cents[c], q), c))[:nprobe]
+    )
+    scored = []
+    for vid, v in zip(vec_ids, vecs):
+        vd = [float(x) for x in v]
+        cid = max(range(len(cents)), key=lambda c: (_cosine_fold(vd, cents[c]), c))
+        if cid in probes:
+            scored.append((vid, round_half_up(_cosine_fold(vd, q), 6)))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    scored = scored[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in scored]),
+            "cosine": pa.array([r[1] for r in scored], pa.float64()),
+        }
+    )
+
+
 # ---- VectorRAG baseline top-k (jobs/vector_rag_baseline.py) ----
 
 
@@ -247,7 +285,7 @@ def vector_rag_topk_golden(
 
 # ---- driver: compute goldens for a testdata sf dir (cached on disk) ----
 
-DOCOPS_VERSION = 2
+DOCOPS_VERSION = 3
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -261,6 +299,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_simhash": os.path.join(out_dir, "golden_simhash.parquet"),
         "golden_minhash_lsh": os.path.join(out_dir, "golden_minhash_lsh.parquet"),
         "golden_ann_lsh_topk": os.path.join(out_dir, "golden_ann_lsh_topk.parquet"),
+        "golden_ann_ivf_topk": os.path.join(out_dir, "golden_ann_ivf_topk.parquet"),
         "golden_vector_rag": os.path.join(out_dir, "golden_vector_rag.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
@@ -303,6 +342,10 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     pq.write_table(
         ann_lsh_topk_golden(rest_ids, rest_vecs, list(qvec), k=10, planes=4),
         paths["golden_ann_lsh_topk"],
+    )
+    pq.write_table(
+        ann_ivf_topk_golden(rest_ids, rest_vecs, list(qvec), k=10, n_centroids=8, nprobe=2),
+        paths["golden_ann_ivf_topk"],
     )
     with open(manifest, "w") as f:
         json.dump(want, f)

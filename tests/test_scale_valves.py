@@ -13,6 +13,7 @@ from graphrag_litex_spark.operators.linking import candidate_pairs
 def test_xxh64_matches_spark(spark):
     from graphrag_litex_spark.functions.xxh64 import (
         xxhash64_int,
+        xxhash64_long,
         xxhash64_str,
         xxhash64_str_int,
     )
@@ -23,12 +24,16 @@ def test_xxh64_matches_spark(spark):
         *[F.xxhash64(F.lit(s), F.lit(i * 7)).alias(f"p{i}") for i, s in enumerate(samples)],
         F.xxhash64(F.lit(123456)).alias("i0"),
         F.xxhash64(F.lit(-42)).alias("i1"),
+        F.xxhash64(F.lit(123456).cast("long")).alias("l0"),
+        F.xxhash64(F.lit(-42).cast("long")).alias("l1"),
     ).collect()[0]
     for i, s in enumerate(samples):
         assert row[f"s{i}"] == xxhash64_str(s)
         assert row[f"p{i}"] == xxhash64_str_int(s, i * 7)
     assert row["i0"] == xxhash64_int(123456)
     assert row["i1"] == xxhash64_int(-42)
+    assert row["l0"] == xxhash64_long(123456)
+    assert row["l1"] == xxhash64_long(-42)
 
 
 @pytest.fixture(scope="module")
