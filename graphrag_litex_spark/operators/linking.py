@@ -44,17 +44,10 @@ def distinct_norm_names(mentions: DataFrame, name_col: str = "name") -> DataFram
     )
 
 
-def candidate_pairs(
-    names: DataFrame,
-    threshold: float = SIM_THRESHOLD,
-    max_block_size: int | None = None,
+def _block_keyed(
+    names: DataFrame, feature: F.Column, max_block_size: int | None
 ) -> DataFrame:
-    """Similarity edges (a, b, sim) between distinct normalized names.
-
-    Blocking key = first token (functions.normalize.blocking_key); scoring =
-    char-3-gram Jaccard (functions.normalize.name_similarity) — both
-    replicated as Catalyst expressions so the single-process oracle and this
-    distributed version produce identical edges.
+    """(norm_name, block, feat): first-token blocking shared by both scorers.
 
     ``max_block_size`` is the pathological-block valve at 100 TB: a block
     whose name count exceeds it (everything starting with "the ...") is
@@ -63,12 +56,12 @@ def candidate_pairs(
     cross-sub-block pairs inside the giant block (documented recall
     tradeoff); default None keeps exact first-token semantics, identical to
     the single-process oracle. Tested with an adversarial boilerplate corpus
-    in tests/test_toolbox.py.
+    in tests/test_scale_valves.py.
     """
     keyed = names.select(
         F.col("norm_name"),
         F.split_part(F.col("norm_name"), F.lit(" "), F.lit(1)).alias("block"),
-        char_ngrams_col("norm_name").alias("grams"),
+        feature.alias("feat"),
     )
     if max_block_size is not None:
         big = (
@@ -86,8 +79,13 @@ def candidate_pairs(
             F.when(F.col("_big").isNotNull(), F.concat_ws(" ", "block", sub))
             .otherwise(F.col("block"))
             .alias("block"),
-            "grams",
+            "feat",
         )
+    return keyed
+
+
+def _scored_pairs(keyed: DataFrame, sim: F.Column, threshold: float) -> DataFrame:
+    """Self-join within blocks, ordered pairs, scored, thresholded."""
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -99,7 +97,69 @@ def candidate_pairs(
         .select(
             F.col("a.norm_name").alias("src"),
             F.col("b.norm_name").alias("dst"),
-            jaccard_col(F.col("a.grams"), F.col("b.grams")).alias("sim"),
+            sim.alias("sim"),
         )
         .where(F.col("sim") >= threshold)
+    )
+
+
+def candidate_pairs(
+    names: DataFrame,
+    threshold: float = SIM_THRESHOLD,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Similarity edges (src, dst, sim) between distinct normalized names.
+
+    Blocking key = first token (functions.normalize.blocking_key); scoring =
+    char-3-gram Jaccard (functions.normalize.name_similarity) — both
+    replicated as Catalyst expressions so the single-process oracle and this
+    distributed version produce identical edges.
+    """
+    keyed = _block_keyed(names, char_ngrams_col("norm_name"), max_block_size)
+    return _scored_pairs(
+        keyed, jaccard_col(F.col("a.feat"), F.col("b.feat")), threshold
+    )
+
+
+def embedding_candidate_pairs(
+    names: DataFrame,
+    threshold: float = 0.85,
+    embed_udf=None,
+    dim: int = 64,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Reference-shaped scorer: cosine of NAME EMBEDDINGS within blocks.
+
+    This is the exact scoring semantics of the reference's resolver —
+    embed each normalized name, link when cosine > 0.85
+    (/root/reference/extraction/entity_resolver.py:32-42 and the threshold
+    at :10-12) — restructured from its greedy O(n²) sequential scan into
+    blocking + pair scoring + (downstream) connected components, so it is
+    order-independent and distributable.
+
+    ``embed_udf`` is the pluggable C7 slot: any Arrow-batched pandas UDF
+    ``string -> array<double>`` (default: the deterministic hashing
+    featurizer; production: a sentence-transformer UDF loaded once per
+    executor). The embedding is computed ONCE per distinct normalized name —
+    the names table is tiny relative to the mention stream — and pairs are
+    scored JVM-side (``cosine_col``), so the Python cost is O(unique names),
+    never O(pairs). Drop-in replacement for :func:`candidate_pairs` upstream
+    of ``connected_components``.
+
+    Note: the default hashing featurizer's cosine measures TOKEN overlap, so
+    at the reference's 0.85 threshold it links only near-identical token
+    sets (reorderings, subset-of-3 extensions); the fuzzy suffix-expansion
+    behavior ("acme corp" ~ "acme corporation") needs a semantic embedder in
+    this slot — that is exactly the reference's MiniLM dependency, stubbed
+    deterministically here like the LLM extractor is.
+    """
+    from graphrag_litex_spark.operators.similarity import cosine_col
+
+    if embed_udf is None:
+        from graphrag_litex_spark.querying.answer import make_embed_udf
+
+        embed_udf = make_embed_udf(dim)
+    keyed = _block_keyed(names, embed_udf(F.col("norm_name")), max_block_size)
+    return _scored_pairs(
+        keyed, F.round(cosine_col(F.col("a.feat"), F.col("b.feat")), 6), threshold
     )

@@ -70,6 +70,12 @@ class PipelineConfig:
 
     min_strength: float = 0.5  # simple_graph_builder.py:83-86
     sim_threshold: float = SIM_THRESHOLD  # entity_resolver.py:10-12
+    # Linking scorer: "ngram" (char-3-gram Jaccard, the dependency-free
+    # default that the golden oracle replicates) or "embedding" (cosine of
+    # name embeddings — the reference's exact scoring semantics,
+    # entity_resolver.py:32-42, with the pluggable C7 embedder).
+    link_scorer: str = "ngram"
+    embed_sim_threshold: float = 0.85  # entity_resolver.py:10-12
     salted: bool = True
     salt_buckets: int = 16
     max_instances: int | None = 10_000  # provenance-array cap per node/edge
@@ -327,7 +333,14 @@ class KGPipeline:
                 .where(F.col("norm_name") != "")
                 .distinct()
             )
-            pairs = candidate_pairs(names, cfg.sim_threshold)
+            if cfg.link_scorer == "embedding":
+                from graphrag_litex_spark.operators.linking import (
+                    embedding_candidate_pairs,
+                )
+
+                pairs = embedding_candidate_pairs(names, cfg.embed_sim_threshold)
+            else:
+                pairs = candidate_pairs(names, cfg.sim_threshold)
             labels = connected_components(
                 names, pairs, id_col="norm_name", max_iter=cfg.cc_max_iter
             )

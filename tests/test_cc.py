@@ -92,3 +92,56 @@ def test_driver_local_matches_distributed_path(spark):
         for r in connected_components(vdf, edf, driver_threshold=0).collect()
     }
     assert local == dist
+
+
+def test_embedding_candidate_pairs_reference_semantics(spark):
+    """The embedding scorer links by cosine of name embeddings within
+    first-token blocks (reference entity_resolver.py:32-42 semantics)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from graphrag_litex_spark.operators.linking import embedding_candidate_pairs
+
+    names = spark.createDataFrame(
+        pd.DataFrame({"norm_name": ["acme corp", "acme corporation", "acme labs", "zeta corp"]})
+    )
+
+    # Controlled embedder: identical vectors for the two "corp*" variants,
+    # orthogonal for the rest -> exactly one pair above 0.85.
+    table = {
+        "acme corp": [1.0, 0.0, 0.0],
+        "acme corporation": [1.0, 0.0, 0.0],
+        "acme labs": [0.0, 1.0, 0.0],
+        "zeta corp": [1.0, 0.0, 0.0],  # same vector but different block
+    }
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def fake_embed(s: pd.Series) -> pd.Series:
+        return s.map(table.get)
+
+    pairs = embedding_candidate_pairs(names, threshold=0.85, embed_udf=fake_embed).collect()
+    assert [(r["src"], r["dst"], r["sim"]) for r in pairs] == [
+        ("acme corp", "acme corporation", 1.0)
+    ]  # zeta corp blocked out despite identical embedding
+
+
+def test_embedding_pairs_default_hash_embed_and_cc(spark):
+    """Default embedder path composes with CC into a canon map; token
+    reorderings embed identically (cosine 1.0) and so link."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.linking import embedding_candidate_pairs
+
+    names_l = ["alice johnson", "alice johnson phd", "alice smith", "bob jones"]
+    names = spark.createDataFrame(pd.DataFrame({"norm_name": names_l}))
+    pairs = embedding_candidate_pairs(names, threshold=0.80)
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+    # "alice johnson" vs "alice johnson phd": 2 shared tokens of 2 vs 3
+    # -> cosine = 2/sqrt(6) ~= 0.816; vs "alice smith" -> 1/2 = 0.5.
+    assert ("alice johnson", "alice johnson phd") in got
+    assert ("alice johnson", "alice smith") not in got
+    labels = connected_components(names, pairs, id_col="norm_name")
+    lmap = {r["norm_name"]: r["label"] for r in labels.collect()}
+    assert lmap["alice johnson"] == lmap["alice johnson phd"] == "alice johnson"
+    assert lmap["alice smith"] == "alice smith"
