@@ -88,3 +88,64 @@ def test_chunked_ingest_shape(spark):
     got = tr.orderBy("turn_idx").collect()
     assert [r["turn_idx"] for r in got] == [0, 1, 2]
     assert got[0]["conv_id"] == "7"
+
+
+# ---- property-based invariants of the pure chunking kernel (hypothesis) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphrag_litex_spark.operators.chunking import chunk_windows
+
+_words = st.lists(st.text(alphabet="abcXYZ09", min_size=1, max_size=8), min_size=0, max_size=400)
+_sizes = st.integers(min_value=2, max_value=50)
+_overlaps = st.integers(min_value=0, max_value=60)
+
+
+@given(_words, _sizes, _overlaps)
+@settings(max_examples=300, deadline=None)
+def test_chunks_reconstruct_token_stream(words, size, overlap):
+    """Q1-fix invariant: chunk 0 + each later chunk minus its overlap prefix
+    reproduces the token stream exactly — every token covered, none twice
+    beyond the declared overlap."""
+    text = " ".join(words)
+    chunks = chunk_windows(text, size, overlap)
+    toks = text.split()
+    if not toks:
+        assert chunks == []
+        return
+    eff = min(overlap, size // 2)
+    rebuilt = []
+    for i, ch in enumerate(chunks):
+        ctoks = ch.split(" ") if ch else []
+        rebuilt.extend(ctoks if i == 0 else ctoks[eff:])
+    assert rebuilt == toks
+
+
+@given(_words, _sizes, _overlaps)
+@settings(max_examples=300, deadline=None)
+def test_chunk_sizes_and_ids_are_window_shaped(words, size, overlap):
+    text = " ".join(words)
+    toks = text.split()
+    chunks = chunk_windows(text, size, overlap)
+    if len(toks) <= size:
+        assert chunks == ([" ".join(toks)] if toks else [])
+        return
+    lens = [len(c.split(" ")) for c in chunks]
+    # All full windows except possibly the final partial one.
+    assert all(n == size for n in lens[:-1])
+    assert 1 <= lens[-1] <= size
+    # Window count formula: ceil((n - size) / step) + 1.
+    eff = min(overlap, size // 2)
+    step = size - eff
+    n = len(toks)
+    assert len(chunks) == -(-(n - size) // step) + 1
+
+
+@given(_words, _sizes)
+@settings(max_examples=100, deadline=None)
+def test_overlap_clamp_matches_half_size(words, size):
+    """overlap > size/2 behaves exactly like overlap = size // 2
+    (reference text_chunker.py:63)."""
+    text = " ".join(words)
+    assert chunk_windows(text, size, size) == chunk_windows(text, size, size // 2)
