@@ -427,12 +427,33 @@ def summarize_communities(
         )
     )
 
+    # Parent reports embed their children (the reference summarizes levels
+    # deepest-first so parent prompts include child summaries,
+    # indexing/summarizer.py:68,164-177). Sequencing is an LLM-prompt
+    # artifact — relationally, a parent's children are one self-join away:
+    # communities at level+1 whose ``parent`` is this community.
+    child_rows = (
+        communities.select("level", "community_id", "parent")
+        .where(F.col("level") >= 1)
+        .distinct()
+    )
+    child_titles = (
+        child_rows.join(titles, ["level", "community_id"])
+        .groupBy(
+            (F.col("level") - 1).alias("level"),
+            F.col("parent").alias("community_id"),
+        )
+        .agg(F.array_sort(F.collect_list("title")).alias("sub_communities"))
+    )
+
     base = (
         stats.select("level", "community_id", "size", "density", "flow")
         .join(titles, ["level", "community_id"], "left")
         .join(member_names, ["level", "community_id"], "left")
         .join(findings, ["level", "community_id"], "left")
+        .join(child_titles, ["level", "community_id"], "left")
         .withColumn("findings", F.coalesce("findings", F.array()))
+        .withColumn("sub_communities", F.coalesce("sub_communities", F.array()))
         # rating in [0, 10] (clamp semantics per indexing/summarizer.py:181-208)
         .withColumn(
             "rating",
@@ -451,11 +472,20 @@ def summarize_communities(
         "summary",
         "rating",
         "findings",
+        "sub_communities",
         F.concat_ws(
             " ",
             F.col("title"),
             F.col("summary"),
             F.concat_ws(" ", F.col("findings.summary")),
+            F.when(
+                F.size("sub_communities") > 0,
+                F.concat(
+                    F.lit("Sub-communities: "),
+                    F.concat_ws("; ", "sub_communities"),
+                    F.lit("."),
+                ),
+            ),
         ).alias("full_text"),
         "size",
         "density",

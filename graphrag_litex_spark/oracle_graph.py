@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 1
+GRAPH_GOLDEN_VERSION = 2
 
 
 def _r(x: float, digits: int) -> float:
@@ -240,14 +240,16 @@ def summarize(
         comm_at.setdefault(level, {})[u] = cid
 
     adj = _adj(und)
-    out = []
+
+    # Pass 1: titles for every community (parents embed child TITLES below,
+    # mirroring summarize_communities' child_titles self-join — the
+    # relational replacement for the reference's deepest-first sequencing,
+    # indexing/summarizer.py:68,164-177).
+    titles: dict[tuple[int, str], str | None] = {}
     for st in stats:
-        level, cid, size = st["level"], st["community_id"], st["size"]
+        level, cid = st["level"], st["community_id"]
         members = by_comm[(level, cid)]
         mset = set(members)
-
-        # title: max within-community degree, tie -> name asc (NULL if no
-        # intra edges — the deg join produces no row for this community)
         best = None
         for u in members:
             deg = sum(1 for v in adj.get(u, ()) if v in mset)
@@ -257,7 +259,25 @@ def summarize(
             key = (-deg, nm if nm is not None else "￿￿")
             if best is None or key < best[0]:
                 best = (key, nm)
-        title = best[1] if best else None
+        titles[(level, cid)] = best[1] if best else None
+
+    # children of (L, C) = distinct communities at L+1 whose parent == C
+    children: dict[tuple[int, str], set[tuple[int, str]]] = {}
+    for level, cid, par, _u in membership:
+        if level >= 1:
+            children.setdefault((level - 1, par), set()).add((level, cid))
+
+    out = []
+    for st in stats:
+        level, cid, size = st["level"], st["community_id"], st["size"]
+        members = by_comm[(level, cid)]
+        mset = set(members)
+        title = titles[(level, cid)]
+        sub_titles = sorted(
+            t
+            for t in (titles.get(ch) for ch in children.get((level, cid), ()))
+            if t is not None
+        )
 
         # findings: top intra edges by (strength desc, src, dst, pred)
         intra = [
@@ -279,7 +299,10 @@ def summarize(
         )
         rating_raw = size / 3.0 + 5.0 * st["density"]
         rating = _r(rating_raw if rating_raw < 10.0 else 10.0, 2)
-        full_parts = [p for p in (title, summary, " ".join(findings)) if p is not None]
+        sub_seg = "Sub-communities: " + "; ".join(sub_titles) + "." if sub_titles else None
+        full_parts = [
+            p for p in (title, summary, " ".join(findings), sub_seg) if p is not None
+        ]
         full_text = " ".join(full_parts)
         out.append(
             {

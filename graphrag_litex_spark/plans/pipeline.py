@@ -49,7 +49,7 @@ from graphrag_litex_spark.operators.extraction import (
 from graphrag_litex_spark.operators.linking import candidate_pairs
 from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 
-PIPELINE_VERSION = 8
+PIPELINE_VERSION = 9
 
 
 def _parquet_rows(path: str) -> int:
