@@ -52,16 +52,22 @@ from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 PIPELINE_VERSION = 9
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers (metadata-only, no Spark job)."""
+def _parquet_stats(path: str) -> dict:
+    """Stage-output metrics from parquet footers (metadata-only, no Spark
+    job): rows, file count (= write partitions), bytes. Recorded per stage
+    in the manifest — the north rule's per-partition metrics alongside the
+    per-row (source_id, chunk_id) lineage columns."""
     import pyarrow.parquet as pq
 
-    total = 0
+    rows = files = size = 0
     for dp, _, fs in os.walk(path):
         for f in fs:
             if f.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(dp, f)).num_rows
-    return total
+                fp = os.path.join(dp, f)
+                rows += pq.read_metadata(fp).num_rows
+                files += 1
+                size += os.stat(fp).st_size
+    return {"rows": rows, "files": files, "bytes": size}
 
 
 @dataclass(frozen=True)
@@ -179,8 +185,8 @@ class KGPipeline:
         out = self.spark.read.parquet(path)
         manifest[name] = {
             "fingerprint": fingerprint,
-            "rows": _parquet_rows(path),  # footer metadata — no Spark job
             "sec": round(time.time() - t0, 2),
+            **_parquet_stats(path),  # footer metadata — no Spark job
         }
         self._save_manifest(manifest)
         return out
@@ -229,8 +235,8 @@ class KGPipeline:
         manifest["extra_inputs"] = extras
         manifest["extractions"] = {
             "fingerprint": self._input_fingerprint(extras),
-            "rows": _parquet_rows(path),
             "sec": round(time.time() - t0, 2),
+            **_parquet_stats(path),
         }
         self._save_manifest(manifest)  # downstream entries now stale -> rebuild
         return n_new
