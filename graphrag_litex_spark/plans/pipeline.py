@@ -330,10 +330,16 @@ class KGPipeline:
 
         # S5/S6 linking + connected-components canonicalization (D6 + E3).
         def build_canon() -> DataFrame:
+            from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
             # norm_name was computed once at extraction-write time (JVM
             # expression); reuse it — recomputing normalization over every
-            # mention row doubled this stage's scan cost.
-            names = (
+            # mention row doubled this stage's scan cost. The distinct-names
+            # set is consumed THREE times (candidate pairs, CC's edge
+            # symmetrization, CC's initial labels): checkpoint it once so the
+            # corpus-sized mentions scan + distinct shuffle run once, not
+            # three times (at sf10 that is two full extra corpus scans).
+            names = hard_checkpoint(
                 results["mentions"]
                 .select("norm_name")
                 .where(F.col("norm_name") != "")
@@ -350,6 +356,9 @@ class KGPipeline:
             labels = connected_components(
                 names, pairs, id_col="norm_name", max_iter=cfg.cc_max_iter
             )
+            # CC's output is itself checkpointed (or driver-built), so the
+            # names cache can be dropped before the stage write.
+            release(names)
             return labels.select(
                 "norm_name",
                 F.col("label").alias("canonical"),
