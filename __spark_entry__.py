@@ -315,6 +315,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def bpe_token_stats(spark, sf_dir):
+        """BPE-ish pretokenizer counts vs whitespace counts, per language."""
+        from graphrag_litex_spark.operators.text_analysis import (
+            bpe_token_count_col,
+            token_count_col,
+        )
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return (
+            d.withColumn("n_bpe", bpe_token_count_col("text"))
+            .withColumn("n_ws", token_count_col("text"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+                F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+            )
+        )
+
     def similarity_topk(spark, sf_dir):
         from graphrag_litex_spark.operators.similarity import brute_force_topk
 
@@ -436,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_quality,
         lang_id,
         token_stats,
+        bpe_token_stats,
         similarity_topk,
         knn_join_sample,
         embedding_dup_pairs,
@@ -694,6 +714,21 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
                         ELSE 'es' END AS lang_pred
             FROM h
+        """,
+        "bpe_token_stats": """
+            WITH toks AS (
+                SELECT lang,
+                       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe,
+                       CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')) = ''
+                            THEN 0
+                            ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '))
+                       END AS n_ws
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_bpe) AS bigint) AS total_bpe_tokens,
+                   cast(sum(n_ws) AS bigint) AS total_ws_tokens
+            FROM toks GROUP BY lang
         """,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

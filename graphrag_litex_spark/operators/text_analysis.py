@@ -28,6 +28,22 @@ def token_count_col(text_col="text"):
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
 
 
+# GPT-2-style BPE pretokenizer pattern, lookahead-free so the SAME string
+# compiles identically under Java regex (Spark) and RE2 (DuckDB) — the
+# original's trailing-space lookahead `\s+(?!\S)` is dropped; greedy `\s+`
+# gives the same match COUNT. Counts pretokens (the units BPE merges
+# operate within), the standard cheap token-count proxy when the merge
+# table isn't shipped to executors.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_col(text_col="text"):
+    """BPE-ish token count: one codegen'd regexp_count, no UDF."""
+    return F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_RE)), F.lit(0)
+    )
+
+
 def stopword_hits_col(text_col, lang: str):
     words = STOPWORDS[lang]
     arr = F.array(*[F.lit(w) for w in words])

@@ -267,3 +267,20 @@ def test_multimodal_frame_sampling(spark):
     assert bytes(v1[0]["payload"]) == b"0123"  # deterministic stub slice
     v2 = [r for r in out if r["media_id"] == "v2"]
     assert len(v2) == 1 and v2[0]["ts_ms"] == 0  # no duration -> one frame
+
+
+def test_bpe_token_count(spark):
+    from graphrag_litex_spark.operators.text_analysis import bpe_token_count_col
+
+    rows = [
+        (1, "Hello world, it's 2026!"),   # Hello| world|,| it|'s| 2026|! = 7
+        (2, "a  b"),                       # a|  |b ... pretokens = 3
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_token_count_col("text").alias("n")).collect()
+    }
+    assert got == {1: 7, 2: 3, 3: 0, 4: 0}
