@@ -271,6 +271,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return fingerprint(d)
 
+    def doc_winnow_fp(spark, sf_dir):
+        """Rolling-hash winnowing fingerprints, per-doc summary (set size +
+        minimum), differential vs the pure-Python golden."""
+        from graphrag_litex_spark.operators.text_analysis import winnow_fingerprints
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return (
+            winnow_fingerprints(d)
+            .groupBy(F.col("id").alias("doc_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_fps"),
+                F.min("fp").alias("min_fp"),
+            )
+        )
+
     def dedup_exact(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import exact_duplicates
 
@@ -450,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         topk_orders,
         window_events,
         doc_fingerprint,
+        doc_winnow_fp,
         dedup_exact,
         dedup_normalized,
         text_quality,
@@ -810,6 +826,10 @@ def oracle_sql() -> dict[str, str]:
         "vector_rag_topk": f"""
             SELECT chunk_id, cosine
             FROM read_parquet('{docops["golden_vector_rag"]}')
+        """,
+        "doc_winnow_fp": f"""
+            SELECT doc_id, n_fps, min_fp
+            FROM read_parquet('{docops["golden_winnow"]}')
         """,
         "dedup_simhash": f"""
             SELECT simhash, n_docs, representative_id

@@ -105,3 +105,50 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.md5(F.col(text_col)).alias("fp_raw"),
         F.md5(norm_text_col(text_col)).alias("fp_norm"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every character k-gram of the normalized text, keep the MINIMUM
+    hash of each window of ``window`` consecutive k-grams, distinct. Local
+    edits perturb only nearby windows, so near-duplicate documents share
+    most fingerprints — the classic rolling-hash fingerprint for
+    plagiarism/near-dup detection.
+
+    Columnar-engine note: the textbook Rabin-Karp ROLLING recurrence is a
+    scalar-CPU optimization; under whole-stage codegen each k-gram hashes
+    independently (xxhash64 over a substring — one fused projection), which
+    vectorizes better and needs no stateful UDF. Shape: explode positions ->
+    substring+hash projection -> one window-min per position -> distinct.
+    Everything JVM-side; a pure-Python golden replicates it bit-for-bit via
+    the XXH64 replica (oracle_docops.winnow_golden).
+
+    -> (id, fp) rows, one per distinct selected hash (fp = signed int64).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col).alias("id"), norm_text_col(text_col).alias("norm")).where(
+        F.col("norm") != ""
+    )
+    npos = F.greatest(F.length("norm") - k + 1, F.lit(1))
+    grams = base.select(
+        "id",
+        npos.alias("n_pos"),
+        F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+        F.expr(f"xxhash64(substring(norm, pos, {k}))").alias("h"),
+    )
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    # Full windows only (winnowing's window count = n_pos - window + 1,
+    # floored at one window when the doc is shorter than window k-grams).
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        .where(F.col("pos") <= F.greatest(F.col("n_pos") - window + 1, F.lit(1)))
+        .select("id", "fp")
+        .distinct()
+    )

@@ -211,6 +211,38 @@ def ann_lsh_topk_golden(
     )
 
 
+# ---- winnowing fingerprints (text_analysis.winnow_fingerprints) ----
+
+
+def winnow_fingerprint_set(text: str, k: int = 5, window: int = 4) -> set[int]:
+    """Sequential replica of the relational winnowing plan: same
+    normalization, same per-k-gram xxhash64, same full-window minima."""
+    norm = norm_text(text)
+    if norm == "":
+        return set()
+    n_pos = max(len(norm) - k + 1, 1)
+    hashes = [xxhash64_str(norm[i : i + k]) for i in range(n_pos)]
+    n_win = max(n_pos - window + 1, 1)
+    return {min(hashes[i : i + window]) for i in range(n_win)}
+
+
+def winnow_golden(doc_ids: list, texts: list, k: int = 5, window: int = 4) -> pa.Table:
+    """-> per-doc (doc_id, n_fps, min_fp) summary of the fingerprint set."""
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        fps = winnow_fingerprint_set(t, k, window)
+        if fps:
+            rows.append((d, len(fps), min(fps)))
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "n_fps": pa.array([r[1] for r in rows], pa.int64()),
+            "min_fp": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ---- IVF ANN (operators/similarity.py ivf_centroids/ivf_assign/ivf_topk) --
 
 
@@ -285,7 +317,7 @@ def vector_rag_topk_golden(
 
 # ---- driver: compute goldens for a testdata sf dir (cached on disk) ----
 
-DOCOPS_VERSION = 3
+DOCOPS_VERSION = 4
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -301,6 +333,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_ann_lsh_topk": os.path.join(out_dir, "golden_ann_lsh_topk.parquet"),
         "golden_ann_ivf_topk": os.path.join(out_dir, "golden_ann_ivf_topk.parquet"),
         "golden_vector_rag": os.path.join(out_dir, "golden_vector_rag.parquet"),
+        "golden_winnow": os.path.join(out_dir, "golden_winnow.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -327,6 +360,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         vector_rag_topk_golden(doc_ids, texts, "what is this corpus about", k=5),
         paths["golden_vector_rag"],
     )
+    pq.write_table(winnow_golden(doc_ids, texts), paths["golden_winnow"])
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
     vids = emb.column("vec_id").to_pylist()

@@ -284,3 +284,25 @@ def test_bpe_token_count(spark):
         for r in df.select("doc_id", bpe_token_count_col("text").alias("n")).collect()
     }
     assert got == {1: 7, 2: 3, 3: 0, 4: 0}
+
+
+def test_winnow_fingerprints_golden_and_near_dup(spark):
+    from graphrag_litex_spark.operators.text_analysis import winnow_fingerprints
+    from graphrag_litex_spark.oracle_docops import winnow_fingerprint_set
+
+    a = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    b = "the quick brown fox jumps over the lazy cat and keeps running far away"
+    c = "completely unrelated content with different words throughout the body"
+    rows = [(1, a), (2, b), (3, c), (4, ""), (5, None)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got: dict = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["id"], set()).add(r["fp"])
+    # Differential: Spark set == pure-Python golden set, per doc.
+    for did, text in rows[:3]:
+        assert got[did] == winnow_fingerprint_set(text)
+    assert 4 not in got and 5 not in got  # empty/null yield no fingerprints
+    # Near-dup docs share most fingerprints; unrelated docs share few.
+    jab = len(got[1] & got[2]) / len(got[1] | got[2])
+    jac = len(got[1] & got[3]) / len(got[1] | got[3])
+    assert jab > 0.5 > jac
