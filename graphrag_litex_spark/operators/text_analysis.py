@@ -136,6 +136,12 @@ def winnow_fingerprints(
     base = docs.select(F.col(id_col).alias("id"), norm_text_col(text_col).alias("norm")).where(
         F.col("norm") != ""
     )
+    # Shuffle DOC rows, not gram rows: hash-partitioning by id BEFORE the
+    # explode satisfies the window's required distribution (explode/project
+    # preserve partitioning, so EnsureRequirements inserts no exchange over
+    # the ~n_chars-per-doc gram stream — asserted in tools/explain_plans.py).
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    base = base.repartition(n_part, "id")
     npos = F.greatest(F.length("norm") - k + 1, F.lit(1))
     grams = base.select(
         "id",

@@ -149,6 +149,24 @@ def main() -> int:
             )
         )
 
+    # Winnowing fingerprints: the id-hash exchange must sit BELOW the gram
+    # explode (shuffle doc rows, not the ~n_chars-per-doc gram stream).
+    from graphrag_litex_spark.operators.text_analysis import winnow_fingerprints
+
+    p = plan_of(winnow_fingerprints(d))
+    lines = p.splitlines()
+    first_gen = min(i for i, l in enumerate(lines) if "Generate" in l)
+    assert not any(
+        "Exchange" in l for l in lines[:first_gen]
+    ), "winnow window must reuse the pre-explode partitioning"
+    sections.append(
+        (
+            "Winnowing fingerprints",
+            "doc-row exchange below the explode; window reuses it — gram stream never shuffles",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
