@@ -200,6 +200,13 @@ def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = N
                     sid.append(c); tix.append(t); kind.append("c")
                     f1.append(None); f2.append(None); f3.append(content)
                     stg.append(None); enames.append(names)
+            if not sid:
+                # An all-empty batch (every turn null/empty/failed) must not
+                # yield an empty DataFrame: pandas gives empty columns float64
+                # dtype and Arrow cannot cast empty float64 -> list<string>
+                # (observed crash on a partition of blank turns). Yielding
+                # nothing is the correct mapInPandas contract.
+                continue
             yield pd.DataFrame(
                 {
                     "source_id": sid,

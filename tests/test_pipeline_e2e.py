@@ -161,3 +161,44 @@ def test_incremental_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_f
         for r in spark.read.parquet(corpus_sf0001["golden_triples"]).collect()
     }
     assert got == want
+
+
+def test_pipeline_survives_adversarial_transcripts(spark, tmp_path):
+    """Robustness: null/empty text, duplicate (conv_id, turn_idx), unicode,
+    a very long turn, and a null tool/ts column must not crash any stage;
+    outputs stay consistent (triples reference only canonicalized names)."""
+    import datetime
+
+    import pandas as pd
+
+    from graphrag_litex_spark.plans.pipeline import run_pipeline
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "Alice Johnson works at Acme Corp.", None, ts),
+        ("c1", 1, "assistant", None, "search", ts),               # null text
+        ("c1", 2, "user", "", None, ts),                            # empty text
+        ("c1", 2, "user", "Acme Corp acquired SkyBeam.", None, ts),  # dup turn_idx
+        ("c2", 0, "user", "naïve Café Über GmbH partners with ACME CORP!", None, ts),
+        ("c2", 1, "user", "日本語テキスト with Dr. Emma Larsson speaking.", None, ts),
+        ("c3", 0, "user", ("Bob Stone met Alice Johnson. " * 2000), None, ts),  # ~60k chars
+        ("c4", 0, "tool", "{}", None, None),                         # null ts
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    src = str(tmp_path / "adversarial_transcripts")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    res = run_pipeline(spark, src, str(tmp_path / "kg"), resume=False)
+    counts = {k: res[k].count() for k in ("chunks", "nodes", "triples", "claims")}
+    assert counts["chunks"] == 8  # every row kept, dup turn included
+    assert counts["nodes"] > 0 and counts["triples"] > 0
+    # Every triple endpoint resolves to a canonical node name.
+    node_names = {r["canonical_name"] for r in res["nodes"].collect()}
+    for r in res["triples"].collect():
+        assert r["subj"] in node_names and r["obj"] in node_names
+    # Unicode surface forms canonicalize (NFKD fold): the two ACME variants
+    # in c2/c1 share one canonical entity.
+    canon = {r["norm_name"]: r["canonical"] for r in res["canon_map"].collect()}
+    assert canon.get("acme corp") == canon.get("acme corporation", canon.get("acme corp"))
