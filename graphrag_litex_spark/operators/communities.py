@@ -162,7 +162,10 @@ def _enforce_min_size(membership: DataFrame, min_size: int) -> DataFrame:
         )
         valid = sizes.where(F.col("sz") >= min_size).select("label")
     else:
-        target = largest.collect()[0]["label"]
+        rows = largest.collect()
+        if not rows:  # empty graph (no mentions at all): nothing to relabel
+            return membership.select("entity_id", "label")
+        target = rows[0]["label"]
         valid = largest.select("label")
     return (
         membership.join(

@@ -202,3 +202,20 @@ def test_pipeline_survives_adversarial_transcripts(spark, tmp_path):
     # in c2/c1 share one canonical entity.
     canon = {r["norm_name"]: r["canonical"] for r in res["canon_map"].collect()}
     assert canon.get("acme corp") == canon.get("acme corporation", canon.get("acme corp"))
+
+
+def test_pipeline_on_empty_corpus(spark, tmp_path):
+    """An empty transcripts table (fresh incremental setup) must flow
+    through every stage producing empty outputs, not crash (round-2 fix:
+    _enforce_min_size indexed into an empty collect)."""
+    import pandas as pd
+
+    from graphrag_litex_spark.plans.pipeline import run_pipeline
+
+    src = str(tmp_path / "empty_transcripts")
+    spark.createDataFrame(
+        pd.DataFrame(columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(src)
+    res = run_pipeline(spark, src, str(tmp_path / "kg"), resume=False)
+    assert {k: df.count() for k, df in res.items()} == {k: 0 for k in res}
