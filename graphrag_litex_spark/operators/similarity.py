@@ -200,6 +200,8 @@ def ivf_assign(
     index build: write the assigned corpus partitioned by ``out_col`` once,
     and every probe after that is partition-pruned I/O.
     """
+    if not centroids:
+        raise ValueError("ivf_assign needs at least one centroid")
     scored = F.array(
         *[
             F.struct(
@@ -235,6 +237,10 @@ def ivf_topk(
     cents = centroids if centroids is not None else ivf_centroids(
         embeddings, n_centroids, id_col, vec_col
     )
+    if not cents:  # empty corpus: no lists to probe, empty top-k
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).cast("double").alias("cosine")
+        ).limit(0)
     q = [float(v) for v in query_vec]
 
     def _cos(a: list[float], b: list[float]) -> float:

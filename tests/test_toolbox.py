@@ -306,3 +306,15 @@ def test_winnow_fingerprints_golden_and_near_dup(spark):
     jab = len(got[1] & got[2]) / len(got[1] | got[2])
     jac = len(got[1] & got[3]) / len(got[1] | got[3])
     assert jab > 0.5 > jac
+
+
+def test_ivf_empty_corpus(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        pd.DataFrame(columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<double>",
+    )
+    assert S.ivf_topk(empty, [1.0, 0.0], k=3, n_centroids=4, nprobe=2).collect() == []
+    with _pytest.raises(ValueError):
+        S.ivf_assign(empty, [])
