@@ -327,7 +327,15 @@ def knn_join_lsh(
     measured vs exact :func:`knn_join` in tests/test_toolbox.py.
     """
     if dim is None:
-        dim = len(right.select(vec_col).first()[0])
+        row = right.select(vec_col).first()
+        if row is None:  # empty right side: no neighbors to find
+            return left.select(
+                F.col(id_col).alias("left_id"),
+                F.col(id_col).alias("right_id"),
+                F.lit(0.0).cast("double").alias("cosine"),
+                F.lit(0).alias("rank"),
+            ).limit(0)
+        dim = len(row[0])
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
     rb = right.select(
         F.col(id_col).alias("right_id"), F.col(vec_col).alias("rv"), sig.alias("bucket")

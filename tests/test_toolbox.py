@@ -318,3 +318,11 @@ def test_ivf_empty_corpus(spark):
     assert S.ivf_topk(empty, [1.0, 0.0], k=3, n_centroids=4, nprobe=2).collect() == []
     with _pytest.raises(ValueError):
         S.ivf_assign(empty, [])
+
+
+def test_knn_join_lsh_empty_right(spark):
+    empty = spark.createDataFrame(
+        pd.DataFrame(columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<double>",
+    )
+    assert S.knn_join_lsh(empty, empty, k=2).collect() == []
