@@ -49,7 +49,7 @@ from graphrag_litex_spark.operators.extraction import (
 from graphrag_litex_spark.operators.linking import candidate_pairs
 from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 
-PIPELINE_VERSION = 9
+PIPELINE_VERSION = 10
 
 
 def _parquet_stats(path: str) -> dict:
@@ -405,7 +405,12 @@ class KGPipeline:
             )
 
         # Triples: the P/R-gated artifact — per-turn grain, strength filter
-        # applied (FIXTURES.md §2 golden_triples shape).
+        # applied (FIXTURES.md §2 golden_triples shape). The stage ALSO
+        # carries (chunk_id, src_id, dst_id) so the edges merge can consume
+        # this table instead of re-running canon_edges — which would scan
+        # the corpus-sized extraction table and redo the normalize + two
+        # resolution joins a second time (~2x the per-run join work at sf10,
+        # a full extra corpus pass at 100 TB).
         results["triples"] = mat(
             "triples",
             lambda: canon_edges()
@@ -413,18 +418,32 @@ class KGPipeline:
             .select(
                 F.col("source_id").alias("conv_id"),
                 "turn_idx",
+                "chunk_id",
                 F.col("src").alias("subj"),
                 "pred",
                 F.col("dst").alias("obj"),
                 "strength",
+                "src_id",
+                "dst_id",
             ),
         )
 
-        # S8 edges (E2): pair merge.
+        # S8 edges (E2): pair merge over the already-resolved,
+        # already-strength-filtered triples stage (same min_strength, so the
+        # merge's own filter is a no-op kept for semantics).
         results["edges"] = mat(
             "edges",
             lambda: merge_ops.merge_edges(
-                canon_edges(),
+                results["triples"].select(
+                    "src_id",
+                    "dst_id",
+                    F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"),
+                    "pred",
+                    "strength",
+                    F.col("conv_id").alias("source_id"),
+                    "chunk_id",
+                ),
                 min_strength=cfg.min_strength,
                 salted=cfg.salted,
                 salt_buckets=salt_buckets,
