@@ -70,6 +70,47 @@ def select_top_k(
     )
 
 
+def select_top_k_batch(
+    summary_embeddings: DataFrame,
+    questions: list[str],
+    level: int = 0,
+    k: int = 10,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """D7 batch shape: top-k summaries for MANY questions in ONE pass
+    (SURVEY.md D7 — "crossJoin for multi-question batch"; the reference
+    answers questions one at a time, graphrag_lite_x.py:100-107).
+
+    The question-embedding table is tiny (embedded on the driver) and
+    broadcast; a broadcast nested-loop join scores every (summary,
+    question) pair JVM-side, then a per-question window keeps k. One
+    corpus-side scan regardless of |questions| — at scale this replaces
+    |Q| separate jobs (|Q| scans) with one.
+
+    -> (question_id, question, <summary cols>, score, rank)
+    """
+    from pyspark.sql import Window
+
+    spark = summary_embeddings.sparkSession
+    q_rows = [(i, q, hash_embed(q, dim)) for i, q in enumerate(questions)]
+    qdf = spark.createDataFrame(
+        q_rows, "question_id int, question string, _qv array<double>"
+    )
+    scored = (
+        summary_embeddings.where(F.col("level") == level)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("score", F.round(cosine_col(F.col("embedding"), F.col("_qv")), 6))
+    )
+    w = Window.partitionBy("question_id").orderBy(
+        F.col("score").desc(), F.col("community_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("_qv")
+    )
+
+
 def map_answers(selected: DataFrame, question: str) -> DataFrame:
     """J1 map: per-summary answer + helpfulness, as column expressions.
 
@@ -96,6 +137,80 @@ def map_answers(selected: DataFrame, question: str) -> DataFrame:
         helpful.alias("helpfulness"),
         F.col("score"),
     ).where(F.col("answer") != "")  # drop empty map answers (map_reduce.py:35)
+
+
+def map_answers_batch(selected_batch: DataFrame) -> DataFrame:
+    """J1 map over a multi-question selection (``question`` is a COLUMN).
+
+    Same scoring as :func:`map_answers` with the question tokenized by the
+    same ``[^a-z0-9]+`` regex as the summary text (for questions containing
+    punctuation this differs from the single-question path's whitespace
+    split — the regex form is the more principled one; they agree on
+    alphanumeric questions, asserted in tests).
+    """
+    q_tokens = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("question")), r"[^a-z0-9]+"), lambda t: t != "")
+    )
+    s_tokens = F.array_distinct(F.split(F.lower(F.col("full_text")), r"[^a-z0-9]+"))
+    inter = F.size(F.array_intersect(s_tokens, q_tokens))
+    union = F.size(F.array_union(s_tokens, q_tokens))
+    helpful = F.when(union > 0, F.round(100.0 * inter / union, 4)).otherwise(F.lit(0.0))
+    relevant = F.filter(
+        F.col("findings"),
+        lambda f: F.size(
+            F.array_intersect(F.split(F.lower(f["summary"]), r"[^a-z0-9]+"), q_tokens)
+        )
+        > 0,
+    )
+    return selected_batch.select(
+        "question_id",
+        "question",
+        "level",
+        "community_id",
+        F.col("title"),
+        F.concat_ws(" ", F.transform(relevant, lambda f: f["summary"])).alias("answer"),
+        helpful.alias("helpfulness"),
+        F.col("score"),
+    ).where(F.col("answer") != "")
+
+
+def answer_questions(
+    summaries: DataFrame,
+    questions: list[str],
+    level: int = 0,
+    k: int = 10,
+) -> list[dict]:
+    """Batch query pipeline: every question retrieved, mapped, and reduced
+    in ONE Spark pass; the reduce collects <= |questions| * k tiny rows.
+    Returns one answer dict per input question (same shape as
+    :func:`answer_question`), preserving input order.
+    """
+    emb = embed_summaries(summaries)
+    selected = select_top_k_batch(emb, questions, level=level, k=k)
+    mapped = map_answers_batch(selected).orderBy(
+        "question_id", F.col("helpfulness").desc(), F.col("community_id").asc()
+    )
+    by_q: dict[int, list] = {}
+    for r in mapped.collect():
+        by_q.setdefault(r["question_id"], []).append(r)
+    out = []
+    for i, _q in enumerate(questions):
+        rows = by_q.get(i, [])
+        out.append(
+            {
+                "answer": " ".join(r["answer"] for r in rows),
+                "topics": [
+                    {
+                        "topic": r["title"],
+                        "description": r["answer"],
+                        "helpfulness": r["helpfulness"],
+                    }
+                    for r in rows
+                ],
+                "used_communities": [r["community_id"] for r in rows],
+            }
+        )
+    return out
 
 
 def answer_question(

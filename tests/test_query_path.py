@@ -130,3 +130,37 @@ def test_table_identifier_ingestion(spark, corpus_sf0001, tmp_path):
         until="canon_map",
     )
     assert res["canon_map"].count() == 60
+
+
+def test_batch_select_equals_single(summaries):
+    """select_top_k_batch == N independent select_top_k calls (D7 batch)."""
+    from graphrag_litex_spark.querying.answer import (
+        embed_summaries,
+        select_top_k,
+        select_top_k_batch,
+    )
+
+    emb = embed_summaries(summaries)
+    questions = ["who acquired acme corp", "who uses quantumdb", "unrelated topic words"]
+    batch = select_top_k_batch(emb, questions, level=0, k=2).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["question_id"], []).append((r["community_id"], r["score"]))
+    for i, q in enumerate(questions):
+        single = [
+            (r["community_id"], r["score"])
+            for r in select_top_k(emb, q, level=0, k=2).collect()
+        ]
+        assert got.get(i, []) == single, q
+
+
+def test_answer_questions_batch_equals_single(summaries):
+    """answer_questions (one Spark pass) == answer_question per question,
+    for alphanumeric questions (tokenizations agree)."""
+    from graphrag_litex_spark.querying.answer import answer_question, answer_questions
+
+    questions = ["who acquired acme corp", "who uses quantumdb"]
+    batch = answer_questions(summaries, questions, level=0, k=2)
+    singles = [answer_question(summaries, q, level=0, k=2) for q in questions]
+    assert batch == singles
+    assert batch[0]["used_communities"] and batch[0]["answer"]
