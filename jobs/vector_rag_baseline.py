@@ -13,7 +13,10 @@ Run: python3 jobs/vector_rag_baseline.py [sf_dir] [question...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -43,3 +43,36 @@ def test_eval_csv_missing_columns_filled(spark, tmp_path):
         rows = list(csv.reader(f))
     assert rows[0] == EVAL_COLUMNS
     assert rows[1][0] == "q" and rows[1][2] == ""
+
+
+def test_evaluation_lifecycle(spark, corpus_sf0001, tmp_path):
+    """SURVEY §3.3 end-to-end: GraphRAG vs VectorRAG answers judged per
+    question x criterion, tallied, written as the reference-shaped CSV —
+    deterministic across runs."""
+    import csv
+
+    from jobs.evaluate import CRITERIA, run_evaluation
+
+    questions = ["who acquired acme corp", "who uses quantumdb"]
+    out = str(tmp_path / "eval.csv")
+    res = run_evaluation(
+        spark,
+        corpus_sf0001["transcripts"],
+        str(tmp_path / "kg"),
+        questions,
+        out,
+    )
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == len(questions) * len(CRITERIA)
+    assert set(r["criterion"] for r in rows) == set(CRITERIA)
+    assert all(r["winning_system"] in ("GraphRAG-LiteX-Spark", "VectorRAG", "tie") for r in rows)
+    assert sum(res["tally"].values()) == len(rows)
+    # Determinism: a second run (pipeline resumes) produces identical rows.
+    res2 = run_evaluation(
+        spark, corpus_sf0001["transcripts"], str(tmp_path / "kg"), questions,
+        str(tmp_path / "eval2.csv"),
+    )
+    with open(str(tmp_path / "eval2.csv")) as f:
+        assert list(csv.DictReader(f)) == rows
+    assert res2["tally"] == res["tally"]
