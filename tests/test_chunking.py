@@ -149,3 +149,29 @@ def test_overlap_clamp_matches_half_size(words, size):
     (reference text_chunker.py:63)."""
     text = " ".join(words)
     assert chunk_windows(text, size, size) == chunk_windows(text, size, size // 2)
+
+
+def test_document_corpus_through_full_pipeline(spark, tmp_path):
+    """The document-ingestion path end to end: a multi-page document corpus
+    chunks into bounded windows and flows through extraction, linking, and
+    graph materialization (the first workflow a document-corpus user runs)."""
+    from graphrag_litex_spark.plans.pipeline import run_pipeline
+
+    body = (
+        "Alice Johnson works at Acme Corp. Acme Corp acquired SkyBeam. "
+        "Bob Stone uses QuantumDB. Alice Johnson met Bob Stone. "
+    ) * 12  # long enough for several 20-token windows
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [body, "Acme Corp partners with Globex."]})
+    )
+    tr = chunked_documents_as_transcripts(docs, chunk_size=20, overlap=5)
+    src = str(tmp_path / "doc_transcripts")
+    tr.write.parquet(src)
+    res = run_pipeline(spark, src, str(tmp_path / "kg"), resume=False, until="claims")
+    chunks = res["chunks"].collect()
+    # chunk grain: every chunk is a bounded window, ids are doc-positional
+    assert all(len(r["text"].split()) <= 20 for r in chunks)
+    assert {r["chunk_id"] for r in chunks if r["conv_id"] == "2"} == {"2_0"}
+    assert res["nodes"].count() > 0 and res["triples"].count() > 0
+    names = {r["canonical_name"] for r in res["nodes"].collect()}
+    assert "acme corp" in names and "alice johnson" in names
