@@ -145,3 +145,25 @@ def test_embedding_pairs_default_hash_embed_and_cc(spark):
     lmap = {r["norm_name"]: r["label"] for r in labels.collect()}
     assert lmap["alice johnson"] == lmap["alice johnson phd"] == "alice johnson"
     assert lmap["alice smith"] == "alice smith"
+
+
+def test_embedding_scorer_pipeline_config(spark, corpus_sf0001, tmp_path):
+    """PipelineConfig(link_scorer='embedding') runs the linking stage with
+    the embedding-cosine scorer. With the token-hash embedder at the
+    reference's 0.85 threshold only near-identical token sets link, so on
+    this corpus every normalized name stays its own canonical (the
+    documented default-embedder behavior; a semantic embedder in the C7
+    slot recovers fuzzy suffix linking)."""
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    res = run_pipeline(
+        spark,
+        corpus_sf0001["transcripts"],
+        str(tmp_path / "kg_emb"),
+        config=PipelineConfig(link_scorer="embedding"),
+        resume=False,
+        until="canon_map",
+    )
+    rows = res["canon_map"].collect()
+    assert len(rows) == 60
+    assert all(r["norm_name"] == r["canonical"] for r in rows)
