@@ -7,13 +7,20 @@ components. No GraphX/GraphFrames: a pure DataFrame loop —
 
     label(v) := min(label(v), min over neighbors u of label(u))
 
-iterated to fixpoint over the symmetrized edge list. Each round is one
-shuffle (join) + one partial/final hash aggregation; lineage is truncated
-per round with localCheckpoint so plans stay O(1) deep; convergence is
-detected by counting changed labels (an AQE-coalesced count, not a
-collect of data). Diameter of linking components is tiny (name-variant
+iterated to fixpoint over the symmetrized edge list. Each round is ONE
+eager checkpoint job (a join + aggregation; the convergence check is a
+scan of the cached result with the previous label carried alongside, not a
+separate join job); lineage is truncated per round with localCheckpoint so
+plans stay O(1) deep. Diameter of linking components is tiny (name-variant
 clusters), so rounds ≈ 2-3; the loop is still correct for arbitrary graphs
 and bounded by max_iter.
+
+Semantics for ids appearing only in ``edges`` (not in ``vertices``): they
+PROPAGATE labels (two vertices joined through an edge-only intermediate
+land in one component, and an edge-only id can be the component minimum)
+but emit no output row — output rows are exactly the vertex set. Both the
+driver-local and distributed paths implement this identically (asserted in
+tests/test_cc.py); the pipeline itself always passes edges ⊆ vertices.
 """
 
 from __future__ import annotations
@@ -37,7 +44,8 @@ def _cc_driver_local(
     label graph is ALREADY reduced (distinct names, not mentions), so when it
     fits on the driver a union-find beats dozens of tiny shuffle jobs by ~3x
     wall. Produces byte-identical output to the distributed loop (label =
-    component minimum) — asserted in tests/test_cc.py.
+    minimum over the component's full id set, rows = vertices) — asserted in
+    tests/test_cc.py.
     """
     ids = [r[0] for r in vertices.select(id_col).collect()]
     pairs = [(r[0], r[1]) for r in edges.select(src_col, dst_col).collect()]
@@ -61,10 +69,14 @@ def _cc_driver_local(
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    comp: dict = {}
-    for v in ids:
-        comp.setdefault(find(v), []).append(v)
-    rows = [(v, min(members)) for members in comp.values() for v in members]
+    # Component minimum over ALL member ids (vertices AND edge-only ids) —
+    # the same label the distributed min-label loop converges to.
+    comp_min: dict = {}
+    for x in list(parent):
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    rows = [(v, comp_min[find(v)]) for v in ids]
     spark = vertices.sparkSession
     return spark.createDataFrame(rows, schema=f"{id_col} string, label string")
 
@@ -78,7 +90,8 @@ def connected_components(
     max_iter: int = 25,
     driver_threshold: int = 100_000,
 ) -> DataFrame:
-    """-> (id_col, label) where label = component minimum of ``id_col``.
+    """-> (id_col, label) where label = component minimum (over vertices and
+    edge endpoints); one output row per vertex.
 
     ``vertices``: one column ``id_col`` (distinct ids).
     ``edges``: (src_col, dst_col) pairs; symmetrized internally.
@@ -93,34 +106,52 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
-    labels = hard_checkpoint(
-        vertices.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
-    )
-    n_state = labels.count() + sym.count()
+    verts = hard_checkpoint(vertices.select(F.col(id_col).alias("u")))
+    n_state = verts.count() + sym.count()
     if n_state <= driver_threshold:
-        out = _cc_driver_local(labels.select("u"), sym, "u", "u", "v").withColumnRenamed(
+        out = _cc_driver_local(verts, sym, "u", "u", "v").withColumnRenamed(
             "u", id_col
         )
         release(sym)
-        release(labels)
+        release(verts)
         return out
     # with-block + finally: a mid-loop Spark exception must not leave the
     # session's shuffle-partition count overridden or leak checkpoint RDDs.
     try:
         with loop_shuffle_partitions(vertices.sparkSession, n_state):
+            # Seed labels over vertices ∪ edge endpoints so propagation runs
+            # THROUGH edge-only intermediates; output is restricted to the
+            # vertex set at the end. One extra distinct at loop start — a
+            # no-op shuffle when edges ⊆ vertices (the pipeline's case).
+            labels = hard_checkpoint(
+                verts.select("u")
+                .union(sym.select("u"))
+                .distinct()
+                .select("u", F.col("u").alias("label"))
+            )
             for _ in range(max_iter):
-                # Neighbor label messages: for edge (u,v), v receives u's label.
-                msgs = sym.join(labels, "u").select(F.col("v").alias("u"), "label")
-                new_labels = hard_checkpoint(
-                    labels.unionByName(msgs).groupBy("u").agg(F.min("label").alias("label"))
+                # Min neighbor label per vertex: for edge (u,v), v receives
+                # u's label; merged with the own label via least().
+                msg = (
+                    sym.join(labels, "u")
+                    .groupBy("v")
+                    .agg(F.min("label").alias("_msg"))
+                    .withColumnRenamed("v", "u")
                 )
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "u")
-                    .where(F.col("n.label") != F.col("o.label"))
-                    .limit(1)
-                    .count()
+                ck = hard_checkpoint(
+                    labels.select("u", F.col("label").alias("_old"))
+                    .join(msg, "u", "left")
+                    .select(
+                        "u",
+                        F.least(
+                            F.col("_old"), F.coalesce(F.col("_msg"), F.col("_old"))
+                        ).alias("label"),
+                        "_old",
+                    )
                 )
+                changed = ck.where(F.col("label") != F.col("_old")).limit(1).count()
+                new_labels = ck.select("u", "label")
+                new_labels._graft_ckpt = ck._graft_ckpt  # type: ignore[attr-defined]
                 # Release the superseded checkpoint immediately — waiting for
                 # Python GC + ContextCleaner lets cached RDDs pile up.
                 release(labels)
@@ -129,4 +160,8 @@ def connected_components(
                     break
     finally:
         release(sym)
-    return labels.select(F.col("u").alias(id_col), "label")
+    # verts stays cached until the returned plan is consumed (lineage is
+    # truncated, so an early unpersist would make the semi-join unreadable).
+    return labels.join(verts, "u", "left_semi").select(
+        F.col("u").alias(id_col), "label"
+    )

@@ -23,6 +23,15 @@ recursion shape, and the stats formulas replicate the reference exactly:
     entropy of (flow, 1-flow); external edges counted against the FULL
     graph, as the reference does for sub-levels too (:186).
 
+Adaptive physical strategy (same stance as Catalyst's broadcast-vs-shuffle
+choice, and as cc.py): the community graph is the DEDUPLICATED entity
+graph — orders of magnitude smaller than the corpus — so when its state
+(vertices + undirected edges) fits under ``driver_threshold`` the ENTIRE
+hierarchy runs driver-locally in one pass (~30 tiny shuffle jobs collapse
+to ~4), byte-identical to the distributed loop (asserted in
+tests/test_communities.py). Larger graphs run the distributed DataFrame
+loop, which is the path taken at 10^12-turn scale.
+
 Divergence (documented): self-loop relationships are excluded from the
 community graph (NetworkX would count them in density's numerator, skewing
 the formula's simple-graph assumption).
@@ -55,16 +64,13 @@ def _sym(und: DataFrame) -> DataFrame:
     return und.select("u", "v").union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
-def _lpa_driver_local(spark, ids: list, sym_pairs: list, iters: int) -> DataFrame:
-    """Small-graph physical strategy for LPA (same adaptive stance as the
-    union-find in cc.py): EXACTLY the distributed loop's semantics —
-    synchronous updates, most-frequent neighbor label with ties to the
-    smallest label, isolated vertices reset to their own id, early stop on
-    fixpoint. Identity with the distributed path asserted in
-    tests/test_communities.py."""
-    adj: dict = {}
-    for a, b in sym_pairs:
-        adj.setdefault(a, []).append(b)
+# ---- pure-Python kernels (driver-local adaptive path) ---------------------
+
+
+def _lpa_py(ids: list, adj: dict, iters: int) -> dict:
+    """Synchronous LPA kernel: most-frequent neighbor label, tie -> smallest
+    label, isolated vertices reset to their own id, early stop on fixpoint.
+    EXACTLY the distributed loop's semantics (identity-tested)."""
     labels = {v: v for v in ids}
     for _ in range(iters):
         new = {}
@@ -81,9 +87,90 @@ def _lpa_driver_local(spark, ids: list, sym_pairs: list, iters: int) -> DataFram
         if new == labels:
             break
         labels = new
+    return labels
+
+
+def _enforce_min_size_py(labels: dict, min_size: int) -> dict:
+    """E6 kernel on a labels dict (mirrors the distributed version)."""
+    sizes: dict = {}
+    for lbl in labels.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    valid = {lbl for lbl, sz in sizes.items() if sz >= min_size}
+    if valid:
+        target = min(valid, key=lambda lbl: (-sizes[lbl], lbl))
+    elif sizes:
+        target = min(sizes, key=lambda lbl: (-sizes[lbl], lbl))
+        valid = {target}
+    else:
+        return {}
+    return {u: (lbl if lbl in valid else target) for u, lbl in labels.items()}
+
+
+def _hierarchy_py(
+    ids: list, und_pairs: list, levels: int, min_size: int, iters: int
+) -> list[tuple]:
+    """Full hierarchy driver-locally -> [(level, community_id, parent,
+    entity_id)] with the SAME ids/semantics as the distributed level loop."""
+    adj: dict = {}
+    for a, b in und_pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+
+    l0 = _enforce_min_size_py(_lpa_py(ids, adj, iters), min_size)
+    rows = [(0, "0_" + lbl, None, u) for u, lbl in l0.items()]
+    prev: dict = {}
+    for _lvl, cid, _par, u in rows:
+        prev.setdefault(cid, []).append(u)
+
+    for level in range(1, levels):
+        cur: list[tuple] = []
+        nxt: dict = {}
+        parent_of: dict = {}
+        big_members: list = []
+        for cid, members in prev.items():
+            if len(members) <= 2 * min_size:
+                child = f"{level}_{cid}"
+                for u in members:
+                    cur.append((level, child, cid, u))
+                nxt[child] = list(members)
+            else:
+                for u in members:
+                    parent_of[u] = cid
+                big_members.extend(members)
+        if big_members:
+            # One LPA over all big parents at once on intra-parent edges —
+            # exactly the distributed single-pass shape; no cross-parent
+            # edges exist, so this equals per-parent LPA.
+            sub_adj = {
+                u: [v for v in adj.get(u, ()) if parent_of.get(v) == parent_of[u]]
+                for u in big_members
+            }
+            sub = _lpa_py(big_members, sub_adj, iters)
+            children: dict = {}
+            for u, lbl in sub.items():
+                children.setdefault(f"{level}_{lbl}", []).append(u)
+            for child, cmembers in children.items():
+                if len(cmembers) >= min_size:  # below min_size: dropped (F2)
+                    cid = parent_of[cmembers[0]]
+                    for u in cmembers:
+                        cur.append((level, child, cid, u))
+                    nxt[child] = cmembers
+        rows.extend(cur)
+        prev = nxt
+    return rows
+
+
+def _lpa_driver_local(spark, ids: list, sym_pairs: list, iters: int) -> DataFrame:
+    """Small-graph physical strategy for a single LPA call."""
+    adj: dict = {}
+    for a, b in sym_pairs:
+        adj.setdefault(a, []).append(b)
     return spark.createDataFrame(
-        list(labels.items()), schema="entity_id string, label string"
+        list(_lpa_py(ids, adj, iters).items()), schema="entity_id string, label string"
     )
+
+
+# ---- distributed loops ----------------------------------------------------
 
 
 def label_propagation(
@@ -93,13 +180,16 @@ def label_propagation(
 
     Adaptive: state below ``driver_threshold`` rows runs driver-locally
     (identical output, ~5x fewer tiny Spark jobs); larger graphs run the
-    distributed loop below.
+    distributed loop below. Each distributed round is ONE eager checkpoint
+    job (the changed-count is folded into a scan of the cached result, not
+    a separate join job).
     """
     sym = hard_checkpoint(_sym(und_edges))
     labels = hard_checkpoint(
         vertices.select(F.col("entity_id").alias("u"), F.col("entity_id").alias("label"))
     )
-    if labels.count() + sym.count() <= driver_threshold:
+    n_state = labels.count() + sym.count()
+    if n_state <= driver_threshold:
         ids = [r[0] for r in labels.select("u").collect()]
         pairs = [(r[0], r[1]) for r in sym.select("u", "v").collect()]
         out = _lpa_driver_local(vertices.sparkSession, ids, pairs, iters)
@@ -109,7 +199,7 @@ def label_propagation(
     # with-block + finally: a mid-loop Spark exception must not leave the
     # session's shuffle-partition count overridden or leak checkpoint RDDs.
     try:
-        with loop_shuffle_partitions(vertices.sparkSession, labels.count() + sym.count()):
+        with loop_shuffle_partitions(vertices.sparkSession, n_state):
             for _ in range(iters):
                 msgs = sym.join(
                     labels.select(F.col("u").alias("v"), "label"), "v"
@@ -126,19 +216,16 @@ def label_propagation(
                     .where(F.col("_rn") == 1)
                     .select("u", "label")
                 )
-                # Isolated vertices keep their own label.
-                new_labels = hard_checkpoint(
-                    labels.select("u")
+                # Isolated vertices keep their own label; the old label is
+                # carried so convergence is a cheap cached scan, not a join.
+                ck = hard_checkpoint(
+                    labels.select("u", F.col("label").alias("_old"))
                     .join(new, "u", "left")
-                    .withColumn("label", F.coalesce("label", F.col("u")))
+                    .select("u", F.coalesce("label", F.col("u")).alias("label"), "_old")
                 )
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "u")
-                    .where(F.col("n.label") != F.col("o.label"))
-                    .limit(1)
-                    .count()
-                )
+                changed = ck.where(F.col("label") != F.col("_old")).limit(1).count()
+                new_labels = ck.select("u", "label")
+                new_labels._graft_ckpt = ck._graft_ckpt  # type: ignore[attr-defined]
                 release(labels)
                 labels = new_labels
                 if changed == 0:
@@ -149,24 +236,26 @@ def label_propagation(
 
 
 def _enforce_min_size(membership: DataFrame, min_size: int) -> DataFrame:
-    """E6 (community_detection.py:102-116) on (entity_id, label) rows."""
+    """E6 (community_detection.py:102-116) on (entity_id, label) rows.
+
+    ONE driver action: the top row under (valid desc, size desc, label asc)
+    decides both whether any valid community exists and the merge target.
+    """
     sizes = membership.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
-    largest = sizes.orderBy(F.col("sz").desc(), F.col("label").asc()).limit(1)
-    has_valid = sizes.where(F.col("sz") >= min_size).limit(1).count() > 0
-    if has_valid:
-        target = (
-            sizes.where(F.col("sz") >= min_size)
-            .orderBy(F.col("sz").desc(), F.col("label").asc())
-            .limit(1)
-            .collect()[0]["label"]
+    top = (
+        sizes.orderBy(
+            (F.col("sz") >= min_size).desc(), F.col("sz").desc(), F.col("label").asc()
         )
+        .limit(1)
+        .collect()
+    )
+    if not top:  # empty graph (no mentions at all): nothing to relabel
+        return membership.select("entity_id", "label")
+    target = top[0]["label"]
+    if top[0]["sz"] >= min_size:
         valid = sizes.where(F.col("sz") >= min_size).select("label")
     else:
-        rows = largest.collect()
-        if not rows:  # empty graph (no mentions at all): nothing to relabel
-            return membership.select("entity_id", "label")
-        target = rows[0]["label"]
-        valid = largest.select("label")
+        valid = membership.sparkSession.createDataFrame([(target,)], "label string")
     return (
         membership.join(
             F.broadcast(valid.withColumn("_valid", F.lit(True))), "label", "left"
@@ -182,87 +271,110 @@ def detect_communities(
     levels: int = 3,
     min_size: int = 3,
     lpa_iters: int = 8,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """-> long-form membership (level int, community_id string,
-    parent string, entity_id string); SURVEY.md §1 communities table."""
+    parent string, entity_id string); SURVEY.md §1 communities table.
+
+    Adaptive: when vertices + undirected edges fit under
+    ``driver_threshold``, the whole hierarchy runs driver-locally
+    (identical output, asserted in tests); larger graphs run the
+    distributed per-level loop, with shuffle partitions sized to the
+    graph's state for the duration.
+    """
+    spark = nodes.sparkSession
     und = hard_checkpoint(_und_edges(edges))
     vertices = nodes.select("entity_id")
-
-    l0 = _enforce_min_size(label_propagation(vertices, und, lpa_iters), min_size)
-    membership = hard_checkpoint(
-        l0.select(
-            F.lit(0).alias("level"),
-            F.concat(F.lit("0_"), F.col("label")).alias("community_id"),
-            F.lit(None).cast("string").alias("parent"),
-            "entity_id",
-        )
-    )
-
-    prev = membership
-    for level in range(1, levels):
-        sizes = prev.groupBy("community_id").agg(F.count(F.lit(1)).alias("sz"))
-        small = sizes.where(F.col("sz") <= 2 * min_size).select("community_id")
-        big = sizes.where(F.col("sz") > 2 * min_size).select("community_id")
-
-        # Pass-through: small parents copied with a parent pointer
-        # (community_detection.py:170-177).
-        passthrough = prev.join(F.broadcast(small), "community_id").select(
-            F.lit(level).alias("level"),
-            F.concat(F.lit(f"{level}_"), F.col("community_id")).alias("community_id"),
-            F.col("community_id").alias("parent"),
-            "entity_id",
+    n_state = und.count() + vertices.count()
+    if n_state <= driver_threshold:
+        ids = [r[0] for r in vertices.collect()]
+        pairs = [(r[0], r[1]) for r in und.collect()]
+        release(und)
+        rows = _hierarchy_py(ids, pairs, levels, min_size, lpa_iters)
+        return spark.createDataFrame(
+            rows, schema="level int, community_id string, parent string, entity_id string"
         )
 
-        # Re-cluster big parents on their induced subgraphs, all in one pass:
-        # restrict edges to intra-parent pairs, then LPA.
-        big_members = hard_checkpoint(
-            prev.join(F.broadcast(big), "community_id").select("community_id", "entity_id")
+    with loop_shuffle_partitions(spark, n_state):
+        l0 = _enforce_min_size(
+            label_propagation(vertices, und, lpa_iters, driver_threshold), min_size
         )
-        mu = big_members.select(
-            F.col("entity_id").alias("u"), F.col("community_id").alias("cu")
-        )
-        mv = big_members.select(
-            F.col("entity_id").alias("v"), F.col("community_id").alias("cv")
-        )
-        sub_edges = hard_checkpoint(
-            und.join(mu, "u")
-            .join(mv, "v")
-            .where(F.col("cu") == F.col("cv"))
-            .select("u", "v")
-        )
-        sub_labels = label_propagation(
-            big_members.select("entity_id"), sub_edges, lpa_iters
-        )
-        sub = (
-            sub_labels.join(big_members, "entity_id")
-            .withColumn(
-                "child_id", F.concat(F.lit(f"{level}_"), F.col("label"))
+        membership = hard_checkpoint(
+            l0.select(
+                F.lit(0).alias("level"),
+                F.concat(F.lit("0_"), F.col("label")).alias("community_id"),
+                F.lit(None).cast("string").alias("parent"),
+                "entity_id",
             )
         )
-        # Drop sub-communities below min_size (community_detection.py:184).
-        child_sizes = sub.groupBy("child_id").agg(F.count(F.lit(1)).alias("csz"))
-        sub_kept = sub.join(
-            F.broadcast(child_sizes.where(F.col("csz") >= min_size).select("child_id")),
-            "child_id",
-        ).select(
-            F.lit(level).alias("level"),
-            F.col("child_id").alias("community_id"),
-            F.col("community_id").alias("parent"),
-            "entity_id",
-        )
-        cur = hard_checkpoint(passthrough.unionByName(sub_kept))
-        membership = membership.unionByName(cur)
-        prev = cur
+
+        prev = membership
+        for level in range(1, levels):
+            sizes = prev.groupBy("community_id").agg(F.count(F.lit(1)).alias("sz"))
+            small = sizes.where(F.col("sz") <= 2 * min_size).select("community_id")
+            big = sizes.where(F.col("sz") > 2 * min_size).select("community_id")
+
+            # Pass-through: small parents copied with a parent pointer
+            # (community_detection.py:170-177).
+            passthrough = prev.join(F.broadcast(small), "community_id").select(
+                F.lit(level).alias("level"),
+                F.concat(F.lit(f"{level}_"), F.col("community_id")).alias("community_id"),
+                F.col("community_id").alias("parent"),
+                "entity_id",
+            )
+
+            # Re-cluster big parents on their induced subgraphs, all in one
+            # pass: restrict edges to intra-parent pairs, then LPA.
+            big_members = hard_checkpoint(
+                prev.join(F.broadcast(big), "community_id").select("community_id", "entity_id")
+            )
+            mu = big_members.select(
+                F.col("entity_id").alias("u"), F.col("community_id").alias("cu")
+            )
+            mv = big_members.select(
+                F.col("entity_id").alias("v"), F.col("community_id").alias("cv")
+            )
+            sub_edges = hard_checkpoint(
+                und.join(mu, "u")
+                .join(mv, "v")
+                .where(F.col("cu") == F.col("cv"))
+                .select("u", "v")
+            )
+            sub_labels = label_propagation(
+                big_members.select("entity_id"), sub_edges, lpa_iters, driver_threshold
+            )
+            sub = (
+                sub_labels.join(big_members, "entity_id")
+                .withColumn(
+                    "child_id", F.concat(F.lit(f"{level}_"), F.col("label"))
+                )
+            )
+            # Drop sub-communities below min_size (community_detection.py:184).
+            child_sizes = sub.groupBy("child_id").agg(F.count(F.lit(1)).alias("csz"))
+            sub_kept = sub.join(
+                F.broadcast(child_sizes.where(F.col("csz") >= min_size).select("child_id")),
+                "child_id",
+            ).select(
+                F.lit(level).alias("level"),
+                F.col("child_id").alias("community_id"),
+                F.col("community_id").alias("parent"),
+                "entity_id",
+            )
+            cur = hard_checkpoint(passthrough.unionByName(sub_kept))
+            membership = membership.unionByName(cur)
+            prev = cur
 
     return membership
 
 
-def community_stats(communities: DataFrame, edges: DataFrame) -> DataFrame:
-    """E5 stats per (level, community_id) — formulas from
-    community_detection.py:125-155, computed against the full graph."""
-    und = _und_edges(edges)
-    sym = _sym(und)  # each undirected edge appears in both directions
-
+def member_edge_degrees(communities: DataFrame, edges: DataFrame) -> DataFrame:
+    """Shared edge scan for stats (E5) and summary titles:
+    (level, community_id, entity_id, n_int, n_ext) — per member, the count
+    of directed edge copies to nodes inside / outside its community at that
+    level, against the FULL graph. Computing this ONCE replaces the two
+    sym-x-membership double joins the stats and summaries stages each ran.
+    """
+    sym = _sym(_und_edges(edges))
     m = communities.select("level", "community_id", "entity_id")
     mx = m.select(
         F.col("level"), F.col("community_id").alias("cx"), F.col("entity_id").alias("u")
@@ -272,8 +384,6 @@ def community_stats(communities: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("community_id").alias("cy"),
         F.col("entity_id").alias("v_y"),
     )
-    # For each directed edge copy (u -> v) and u's community at each level,
-    # classify v as inside/outside that community (at the same level).
     per_edge = (
         sym.join(mx, "u")
         .join(
@@ -284,17 +394,35 @@ def community_stats(communities: DataFrame, edges: DataFrame) -> DataFrame:
         .select(
             "level",
             "cx",
+            "u",
             F.when(F.col("cy") == F.col("cx"), F.lit(1)).otherwise(F.lit(0)).alias("is_int"),
         )
     )
-    cnt = per_edge.groupBy("level", "cx").agg(
-        (F.sum("is_int") / 2).cast("double").alias("internal"),
-        F.sum(1 - F.col("is_int")).cast("double").alias("external"),
+    return per_edge.groupBy(
+        "level", F.col("cx").alias("community_id"), F.col("u").alias("entity_id")
+    ).agg(
+        F.sum("is_int").alias("n_int"),
+        F.sum(1 - F.col("is_int")).alias("n_ext"),
     )
+
+
+def community_stats(
+    communities: DataFrame, edges: DataFrame, degrees: DataFrame | None = None
+) -> DataFrame:
+    """E5 stats per (level, community_id) — formulas from
+    community_detection.py:125-155, computed against the full graph.
+    Pass a precomputed ``member_edge_degrees`` to share its edge scan with
+    the summaries stage."""
+    deg = degrees if degrees is not None else member_edge_degrees(communities, edges)
+    cnt = deg.groupBy("level", "community_id").agg(
+        (F.sum("n_int") / 2).cast("double").alias("internal"),
+        F.sum("n_ext").cast("double").alias("external"),
+    )
+    m = communities.select("level", "community_id", "entity_id")
     sizes = m.groupBy("level", "community_id").agg(F.count(F.lit(1)).alias("size"))
-    joined = sizes.join(
-        cnt.withColumnRenamed("cx", "community_id"), ["level", "community_id"], "left"
-    ).fillna({"internal": 0.0, "external": 0.0})
+    joined = sizes.join(cnt, ["level", "community_id"], "left").fillna(
+        {"internal": 0.0, "external": 0.0}
+    )
 
     total = F.col("internal") + F.col("external")
     pi = F.when(total > 0, F.col("internal") / total).otherwise(F.lit(0.0))
@@ -326,6 +454,7 @@ def summarize_communities(
     nodes: DataFrame,
     edges: DataFrame,
     top_findings: int = 5,
+    degrees: DataFrame | None = None,
 ) -> DataFrame:
     """S11: deterministic community reports.
 
@@ -335,34 +464,19 @@ def summarize_communities(
     degree member entity; findings = strongest intra-community edges;
     rating clamped to [0, 10] (H9). ``full_text`` concatenates title +
     summary + finding summaries for embedding, mirroring
-    utils/embedding_utils.py:42-50.
+    utils/embedding_utils.py:42-50. Pass a precomputed
+    ``member_edge_degrees`` to share its edge scan with the stats stage.
     """
     m = communities.select("level", "community_id", "entity_id")
 
-    # Within-community degree per member.
-    sym = _sym(_und_edges(edges))
-    mu = m.withColumnRenamed("entity_id", "u")
-    mv = m.select(
-        F.col("level").alias("level_v"),
-        F.col("community_id").alias("cid_v"),
-        F.col("entity_id").alias("v_m"),
-    )
+    # Within-community degree per member = n_int from the shared scan;
+    # members with zero intra edges never titled (left-join semantics).
     deg = (
-        sym.join(mu, "u")
-        .join(
-            mv,
-            (F.col("v") == F.col("v_m"))
-            & (F.col("level") == F.col("level_v"))
-            & (F.col("community_id") == F.col("cid_v")),
-        )
-        .groupBy("level", "community_id", "u")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    named = deg.join(
-        nodes.select(F.col("entity_id").alias("u"), "name"), "u", "left"
-    )
+        degrees if degrees is not None else member_edge_degrees(communities, edges)
+    ).where(F.col("n_int") > 0)
+    named = deg.join(nodes.select("entity_id", "name"), "entity_id", "left")
     w_title = Window.partitionBy("level", "community_id").orderBy(
-        F.col("deg").desc(), F.col("name").asc()
+        F.col("n_int").desc(), F.col("name").asc()
     )
     titles = (
         named.withColumn("_rn", F.row_number().over(w_title))

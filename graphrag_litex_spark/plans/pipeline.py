@@ -49,7 +49,7 @@ from graphrag_litex_spark.operators.extraction import (
 from graphrag_litex_spark.operators.linking import candidate_pairs
 from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 
-PIPELINE_VERSION = 10
+PIPELINE_VERSION = 11
 
 
 def _parquet_stats(path: str) -> dict:
@@ -82,6 +82,15 @@ class PipelineConfig:
     # entity_resolver.py:32-42, with the pluggable C7 embedder).
     link_scorer: str = "ngram"
     embed_sim_threshold: float = 0.85  # entity_resolver.py:10-12
+    # Giant-block valve (operators/linking._block_keyed): None = decide
+    # automatically — refinement turns ON when the distinct-name count
+    # exceeds ``link_auto_valve_names`` (at that size a single hot
+    # first-token block is a quadratic time bomb and the documented recall
+    # tradeoff is the right default); 0 disables the valve unconditionally;
+    # a positive value forces that block-size cap.
+    link_max_block_size: int | None = None
+    link_auto_valve_names: int = 1_000_000
+    link_auto_block_size: int = 10_000
     salted: bool = True
     salt_buckets: int = 16
     max_instances: int | None = 10_000  # provenance-array cap per node/edge
@@ -167,9 +176,20 @@ class KGPipeline:
         return os.path.join(self.out_dir, name)
 
     def _materialize(
-        self, name: str, build, manifest: dict, fingerprint: str, resume: bool
+        self,
+        name: str,
+        build,
+        manifest: dict,
+        fingerprint: str,
+        resume: bool,
+        est_rows: int | None = None,
     ) -> DataFrame:
-        """Run ``build()`` unless a fingerprint-matching checkpoint exists."""
+        """Run ``build()`` unless a fingerprint-matching checkpoint exists.
+
+        ``est_rows`` sizes the write: graph-shaped stages (communities,
+        stats, summaries) are node-proportional, not corpus-proportional, so
+        writing them with corpus-sized partitioning produces hundreds of
+        near-empty files; one partition per ~200k estimated rows."""
         path = self._stage_path(name)
         entry = manifest.get(name)
         if (
@@ -181,6 +201,11 @@ class KGPipeline:
             return self.spark.read.parquet(path)
         t0 = time.time()
         df = build()
+        if est_rows is not None:
+            n_part = max(1, min(
+                self.spark.sparkContext.defaultParallelism, est_rows // 200_000 + 1
+            ))
+            df = df.coalesce(n_part)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         manifest[name] = {
@@ -201,9 +226,17 @@ class KGPipeline:
         data already ingested. Returns the number of new turns ingested.
         The streaming analog is streaming/incremental.stream_extract; this
         is the batch path with manifest bookkeeping.
+
+        Crash-safe: the manifest's extractions fingerprint is invalidated
+        (set to a ``pending:`` marker) and persisted BEFORE any rows are
+        appended. A crash mid-append leaves an invalid fingerprint, so the
+        next ``run(resume=True)`` rebuilds the extractions stage from
+        scratch instead of trusting a stage with half-appended rows, and a
+        retried append raises (stage no longer up-to-date) rather than
+        appending the same items twice.
         """
         from graphrag_litex_spark.operators.extraction import extract_items
-        from graphrag_litex_spark.sources.tables import load_input
+        from graphrag_litex_spark.sources.tables import read_transcripts
 
         manifest = self._load_manifest()
         extras = list(manifest.get("extra_inputs", []))
@@ -220,17 +253,24 @@ class KGPipeline:
                 "append requires an up-to-date extractions stage; run() first"
             )
 
-        new_tr = load_input(self.spark, new_path)
+        new_tr = read_transcripts(self.spark, new_path)  # schema-validated
         n_part = max(self.spark.sparkContext.defaultParallelism * 2, 8)
         if new_tr.rdd.getNumPartitions() < n_part // 2:
             new_tr = new_tr.repartition(n_part, "conv_id")
         n_new = new_tr.count()
         t0 = time.time()
+
+        # Intent marker FIRST (write-ahead): from here until the final
+        # manifest save, the extractions stage is not trusted by resume.
+        manifest["extractions"] = {**entry, "fingerprint": f"pending-append:{new_path}"}
+        self._save_manifest(manifest)
+
         items = extract_items(
             new_tr.select("conv_id", "turn_idx", "text")
         ).withColumn("norm_name", F.when(F.col("kind") == "e", norm_name_col("f1")))
         items.write.mode("append").parquet(path)
 
+        # Commit: record the new input and the now-valid fingerprint.
         extras.append(new_path)
         manifest["extra_inputs"] = extras
         manifest["extractions"] = {
@@ -247,7 +287,9 @@ class KGPipeline:
         manifest = self._load_manifest()
         extras = manifest.get("extra_inputs", [])
         fp = self._input_fingerprint(extras)
-        mat = lambda name, build: self._materialize(name, build, manifest, fp, resume)  # noqa: E731
+        mat = lambda name, build, est_rows=None: self._materialize(  # noqa: E731
+            name, build, manifest, fp, resume, est_rows
+        )
         results: dict[str, DataFrame] = {}
         from functools import reduce
 
@@ -345,14 +387,32 @@ class KGPipeline:
                 .where(F.col("norm_name") != "")
                 .distinct()
             )
+            # Giant-block valve, auto-enabled from the distinct-name count
+            # (cheap: one count over the just-checkpointed names RDD). At
+            # 10^12 turns the name table is the one place a single hot
+            # first-token block ("the ...") turns the candidate self-join
+            # quadratic; below the threshold exact first-token semantics
+            # are kept (identical to the single-process oracle).
+            max_block = cfg.link_max_block_size
+            if max_block is None:
+                max_block = (
+                    cfg.link_auto_block_size
+                    if names.count() > cfg.link_auto_valve_names
+                    else 0
+                )
+            max_block = max_block or None  # 0 -> valve off
             if cfg.link_scorer == "embedding":
                 from graphrag_litex_spark.operators.linking import (
                     embedding_candidate_pairs,
                 )
 
-                pairs = embedding_candidate_pairs(names, cfg.embed_sim_threshold)
+                pairs = embedding_candidate_pairs(
+                    names, cfg.embed_sim_threshold, max_block_size=max_block
+                )
             else:
-                pairs = candidate_pairs(names, cfg.sim_threshold)
+                pairs = candidate_pairs(
+                    names, cfg.sim_threshold, max_block_size=max_block
+                )
             labels = connected_components(
                 names, pairs, id_col="norm_name", max_iter=cfg.cc_max_iter
             )
@@ -477,6 +537,12 @@ class KGPipeline:
             return results
 
         # S10 communities (F1/F2 via LPA) + stats (E5) + min-size (E6).
+        # These stages are node-proportional (the deduplicated entity graph,
+        # not the corpus): est_rows from the already-materialized nodes
+        # stage sizes their output files, and the member-degree edge scan is
+        # computed ONCE and shared by stats and summaries.
+        graph_rows = manifest.get("nodes", {}).get("rows", 0) * cfg.levels
+
         def build_communities() -> DataFrame:
             return comm_ops.detect_communities(
                 results["nodes"],
@@ -486,25 +552,47 @@ class KGPipeline:
                 lpa_iters=cfg.lpa_iters,
             )
 
-        results["communities"] = mat("communities", build_communities)
-        results["community_stats"] = mat(
-            "community_stats",
-            lambda: comm_ops.community_stats(results["communities"], results["edges"]),
-        )
-        if until in ("communities", "community_stats"):
-            return results
+        results["communities"] = mat("communities", build_communities, graph_rows)
 
-        # S11 summaries: deterministic pluggable summarizer (reference
-        # indexing/summarizer.py; LLM calls replaced by column expressions).
-        results["summaries"] = mat(
-            "summaries",
-            lambda: comm_ops.summarize_communities(
-                results["communities"],
-                results["community_stats"],
-                results["nodes"],
-                results["edges"],
-            ),
-        )
+        from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+        _deg: dict[str, DataFrame] = {}
+
+        def member_deg() -> DataFrame:
+            if "d" not in _deg:
+                _deg["d"] = hard_checkpoint(
+                    comm_ops.member_edge_degrees(results["communities"], results["edges"])
+                )
+            return _deg["d"]
+
+        try:
+            results["community_stats"] = mat(
+                "community_stats",
+                lambda: comm_ops.community_stats(
+                    results["communities"], results["edges"], degrees=member_deg()
+                ),
+                graph_rows,
+            )
+            if until in ("communities", "community_stats"):
+                return results
+
+            # S11 summaries: deterministic pluggable summarizer (reference
+            # indexing/summarizer.py; LLM calls replaced by column
+            # expressions).
+            results["summaries"] = mat(
+                "summaries",
+                lambda: comm_ops.summarize_communities(
+                    results["communities"],
+                    results["community_stats"],
+                    results["nodes"],
+                    results["edges"],
+                    degrees=member_deg(),
+                ),
+                graph_rows,
+            )
+        finally:
+            if "d" in _deg:
+                release(_deg["d"])
         return results
 
 

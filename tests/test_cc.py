@@ -94,6 +94,28 @@ def test_driver_local_matches_distributed_path(spark):
     assert local == dist
 
 
+def test_edge_only_endpoints_identical_across_paths(spark):
+    """Ids appearing only in edges propagate labels (a-x, x-b with x not a
+    vertex still connects a and b; an edge-only id can be the component
+    min) but emit no rows — identically on the driver-local and
+    distributed paths."""
+    verts = ["b", "c", "z"]
+    edges = [("b", "x"), ("x", "c"), ("a", "b")]  # x, a are edge-only
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": verts}))
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    local = {
+        r["norm_name"]: r["label"]
+        for r in connected_components(vdf, edf, driver_threshold=100_000).collect()
+    }
+    dist = {
+        r["norm_name"]: r["label"]
+        for r in connected_components(vdf, edf, driver_threshold=0).collect()
+    }
+    assert local == dist
+    # b and c joined through edge-only x; component min is edge-only "a".
+    assert local == {"b": "a", "c": "a", "z": "z"}
+
+
 def test_embedding_candidate_pairs_reference_semantics(spark):
     """The embedding scorer links by cosine of name embeddings within
     first-token blocks (reference entity_resolver.py:32-42 semantics)."""

@@ -107,6 +107,80 @@ def test_summaries_shape(spark, clique_graph):
             assert f["summary"] and f["explanation"]
 
 
+def test_hierarchy_driver_local_matches_distributed(spark, clique_graph):
+    """The adaptive driver-local FULL hierarchy (LPA + min-size + sub-level
+    recursion) must equal the distributed per-level loop row-for-row."""
+    nodes, edges = clique_graph
+    local = set(
+        map(
+            tuple,
+            C.detect_communities(
+                nodes, edges, levels=3, min_size=2, lpa_iters=6
+            ).collect(),
+        )
+    )
+    dist = set(
+        map(
+            tuple,
+            C.detect_communities(
+                nodes, edges, levels=3, min_size=2, lpa_iters=6, driver_threshold=0
+            ).collect(),
+        )
+    )
+    assert local == dist
+    assert len(local) > 14  # multiple levels actually emitted
+
+
+def test_hierarchy_identity_random_graph(spark):
+    """Driver-local vs distributed hierarchy on a random sparse graph —
+    exercises big-parent re-clustering, dropped sub-communities, and
+    passthrough at once."""
+    import random
+
+    rng = random.Random(7)
+    ids = [f"n{i:02d}" for i in range(40)]
+    pairs = {
+        tuple(sorted((ids[rng.randrange(40)], ids[rng.randrange(40)])))
+        for _ in range(70)
+    }
+    pairs = [(a, b) for a, b in pairs if a != b]
+    nodes = _nodes_df(spark, ids)
+    edges = _edges_df(spark, pairs)
+    kw = dict(levels=3, min_size=3, lpa_iters=8)
+    local = set(map(tuple, C.detect_communities(nodes, edges, **kw).collect()))
+    dist = set(
+        map(
+            tuple,
+            C.detect_communities(nodes, edges, driver_threshold=0, **kw).collect(),
+        )
+    )
+    assert local == dist
+
+
+def test_stats_and_summaries_with_shared_degrees(spark, clique_graph):
+    """Passing a precomputed member_edge_degrees must not change results."""
+    nodes, edges = clique_graph
+    comms = C.detect_communities(nodes, edges, levels=2, min_size=3, lpa_iters=6)
+    deg = C.member_edge_degrees(comms, edges)
+    s_plain = {tuple(r) for r in C.community_stats(comms, edges).collect()}
+    s_shared = {
+        tuple(r) for r in C.community_stats(comms, edges, degrees=deg).collect()
+    }
+    assert s_plain == s_shared
+    stats = C.community_stats(comms, edges)
+    sum_plain = {
+        (r["level"], r["community_id"], r["title"], r["full_text"])
+        for r in C.summarize_communities(comms, stats, nodes, edges).collect()
+    }
+    sum_shared = {
+        (r["level"], r["community_id"], r["title"], r["full_text"])
+        for r in C.summarize_communities(
+            comms, stats, nodes, edges, degrees=deg
+        ).collect()
+    }
+    assert sum_plain == sum_shared
+
+
 def test_lpa_driver_local_matches_distributed(spark, clique_graph):
     """Adaptive small-graph LPA must equal the distributed loop exactly."""
     nodes, edges = clique_graph
