@@ -397,6 +397,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return chunk_documents_windowed(d, chunk_size=20, overlap=5)
 
+    def kg_chunks_bpe(spark, sf_dir):
+        """B1 with the subword (BPE-pretokenizer) tokenizer: window math on
+        BPE pretokens, chunk text = exact byte span (joiner '')."""
+        from graphrag_litex_spark.operators.chunking import (
+            bpe_pretokenizer,
+            chunk_documents_windowed,
+        )
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return chunk_documents_windowed(
+            d, chunk_size=20, overlap=5, tokenizer=bpe_pretokenizer(), joiner=""
+        )
+
     def vector_rag_topk(spark, sf_dir):
         """J5: VectorRAG baseline retrieval (chunk -> embed -> cosine top-k)."""
         from jobs.vector_rag_baseline import embed_chunks, vector_rag_topk as _topk
@@ -412,6 +425,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return minhash_lsh_candidates(d, jaccard_threshold=0.5)
+
+    def dedup_keeper_map(spark, sf_dir):
+        """Component-level keeper assignment over the MinHash-LSH pairs
+        (pairs -> CC -> (doc_id, keeper_id)); golden vs pure-Python
+        union-find."""
+        from graphrag_litex_spark.operators.dedup import duplicate_keeper_map
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return duplicate_keeper_map(d, jaccard_threshold=0.5)
 
     def dedup_simhash(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import simhash_duplicates
@@ -478,8 +500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_features,
         windowed_activity,
         kg_chunks_windowed,
+        kg_chunks_bpe,
         vector_rag_topk,
         dedup_minhash_lsh,
+        dedup_keeper_map,
         dedup_simhash,
         dedup_ngram_jaccard,
         ann_lsh_topk,
@@ -823,6 +847,25 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[i*15+1 : least(i*15+20, n_tok)], ' ') AS text
             FROM w
         """,
+        "kg_chunks_bpe": """
+            WITH d AS (
+                SELECT cast(doc_id AS varchar) AS source_id,
+                       regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL AND text != ''
+            ), p AS (
+                SELECT source_id, toks, len(toks) AS n_tok,
+                       CASE WHEN len(toks) <= 20 THEN 1
+                            ELSE cast(ceil((len(toks) - 20) / 15.0) AS int) + 1
+                       END AS n_win
+                FROM d WHERE len(toks) > 0
+            ), w AS (
+                SELECT source_id, toks, n_tok, unnest(range(n_win)) AS i FROM p
+            )
+            SELECT source_id, cast(i AS int) AS n,
+                   source_id || '_' || cast(i AS varchar) AS chunk_id,
+                   array_to_string(toks[i*15+1 : least(i*15+20, n_tok)], '') AS text
+            FROM w
+        """,
         "vector_rag_topk": f"""
             SELECT chunk_id, cosine
             FROM read_parquet('{docops["golden_vector_rag"]}')
@@ -838,6 +881,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": f"""
             SELECT id_a, id_b, jaccard
             FROM read_parquet('{docops["golden_minhash_lsh"]}')
+        """,
+        "dedup_keeper_map": f"""
+            SELECT doc_id, keeper_id, is_keeper
+            FROM read_parquet('{docops["golden_keeper_map"]}')
         """,
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine

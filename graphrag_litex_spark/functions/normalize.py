@@ -106,3 +106,42 @@ def hash_embed(text: str, dim: int = 64) -> list[float]:
     if norm > 0:
         vec = [v / norm for v in vec]
     return vec
+
+
+def prefix_ngram_embed(
+    text: str, dim: int = 64, n: int = 3, decay: float = 0.7
+) -> list[float]:
+    """Deterministic SEMANTIC-ish name embedder for the C7 linking slot:
+    per-token boundary-padded char n-grams, position-decayed (early grams
+    weigh more), hashed into ``dim`` buckets; token vectors l2-normalized
+    then averaged. The decay makes a token and its suffix EXPANSION share
+    most of their mass ("corp" ~ "corporation" cosine ≈ 0.9), so at the
+    reference resolver's 0.85 threshold this embedder reproduces the fuzzy
+    suffix-expansion linking MiniLM gives the reference
+    (/root/reference/extraction/entity_resolver.py:32-42) — unlike the
+    token-hash featurizer, whose cosine is pure token overlap. Different
+    tokens still embed near-orthogonally ("acme corp" vs "acme labs"
+    ≈ 0.5), keeping precision.
+    """
+    import hashlib as _hl
+
+    toks = (text or "").lower().split()
+    if not toks:
+        return [0.0] * dim
+    acc = [0.0] * dim
+    for tok in toks:
+        padded = f"^{tok}$"
+        grams = [padded[i : i + n] for i in range(max(len(padded) - n + 1, 1))]
+        tv = [0.0] * dim
+        w = 1.0
+        for g in grams:
+            h = int.from_bytes(_hl.md5(g.encode("utf-8")).digest()[:8], "big")
+            sign = 1.0 if (h >> 16) & 1 else -1.0
+            tv[h % dim] += sign * w
+            w *= decay
+        norm = sum(v * v for v in tv) ** 0.5
+        if norm > 0:
+            for i in range(dim):
+                acc[i] += tv[i] / norm
+    norm = sum(v * v for v in acc) ** 0.5
+    return [v / norm for v in acc] if norm > 0 else acc

@@ -78,7 +78,15 @@ def _cc_driver_local(
             comp_min[r] = x
     rows = [(v, comp_min[find(v)]) for v in ids]
     spark = vertices.sparkSession
-    return spark.createDataFrame(rows, schema=f"{id_col} string, label string")
+    # pandas/Arrow path: a list-backed createDataFrame is a pickled-rows RDD
+    # that round-trips Python workers on every downstream scan (see
+    # communities._local_df).
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[id_col, "label"]),
+        schema=f"{id_col} string, label string",
+    )
 
 
 def connected_components(

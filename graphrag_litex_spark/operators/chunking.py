@@ -30,16 +30,44 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def bpe_pretokenizer() -> Callable[[str], list[str]]:
+    """Subword-ish tokenizer for the B1 window math: the GPT-2-style BPE
+    pretokenizer regex (shared with operators/text_analysis.BPE_PRETOKEN_RE,
+    so Spark-side counting and this chunker agree on the token stream).
+    Stands in for the reference's tiktoken cl100k_base windows
+    (extraction/text_chunker.py:64,81,91,101) at the PRETOKEN granularity —
+    the units BPE merges operate within; the merge table itself isn't
+    shipped. Tokens carry their leading whitespace, so joining windows with
+    ``joiner=""`` reconstructs the original text span byte-for-byte
+    (unlike the whitespace tokenizer, which normalizes runs of spaces)."""
+    import regex  # third-party: supports \p{L}/\p{N} like Java/RE2  # noqa: F401
+
+    def tokenize(text: str) -> list[str]:
+        # self-contained (imports inside) so the closure pickles into the
+        # chunking UDF without dragging a compiled-pattern object along;
+        # the regex module caches the compiled pattern per process.
+        import regex
+
+        from graphrag_litex_spark.operators.text_analysis import BPE_PRETOKEN_RE
+
+        return regex.findall(BPE_PRETOKEN_RE, text or "")
+
+    return tokenize
+
+
 def chunk_windows(
     text: str,
     chunk_size: int = 600,
     overlap: int = 100,
     tokenizer: Callable[[str], list[str]] | None = None,
+    joiner: str = " ",
 ) -> list[str]:
     """Pure chunking kernel -> ordered chunk texts (chunk n = index n).
 
     Mirrors TextChunker.chunk_text with the Q1 tail fix; shared by the UDF
-    and the unit tests/oracle.
+    and the unit tests/oracle. ``joiner`` glues a window's tokens back into
+    chunk text: " " for bare-word tokenizers, "" for tokenizers whose
+    tokens carry their own whitespace (bpe_pretokenizer).
     """
     toks = tokenizer(text) if tokenizer else (text or "").split()
     n = len(toks)
@@ -47,13 +75,13 @@ def chunk_windows(
         return []
     overlap = min(overlap, chunk_size // 2)  # text_chunker.py:63
     if n <= chunk_size:
-        return [" ".join(toks)]
+        return [joiner.join(toks)]
     step = chunk_size - overlap
     out = []
     start = 0
     while start < n:
         end = min(start + chunk_size, n)
-        out.append(" ".join(toks[start:end]))
+        out.append(joiner.join(toks[start:end]))
         if end >= n:  # Q1 fix: emit the final partial window, then stop
             break
         start = end - overlap
@@ -67,12 +95,15 @@ def chunk_documents_windowed(
     chunk_size: int = 600,
     overlap: int = 100,
     tokenizer: Callable[[str], list[str]] | None = None,
+    joiner: str = " ",
 ) -> DataFrame:
     """docs -> (source_id, n, chunk_id, text): one row per token window."""
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def chunk_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: chunk_windows(t, chunk_size, overlap, tokenizer))
+        return texts.map(
+            lambda t: chunk_windows(t, chunk_size, overlap, tokenizer, joiner)
+        )
 
     return (
         docs.select(

@@ -160,13 +160,27 @@ def _hierarchy_py(
     return rows
 
 
+def _local_df(spark, rows: list, columns: list[str], schema: str) -> DataFrame:
+    """Driver rows -> DataFrame via pandas/Arrow. A plain list-of-tuples
+    createDataFrame builds a pickled-Python-rows RDD whose every downstream
+    consumption (count, coalesced write) round-trips Python workers — ~5s
+    for 156 rows under coalesce(1); the Arrow path is JVM-native after
+    conversion (~0.2s) and scans like any local relation."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(rows, columns=columns), schema=schema)
+
+
 def _lpa_driver_local(spark, ids: list, sym_pairs: list, iters: int) -> DataFrame:
     """Small-graph physical strategy for a single LPA call."""
     adj: dict = {}
     for a, b in sym_pairs:
         adj.setdefault(a, []).append(b)
-    return spark.createDataFrame(
-        list(_lpa_py(ids, adj, iters).items()), schema="entity_id string, label string"
+    return _local_df(
+        spark,
+        list(_lpa_py(ids, adj, iters).items()),
+        ["entity_id", "label"],
+        "entity_id string, label string",
     )
 
 
@@ -291,8 +305,11 @@ def detect_communities(
         pairs = [(r[0], r[1]) for r in und.collect()]
         release(und)
         rows = _hierarchy_py(ids, pairs, levels, min_size, lpa_iters)
-        return spark.createDataFrame(
-            rows, schema="level int, community_id string, parent string, entity_id string"
+        return _local_df(
+            spark,
+            rows,
+            ["level", "community_id", "parent", "entity_id"],
+            "level int, community_id string, parent string, entity_id string",
         )
 
     with loop_shuffle_partitions(spark, n_state):
@@ -455,8 +472,9 @@ def summarize_communities(
     edges: DataFrame,
     top_findings: int = 5,
     degrees: DataFrame | None = None,
+    summarizer=None,
 ) -> DataFrame:
-    """S11: deterministic community reports.
+    """S11: deterministic community reports, with a pluggable LLM slot.
 
     Shape mirrors the reference's LLM summary dict {title, summary, rating,
     findings: [{summary, explanation}]} (indexing/summarizer.py:31-38,
@@ -466,6 +484,15 @@ def summarize_communities(
     summary + finding summaries for embedding, mirroring
     utils/embedding_utils.py:42-50. Pass a precomputed
     ``member_edge_degrees`` to share its edge scan with the stats stage.
+
+    ``summarizer``: optional ``(community_id, input_text, n_entities) ->
+    {title, summary, rating, findings}`` (see
+    functions/llm_generate.make_llm_summarizer — the reference's per-
+    community LLM call, summarizer.py:25-60). Applied as ONE Arrow-batched
+    pandas UDF over the deterministic report text (the relational
+    replacement for the reference's per-community async call fan-out);
+    title/summary/rating/findings and the embedded full_text are replaced,
+    everything else (stats columns, sub_communities) stays column-computed.
     """
     m = communities.select("level", "community_id", "entity_id")
 
@@ -582,19 +609,12 @@ def summarize_communities(
             ),
         )
     )
-    return base.select(
-        "level",
-        "community_id",
-        "title",
-        "summary",
-        "rating",
-        "findings",
-        "sub_communities",
-        F.concat_ws(
+    def _full_text(title, summary, findings):
+        return F.concat_ws(
             " ",
-            F.col("title"),
-            F.col("summary"),
-            F.concat_ws(" ", F.col("findings.summary")),
+            title,
+            summary,
+            F.concat_ws(" ", findings["summary"]),
             F.when(
                 F.size("sub_communities") > 0,
                 F.concat(
@@ -603,8 +623,124 @@ def summarize_communities(
                     F.lit("."),
                 ),
             ),
-        ).alias("full_text"),
+        )
+
+    det = base.select(
+        "level",
+        "community_id",
+        "title",
+        "summary",
+        "rating",
+        "findings",
+        "sub_communities",
+        _full_text(F.col("title"), F.col("summary"), F.col("findings")).alias("full_text"),
         "size",
         "density",
         "flow",
     )
+    if summarizer is None:
+        return det
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_type = T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("summary", T.StringType()),
+            T.StructField("rating", T.DoubleType()),
+            T.StructField(
+                "findings",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("summary", T.StringType()),
+                            T.StructField("explanation", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def _summ_batch(cid, ctx, sz):
+        return pd.DataFrame(
+            [summarizer(c, x or "", int(n)) for c, x, n in zip(cid, ctx, sz)]
+        )
+
+    # no type hints: the (Series, Series, Series) -> DataFrame struct-output
+    # shape needs the explicit returnType form
+    summ_udf = F.pandas_udf(_summ_batch, out_type)
+
+    rep = F.col("_llm")
+    return (
+        det.withColumn(
+            "_llm", summ_udf(F.col("community_id"), F.col("full_text"), F.col("size"))
+        )
+        .select(
+            "level",
+            "community_id",
+            rep["title"].alias("title"),
+            rep["summary"].alias("summary"),
+            F.round(rep["rating"], 2).alias("rating"),
+            rep["findings"].alias("findings"),
+            "sub_communities",
+            "size",
+            "density",
+            "flow",
+        )
+        .withColumn(
+            "full_text",
+            _full_text(F.col("title"), F.col("summary"), F.col("findings")),
+        )
+        .select(
+            "level", "community_id", "title", "summary", "rating", "findings",
+            "sub_communities", "full_text", "size", "density", "flow",
+        )
+    )
+
+
+def modularity(membership: DataFrame, edges: DataFrame, level: int = 0) -> float:
+    """Newman modularity Q of the partition at ``level`` against the
+    (unweighted, undirected) entity graph:
+
+        Q = sum_c [ e_c / m  -  (d_c / 2m)^2 ]
+
+    with e_c = intra-community edges, d_c = total degree of members, m =
+    total undirected edges. The partition-quality metric used to judge the
+    LPA substitute against the reference's Infomap/Louvain output
+    (community_detection.py:59-100); computed relationally (joins + one
+    aggregate), collected as a single scalar.
+    """
+    und = _und_edges(edges)
+    m = und.count()
+    if m == 0:
+        return 0.0
+    part = membership.where(F.col("level") == level).select(
+        F.col("entity_id"), F.col("community_id")
+    )
+    pu = part.select(F.col("entity_id").alias("u"), F.col("community_id").alias("cu"))
+    pv = part.select(F.col("entity_id").alias("v"), F.col("community_id").alias("cv"))
+    # degree per member (each undirected edge contributes to both endpoints)
+    deg = (
+        _sym(und)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d_c = deg.join(pu, "u").groupBy("cu").agg(F.sum("deg").alias("d_c"))
+    e_c = (
+        und.join(pu, "u")
+        .join(pv, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy("cu")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    per_c = d_c.join(e_c, "cu", "left").fillna({"e_c": 0})
+    row = per_c.agg(
+        F.sum(
+            F.col("e_c") / F.lit(float(m))
+            - F.pow(F.col("d_c") / F.lit(2.0 * m), 2)
+        ).alias("q")
+    ).collect()
+    q = row[0]["q"]
+    return float(q) if q is not None else 0.0

@@ -369,3 +369,54 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
+
+
+def duplicate_keeper_map(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs: DataFrame | None = None,
+    jaccard_threshold: float = 0.6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Component-level keeper assignment — the artifact a 100 TB dedup
+    pipeline actually consumes (the pair list is an intermediate): feed
+    near-dup PAIRS (default: ``minhash_lsh_candidates``; any (id_a, id_b)
+    frame works) through connected components, pick one keeper per
+    component, and emit a full map
+
+        (doc_id, keeper_id, is_keeper)
+
+    for EVERY document (singletons keep themselves), so downstream
+    filtering is one broadcast/hash join on doc_id. Keeper = the natural
+    minimum of the ORIGINAL id type within the component (CC's internal
+    string labels are only used for grouping, so integer ids don't get
+    lexicographic-min surprises).
+    """
+    from graphrag_litex_spark.operators.cc import connected_components
+
+    if pairs is None:
+        pairs = minhash_lsh_candidates(
+            docs, id_col, text_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
+        )
+    orig = docs.select(
+        F.col(id_col), F.col(id_col).cast("string").alias("_id")
+    ).distinct()
+    labels = connected_components(
+        orig.select("_id"),
+        pairs.select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+        ),
+        id_col="_id",
+    )
+    lab = labels.join(orig, "_id").select(F.col(id_col), F.col("label"))
+    keepers = lab.groupBy("label").agg(F.min(id_col).alias("keeper_id"))
+    return (
+        lab.join(keepers, "label")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "keeper_id",
+            (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+        )
+    )

@@ -148,10 +148,12 @@ def embedding_candidate_pairs(
 
     Note: the default hashing featurizer's cosine measures TOKEN overlap, so
     at the reference's 0.85 threshold it links only near-identical token
-    sets (reorderings, subset-of-3 extensions); the fuzzy suffix-expansion
-    behavior ("acme corp" ~ "acme corporation") needs a semantic embedder in
-    this slot — that is exactly the reference's MiniLM dependency, stubbed
-    deterministically here like the LLM extractor is.
+    sets (reorderings, subset-of-3 extensions). For the reference's fuzzy
+    suffix-expansion behavior ("acme corp" ~ "acme corporation",
+    MiniLM-driven) pass ``prefix_ngram_embed_udf()`` — a deterministic
+    prefix-decayed char-ngram embedder whose cosine lands suffix expansions
+    above 0.85 and unrelated tokens near 0.5 (tests/test_cc.py); production
+    plugs a real sentence-transformer UDF into the same slot.
     """
     from graphrag_litex_spark.operators.similarity import cosine_col
 
@@ -163,3 +165,17 @@ def embedding_candidate_pairs(
     return _scored_pairs(
         keyed, F.round(cosine_col(F.col("a.feat"), F.col("b.feat")), 6), threshold
     )
+
+
+def prefix_ngram_embed_udf(dim: int = 64):
+    """C7 slot: Arrow-batched UDF over functions.normalize.prefix_ngram_embed
+    — the deterministic stand-in that reproduces the reference resolver's
+    suffix-expansion linking at its 0.85 cosine threshold."""
+    from pyspark.sql import types as T
+
+    from graphrag_litex_spark.functions.normalize import prefix_ngram_embed
+
+    def _batch(s):  # no hints: explicit returnType form (pd imported lazily)
+        return s.map(lambda t: prefix_ngram_embed(t or "", dim))
+
+    return F.pandas_udf(_batch, T.ArrayType(T.DoubleType()))

@@ -317,7 +317,42 @@ def vector_rag_topk_golden(
 
 # ---- driver: compute goldens for a testdata sf dir (cached on disk) ----
 
-DOCOPS_VERSION = 4
+def keeper_map_golden(doc_ids: list, pair_table: pa.Table) -> pa.Table:
+    """(doc_id, keeper_id, is_keeper) for every doc: union-find over the
+    near-dup pairs; keeper = natural min of the component (mirrors
+    operators/dedup.duplicate_keeper_map)."""
+    parent: dict = {d: d for d in doc_ids}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(
+        pair_table.column("id_a").to_pylist(), pair_table.column("id_b").to_pylist()
+    ):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    keeper: dict = {}
+    for d in doc_ids:
+        r = find(d)
+        if r not in keeper or d < keeper[r]:
+            keeper[r] = d
+    rows = sorted((d, keeper[find(d)]) for d in doc_ids)
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "keeper_id": pa.array([r[1] for r in rows]),
+            "is_keeper": pa.array([r[0] == r[1] for r in rows], pa.bool_()),
+        }
+    )
+
+
+DOCOPS_VERSION = 5
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -334,6 +369,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_ann_ivf_topk": os.path.join(out_dir, "golden_ann_ivf_topk.parquet"),
         "golden_vector_rag": os.path.join(out_dir, "golden_vector_rag.parquet"),
         "golden_winnow": os.path.join(out_dir, "golden_winnow.parquet"),
+        "golden_keeper_map": os.path.join(out_dir, "golden_keeper_map.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -352,10 +388,9 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     pq.write_table(simhash_duplicates_golden(doc_ids, texts), paths["golden_simhash"])
-    pq.write_table(
-        minhash_lsh_golden(doc_ids, texts, jaccard_threshold=0.5),
-        paths["golden_minhash_lsh"],
-    )
+    lsh_pairs = minhash_lsh_golden(doc_ids, texts, jaccard_threshold=0.5)
+    pq.write_table(lsh_pairs, paths["golden_minhash_lsh"])
+    pq.write_table(keeper_map_golden(doc_ids, lsh_pairs), paths["golden_keeper_map"])
     pq.write_table(
         vector_rag_topk_golden(doc_ids, texts, "what is this corpus about", k=5),
         paths["golden_vector_rag"],

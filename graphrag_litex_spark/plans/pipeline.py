@@ -82,6 +82,11 @@ class PipelineConfig:
     # entity_resolver.py:32-42, with the pluggable C7 embedder).
     link_scorer: str = "ngram"
     embed_sim_threshold: float = 0.85  # entity_resolver.py:10-12
+    # Embedder for link_scorer="embedding": "hash" (token-overlap cosine) or
+    # "prefix_ngram" (suffix-expansion linking, the reference's MiniLM-like
+    # behavior). A custom embedder UDF plugs in at the operator level
+    # (linking.embedding_candidate_pairs(embed_udf=...)).
+    link_embedder: str = "hash"
     # Giant-block valve (operators/linking._block_keyed): None = decide
     # automatically — refinement turns ON when the distinct-name count
     # exceeds ``link_auto_valve_names`` (at that size a single hot
@@ -404,10 +409,19 @@ class KGPipeline:
             if cfg.link_scorer == "embedding":
                 from graphrag_litex_spark.operators.linking import (
                     embedding_candidate_pairs,
+                    prefix_ngram_embed_udf,
                 )
 
+                embed_udf = (
+                    prefix_ngram_embed_udf()
+                    if cfg.link_embedder == "prefix_ngram"
+                    else None
+                )
                 pairs = embedding_candidate_pairs(
-                    names, cfg.embed_sim_threshold, max_block_size=max_block
+                    names,
+                    cfg.embed_sim_threshold,
+                    embed_udf=embed_udf,
+                    max_block_size=max_block,
                 )
             else:
                 pairs = candidate_pairs(

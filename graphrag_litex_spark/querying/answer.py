@@ -213,23 +213,75 @@ def answer_questions(
     return out
 
 
+def map_answers_llm(selected: DataFrame, question: str, answerer) -> DataFrame:
+    """J1 map via the pluggable LLM slot (functions/llm_generate.
+    make_llm_answerer): ONE Arrow-batched pandas UDF calls ``answerer.map``
+    per selected summary — the relational replacement for the reference's
+    bounded-concurrency async map fan-out (map_reduce.py:21-33). Empty
+    answers are filtered (:35)."""
+    out_type = T.StructType(
+        [
+            T.StructField("answer", T.StringType()),
+            T.StructField("helpfulness", T.DoubleType()),
+        ]
+    )
+
+    def _map_batch(ctx):
+        return pd.DataFrame([answerer.map(question, x or "") for x in ctx])
+
+    map_udf = F.pandas_udf(_map_batch, out_type)
+
+    m = F.col("_m")
+    return (
+        selected.withColumn("_m", map_udf(F.col("full_text")))
+        .select(
+            "level",
+            "community_id",
+            F.col("title"),
+            m["answer"].alias("answer"),
+            m["helpfulness"].alias("helpfulness"),
+            F.col("score"),
+        )
+        .where(F.col("answer") != "")
+    )
+
+
+NO_ANSWER = "No relevant information found to answer the question."
+
+
 def answer_question(
     summaries: DataFrame,
     question: str,
     level: int = 0,
     k: int = 10,
+    answerer=None,
 ) -> dict:
     """Full query pipeline; the reduce step collects <= k tiny rows (the
     only driver-side collection in the engine, mirroring the reference's
-    single reduce LLM call)."""
+    single reduce LLM call).
+
+    ``answerer``: optional LLM slot (functions/llm_generate.LLMAnswerer) —
+    its ``map`` runs distributed per selected summary, its ``reduce`` runs
+    once on the driver over the <= k surviving answers, exactly the
+    reference's one global-answer call (map_reduce.py:47). Default: the
+    deterministic token-overlap map + concatenation reduce."""
     emb = embed_summaries(summaries)
     selected = select_top_k(emb, question, level=level, k=k)
-    mapped = map_answers(selected, question).orderBy(
+    if answerer is None:
+        mapped = map_answers(selected, question)
+    else:
+        mapped = map_answers_llm(selected, question, answerer)
+    rows = mapped.orderBy(
         F.col("helpfulness").desc(), F.col("community_id").asc()
-    )
-    rows = mapped.collect()
+    ).collect()
+    if answerer is None:
+        answer = " ".join(r["answer"] for r in rows)
+    elif rows:
+        answer = answerer.reduce(question, [r["answer"] for r in rows])
+    else:
+        answer = NO_ANSWER  # map_reduce.py:38-41 empty-result envelope
     return {
-        "answer": " ".join(r["answer"] for r in rows),
+        "answer": answer,
         "topics": [
             {"topic": r["title"], "description": r["answer"], "helpfulness": r["helpfulness"]}
             for r in rows

@@ -175,3 +175,60 @@ def test_document_corpus_through_full_pipeline(spark, tmp_path):
     assert res["nodes"].count() > 0 and res["triples"].count() > 0
     names = {r["canonical_name"] for r in res["nodes"].collect()}
     assert "acme corp" in names and "alice johnson" in names
+
+
+def test_bpe_pretokenizer_chunks_reconstruct_exact_spans(spark):
+    """BPE-pretoken windows with joiner '' cover the original text exactly:
+    concatenating non-overlap window steps reproduces the document."""
+    from graphrag_litex_spark.operators.chunking import (
+        bpe_pretokenizer,
+        chunk_windows,
+    )
+
+    tok = bpe_pretokenizer()
+    text = "Dr. O'Neil's  report (v2.1) covers 42 topics — naïve café units."
+    toks = tok(text)
+    assert "".join(toks) == text  # lossless tokenization
+    chunks = chunk_windows(text, chunk_size=5, overlap=2, tokenizer=tok, joiner="")
+    assert len(chunks) > 1
+    # every chunk is a contiguous substring of the original
+    for c in chunks:
+        assert c in text
+    # non-overlap reconstruction: first chunk + each next chunk minus its
+    # 2-token overlap prefix (window starts advance by step = 5 - 2 = 3)
+    rebuilt = chunks[0]
+    for c, start in zip(chunks[1:], range(3, len(toks), 3)):
+        overlap_prefix = "".join(toks[start : start + 2])
+        rebuilt += c[len(overlap_prefix):]
+    assert rebuilt == text
+
+
+def test_bpe_chunker_spark_matches_kernel(spark):
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.chunking import (
+        bpe_pretokenizer,
+        chunk_documents_windowed,
+        chunk_windows,
+    )
+
+    docs = [
+        (1, "Short one."),
+        (2, "A much longer document, with punctuation! " * 6),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {
+        (r["source_id"], r["n"]): r["text"]
+        for r in chunk_documents_windowed(
+            df, chunk_size=8, overlap=3, tokenizer=bpe_pretokenizer(), joiner=""
+        ).collect()
+    }
+    tok = bpe_pretokenizer()
+    want = {
+        (str(i), n): c
+        for i, t in docs
+        for n, c in enumerate(chunk_windows(t, 8, 3, tok, ""))
+    }
+    assert got == want
+    assert not any(k[0] == "3" for k in got)  # empty doc -> no chunks

@@ -198,3 +198,135 @@ def test_lpa_driver_local_matches_distributed(spark, clique_graph):
         ).collect()
     }
     assert local == dist
+
+
+# ---- partition quality vs the reference's Louvain fallback ----------------
+
+
+def _louvain_py(ids, und_pairs, max_passes=10):
+    """Compact deterministic Louvain (the reference's fallback algorithm,
+    community_detection.py:85-100): local-move phase to a fixpoint, then
+    graph aggregation, repeated. Deterministic: nodes visited in sorted
+    order, best community by (gain desc, community id asc)."""
+    node_comm = {u: u for u in ids}
+    graph = {}  # (a, b) -> weight with a <= b
+    for a, b in und_pairs:
+        key = (a, b) if a <= b else (b, a)
+        graph[key] = graph.get(key, 0.0) + 1.0
+    mapping = {u: u for u in ids}  # original node -> current community
+
+    while True:
+        nodes = sorted({x for e in graph for x in e} | set(node_comm))
+        adj = {}
+        loops = {}
+        for (a, b), w in graph.items():
+            if a == b:
+                loops[a] = loops.get(a, 0.0) + w
+                continue
+            adj.setdefault(a, {})[b] = adj.get(a, {}).get(b, 0.0) + w
+            adj.setdefault(b, {})[a] = adj.get(b, {}).get(a, 0.0) + w
+        k = {u: sum(adj.get(u, {}).values()) + 2 * loops.get(u, 0.0) for u in nodes}
+        m2 = sum(k.values())  # = 2m
+        if m2 == 0:
+            break
+        comm = {u: u for u in nodes}
+        sigma_tot = dict(k)
+        improved_any = False
+        while True:
+            moved = False
+            for u in nodes:
+                cu = comm[u]
+                # weights from u to each neighboring community
+                w_to = {}
+                for v, w in adj.get(u, {}).items():
+                    w_to[comm[v]] = w_to.get(comm[v], 0.0) + w
+                sigma_tot[cu] -= k[u]
+                best_c, best_gain = cu, 0.0
+                for c, w in sorted(w_to.items()):
+                    gain = w - sigma_tot[c] * k[u] / m2
+                    base = w_to.get(cu, 0.0) - sigma_tot[cu] * k[u] / m2
+                    if gain - base > best_gain + 1e-12 or (
+                        abs(gain - base - best_gain) <= 1e-12 and c < best_c
+                    ):
+                        best_gain = gain - base
+                        best_c = c
+                sigma_tot[best_c] = sigma_tot.get(best_c, 0.0) + k[u]
+                if best_c != cu:
+                    comm[u] = best_c
+                    moved = True
+                    improved_any = True
+            if not moved:
+                break
+        if not improved_any:
+            break
+        # aggregate: communities become nodes
+        mapping = {orig: comm[c] for orig, c in mapping.items()}
+        new_graph = {}
+        for (a, b), w in graph.items():
+            ca, cb = comm[a], comm[b]
+            key = (ca, cb) if ca <= cb else (cb, ca)
+            new_graph[key] = new_graph.get(key, 0.0) + w
+        if len({c for c in comm.values()}) == len(nodes):
+            break
+        graph = new_graph
+        node_comm = {c: c for c in set(comm.values())}
+    return mapping
+
+
+def _modularity_py(partition, und_pairs):
+    m = len(set((a, b) if a <= b else (b, a) for a, b in und_pairs))
+    if m == 0:
+        return 0.0
+    deg = {}
+    for a, b in und_pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    e_c, d_c = {}, {}
+    for a, b in und_pairs:
+        if partition.get(a) == partition.get(b):
+            e_c[partition[a]] = e_c.get(partition[a], 0) + 1
+    for u, d in deg.items():
+        c = partition.get(u)
+        d_c[c] = d_c.get(c, 0) + d
+    return sum(
+        e_c.get(c, 0) / m - (d_c[c] / (2 * m)) ** 2 for c in d_c
+    )
+
+
+@pytest.fixture(scope="module")
+def ring_of_cliques(spark):
+    """5 cliques of 5, ring-linked — the standard community benchmark."""
+    pairs = []
+    ids = []
+    for c in range(5):
+        grp = [f"c{c}n{i}" for i in range(5)]
+        ids += grp
+        pairs += [(x, y) for i, x in enumerate(grp) for y in grp[i + 1 :]]
+    for c in range(5):  # ring links
+        pairs.append((f"c{c}n0", f"c{(c + 1) % 5}n0"))
+    return ids, pairs
+
+
+def test_lpa_modularity_close_to_louvain(spark, ring_of_cliques):
+    """VERDICT r2 #4: measure the LPA substitute's partition quality against
+    the reference's Louvain fallback on the same graph. Recorded in
+    COVERAGE.md."""
+    ids, pairs = ring_of_cliques
+    nodes = _nodes_df(spark, ids)
+    edges = _edges_df(spark, pairs)
+    comms = C.detect_communities(nodes, edges, levels=1, min_size=3, lpa_iters=8)
+    q_lpa = C.modularity(comms, edges, level=0)
+    q_louvain = _modularity_py(_louvain_py(ids, pairs), pairs)
+    # sanity: Louvain finds the planted 5-clique structure
+    assert q_louvain > 0.6
+    assert q_lpa >= 0.8 * q_louvain, f"LPA Q={q_lpa:.4f} vs Louvain Q={q_louvain:.4f}"
+
+
+def test_modularity_spark_matches_python(spark, clique_graph):
+    nodes, edges = clique_graph
+    comms = C.detect_communities(nodes, edges, levels=1, min_size=3, lpa_iters=6)
+    part = {r["entity_id"]: r["community_id"] for r in comms.collect()}
+    und = {(r["u"], r["v"]) for r in C._und_edges(edges).collect()}
+    q_spark = C.modularity(comms, edges, level=0)
+    q_py = _modularity_py(part, list(und))
+    assert abs(q_spark - q_py) < 1e-9

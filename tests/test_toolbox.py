@@ -326,3 +326,33 @@ def test_knn_join_lsh_empty_right(spark):
         schema="vec_id long, embedding array<double>",
     )
     assert S.knn_join_lsh(empty, empty, k=2).collect() == []
+
+
+def test_duplicate_keeper_map_components(spark):
+    """Pairs -> CC -> keeper map: chains of near-dups collapse to one keeper
+    (natural min of the ORIGINAL id type, not string-min), singletons keep
+    themselves."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from graphrag_litex_spark.operators.dedup import duplicate_keeper_map
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 9, 10, 33, 5], "text": ["x"] * 5})
+    )
+    # chain 9-10-33 (transitive), singleton 2 and 5; ids chosen so that
+    # string-min ("10" < "9") would differ from natural min (9)
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(9, 10), (10, 33)], columns=["id_a", "id_b"])
+    )
+    got = {
+        r["doc_id"]: (r["keeper_id"], r["is_keeper"])
+        for r in duplicate_keeper_map(docs, pairs=pairs).collect()
+    }
+    assert got == {
+        2: (2, True),
+        5: (5, True),
+        9: (9, True),
+        10: (9, False),
+        33: (9, False),
+    }
