@@ -169,11 +169,20 @@ def main() -> None:
         else [2, 4, 8]
     )
 
+    # Host capacity varies minute-to-minute (hypervisor overcommit), so a
+    # single pre-level probe can mismatch the Spark window it is supposed to
+    # calibrate: the probe is run BEFORE and AFTER each level and the pair
+    # ceiling uses the per-level mean (best-case capacity seen adjacent to
+    # the job).
     levels: dict[int, dict] = {}
     probes: dict[int, float] = {}
+    probes_pre: dict[int, float] = {}
+    probes_post: dict[int, float] = {}
     for n in sorted({c for n in ns for c in (n, 4 * n)}):
-        probes[n] = probe_at(n)
+        probes_pre[n] = probe_at(n)
         levels[n] = best_of(reps, n, sf, ramdisk)
+        probes_post[n] = probe_at(n)
+        probes[n] = round((probes_pre[n] + probes_post[n]) / 2, 3)
 
     pair_rows = []
     for n in ns:
@@ -195,6 +204,8 @@ def main() -> None:
         "ramdisk": ramdisk,
         "levels": levels,
         "probes": probes,
+        "probes_pre": probes_pre,
+        "probes_post": probes_post,
         "pairs": pair_rows,
         "target": 0.8,
     }
