@@ -1,0 +1,95 @@
+"""Bucketed warehouse materialization of the knowledge graph (A2 at scale).
+
+The stage tables the pipeline writes are plain parquet directories — right
+for checkpoint/resume, but every downstream id-keyed join (nodes x edges,
+nodes x triples, nodes x claims: the D1/D2 shape users run constantly
+against a built graph) must shuffle the fact table on its join key first.
+At 100 TB the edges/triples tables are the corpus-proportional ones, and
+that shuffle IS the query cost.
+
+``save_graph_tables`` writes the graph's id-keyed collections as BUCKETED
+managed tables (``bucketBy`` on the id each table is joined on, same bucket
+count everywhere), so the warehouse is pre-co-located: a join between any
+two of them on the bucketed keys compiles to a SortMergeJoin with NO
+Exchange on either side (asserted in tests/test_warehouse.py against the
+physical plan). Catalyst reads the bucketing metadata from the session
+catalog — Hive-style parquet tables in the sandbox; with an Iceberg
+catalog configured the same calls go through
+``spark.sql.catalog.*`` unchanged (Iceberg bucket-partition transforms
+replace Hive bucketing; this module keeps the DataFrame-level contract).
+
+Bucket keys (one hash family, so any pair co-locates):
+  nodes     -> entity_id        (primary key)
+  edges     -> src_id           (the probe side of D1)
+  triples   -> src_id
+  mentions  -> entity_id        (mention provenance lookups)
+  canon_map -> entity_id
+
+Non-id tables (chunks, communities, community_stats, summaries, claims —
+claims join through an ARRAY of entity ids, which buckets cannot co-locate)
+are saved unbucketed for completeness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+BUCKET_KEYS = {
+    "nodes": "entity_id",
+    "edges": "src_id",
+    "triples": "src_id",
+    "mentions": "entity_id",
+    "canon_map": "entity_id",
+}
+
+
+def save_graph_tables(
+    graph: dict[str, DataFrame],
+    prefix: str = "kg",
+    buckets: int = 64,
+    mode: str = "overwrite",
+    location: str | None = None,
+) -> dict[str, str]:
+    """Persist graph collections as catalog tables, bucketing the id-keyed
+    ones; returns {collection: table_identifier}.
+
+    ``buckets`` is the warehouse-wide bucket count — co-location requires
+    every table in a join to agree on it, so it is fixed per warehouse, not
+    per table. Size it to cluster parallelism at build time (e.g. 4096 on
+    a 1000-executor cluster); local tests use small counts.
+
+    ``location`` (optional) roots each table at ``<location>/<identifier>``
+    (external tables — bucketing metadata still lives in the catalog);
+    without it tables are managed under ``spark.sql.warehouse.dir``, which
+    is a static conf fixed at session start.
+    """
+    import os
+
+    written: dict[str, str] = {}
+    for name, df in graph.items():
+        ident = f"{prefix}_{name}"
+        writer = df.write.mode(mode).format("parquet")
+        if location is not None:
+            writer = writer.option("path", os.path.join(location, ident))
+        key = BUCKET_KEYS.get(name)
+        if key is not None and key in df.columns:
+            writer = writer.bucketBy(buckets, key).sortBy(key)
+        writer.saveAsTable(ident)
+        written[name] = ident
+    return written
+
+
+def open_warehouse_graph(
+    spark: SparkSession, prefix: str = "kg", tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Re-open a warehouse written by ``save_graph_tables``. Bucketing
+    metadata comes from the catalog, so joins between the returned frames
+    on their bucket keys plan without an Exchange."""
+    from graphrag_litex_spark.sources.tables import KG_TABLES
+
+    out: dict[str, DataFrame] = {}
+    for name in tables or KG_TABLES:
+        ident = f"{prefix}_{name}"
+        if spark.catalog.tableExists(ident):
+            out[name] = spark.table(ident)
+    return out

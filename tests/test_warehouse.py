@@ -1,0 +1,70 @@
+"""Bucketed warehouse: co-located joins with no Exchange (sinks/warehouse.py).
+
+The point of bucketing is the physical plan, so the assertions here are on
+`.explain` output: a join between two bucketed tables on their bucket keys
+must contain NO shuffle (Exchange) on either side, while the same join over
+plain parquet shuffles both sides.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, pipeline_sf0001, tmp_path_factory):
+    from graphrag_litex_spark.sinks.warehouse import save_graph_tables
+
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    graph = {k: pipeline_sf0001[k] for k in ("nodes", "edges", "triples", "summaries")}
+    idents = save_graph_tables(graph, prefix="whtest", buckets=8, location=wh)
+    yield idents
+    for ident in idents.values():
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    nodes = spark.table(warehouse["nodes"])
+    edges = spark.table(warehouse["edges"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a non-broadcast join so the shuffle question is real.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = edges.join(nodes, edges.src_id == nodes.entity_id).select(
+            "src_id", "dst_id", "canonical_name"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_unbucketed_join_shuffles(spark, pipeline_sf0001):
+    nodes, edges = pipeline_sf0001["nodes"], pipeline_sf0001["edges"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(edges.join(nodes, edges.src_id == nodes.entity_id))
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_roundtrip_values_and_buckets(spark, warehouse, pipeline_sf0001):
+    from graphrag_litex_spark.sinks.warehouse import open_warehouse_graph
+
+    graph = open_warehouse_graph(spark, prefix="whtest")
+    assert set(graph) >= {"nodes", "edges", "triples", "summaries"}
+    assert graph["nodes"].count() == pipeline_sf0001["nodes"].count()
+    assert graph["edges"].count() == pipeline_sf0001["edges"].count()
+    # Bucket spec survives the catalog round-trip.
+    ddl = spark.sql(f"DESCRIBE EXTENDED {warehouse['nodes']}").collect()
+    text = "\n".join(f"{r.col_name} {r.data_type}" for r in ddl)
+    assert "entity_id" in text and "8" in text  # Num Buckets: 8
+    # Unbucketed table also round-trips.
+    assert graph["summaries"].count() == pipeline_sf0001["summaries"].count()
