@@ -73,6 +73,14 @@ def merge_nodes(
                 F.collect_set("instance").alias("instances"),
                 F.count(F.lit(1)).alias("n_mentions"),
             )
+            # Cap each bucket's stored sample BEFORE the final shuffle: a
+            # hot entity with millions of mentions would otherwise ship its
+            # entire provenance set through the reduce even though only
+            # max_instances survive the final select. n_in_bucket records
+            # the true distinct count first, keeping n_instances exact
+            # (buckets are globally disjoint — see the final-agg comment).
+            .withColumn("n_in_bucket", F.size("instances"))
+            .withColumn("instances", cap(F.col("instances")))
         )
         final = partial.groupBy("entity_id", "canonical").agg(
             # partial "name" is min over canonical-form mentions in the salt
@@ -89,8 +97,8 @@ def merge_nodes(
             # capped WITHOUT sorting: array_sort over 100k+-element struct
             # arrays for hot keys tripled the stage cost; instances are set
             # semantics, sample order unspecified (counts stay exact).
-            F.sum(F.size("instances")).alias("n_instances"),
-            cap(F.flatten(F.collect_list(cap(F.col("instances"))))).alias("instances"),
+            F.sum("n_in_bucket").alias("n_instances"),
+            cap(F.flatten(F.collect_list("instances"))).alias("instances"),
             F.sum("n_mentions").alias("n_mentions"),
         )
     else:
