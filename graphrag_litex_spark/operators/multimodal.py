@@ -2,12 +2,19 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with a typed
 metadata struct. The decode/feature-extract kernels are Arrow-batched
-``mapInPandas`` functions; the actual media libraries (PIL/ffmpeg/...) are
-NOT in this container, so the decode step is STUBBED: ``decode_stub=True``
-(default) computes deterministic byte-level pseudo-features so the whole
-Spark plumbing — schema, batching, partitioning, UDF signature — is real
-and tested; ``decode_stub=False`` raises NotImplementedError where the real
-decoder would plug in.
+``mapInPandas`` functions.
+
+Decode is REAL for the dependency-free formats — uncompressed 24-bit BMP,
+binary PPM, PCM WAV (functions/media_codecs.py, numpy + stdlib): see
+``decode_and_featurize`` (true pixel/audio features), ``resize_images``
+(actual nearest-neighbor resample), ``sample_audio_windows`` (actual PCM
+windowing). Compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, which
+are NOT in this container: those rows return ``decoded=False`` envelopes,
+and the original byte-level kernels below keep their honest stub
+(``decode_stub=True`` computes deterministic pseudo-features;
+``decode_stub=False`` raises NotImplementedError where PIL/ffmpeg would
+plug in). Spark plumbing — schema, batching, partitioning, cardinality
+changes — is identical on both paths.
 """
 
 from __future__ import annotations
@@ -177,6 +184,159 @@ def sample_frames(
                     fidx.append(i)
                     ts.append(i * every_ms)
                     pay.append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": mid, "frame_idx": fidx, "ts_ms": ts, "payload": pay}
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+DECODED_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channel_mean", T.ArrayType(T.DoubleType())),  # RGB
+        T.StructField("luma_std", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_and_featurize(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction for dependency-free formats.
+
+    Uncompressed BMP / binary PPM images and PCM WAV audio are actually
+    decoded (functions/media_codecs.py, numpy + stdlib only) and yield
+    true content features: pixel dimensions, per-channel means, luma
+    stddev for images; sample rate, duration, RMS level for audio.
+    Compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, absent in this
+    container: those rows come back ``decoded=False`` with the detected
+    format — a per-row envelope, never a task failure (the C2 stance).
+    One Arrow batch per Python call; output is flat and join-ready.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphrag_litex_spark.functions import media_codecs as mc
+
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                fmt = mc.detect_format(payload)
+                row = {
+                    "media_id": media_id,
+                    "kind": kind,
+                    "format": fmt,
+                    "decoded": False,
+                    "width": None,
+                    "height": None,
+                    "channel_mean": None,
+                    "luma_std": None,
+                    "sample_rate": None,
+                    "duration_ms": None,
+                    "rms": None,
+                }
+                try:
+                    if fmt in ("bmp", "ppm"):
+                        img = mc.decode_image(payload)
+                        luma = img.astype(np.float64).mean(axis=2)
+                        row.update(
+                            decoded=True,
+                            width=int(img.shape[1]),
+                            height=int(img.shape[0]),
+                            channel_mean=[float(x) for x in img.mean(axis=(0, 1))],
+                            luma_std=float(luma.std()),
+                        )
+                    elif fmt == "wav":
+                        rate, samples = mc.decode_wav(payload)
+                        row.update(
+                            decoded=True,
+                            sample_rate=int(rate),
+                            duration_ms=int(1000 * samples.size / rate) if rate else 0,
+                            rms=float(np.sqrt((samples**2).mean())) if samples.size else 0.0,
+                        )
+                except Exception:
+                    row["decoded"] = False  # corrupt payload -> envelope, not task failure
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_FEATURE_SCHEMA])
+
+    return media.mapInPandas(batches, DECODED_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (nearest-neighbor) for decodable formats; output
+    payload is re-encoded PPM (deterministic, dependency-free). Rows whose
+    format cannot be decoded here pass through unchanged with their
+    original meta — the honest boundary, flagged by mime staying non-PPM.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_litex_spark.functions import media_codecs as mc
+
+        for pdf in it:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                fmt = mc.detect_format(payload)
+                meta = dict(meta or {})
+                try:
+                    if fmt not in ("bmp", "ppm"):
+                        raise NotImplementedError(fmt)
+                    img = mc.resize_nearest(mc.decode_image(payload), width, height)
+                    payloads.append(mc.encode_ppm(img))
+                    meta.update(mime="image/x-portable-pixmap", width=width, height=height)
+                except Exception:  # undecodable/corrupt -> pass through unchanged
+                    payloads.append(payload)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def sample_audio_windows(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling for PCM WAV audio: one output row per
+    ``every_ms`` window, payload = that window re-encoded as WAV (same
+    FRAME_SCHEMA as the video sampler — cardinality-changing mapInPandas).
+    Non-WAV rows are skipped (a real ffmpeg sampler plugs into
+    ``sample_frames``; this is the decodable-format half done for real).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_litex_spark.functions import media_codecs as mc
+
+        for pdf in it:
+            mid, fidx, ts, pay = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if mc.detect_format(payload) != "wav":
+                    continue
+                try:
+                    rate, samples = mc.decode_wav(payload)
+                except Exception:
+                    continue
+                win = max(1, int(rate * every_ms / 1000))
+                for i in range(0, max(len(samples), 1), win):
+                    chunk = samples[i : i + win]
+                    if chunk.size == 0:
+                        break
+                    mid.append(media_id)
+                    fidx.append(i // win)
+                    ts.append(int(i * 1000 / rate))
+                    pay.append(mc.encode_wav(rate, chunk))
             yield pd.DataFrame(
                 {"media_id": mid, "frame_idx": fidx, "ts_ms": ts, "payload": pay}
             )
