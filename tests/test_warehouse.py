@@ -68,3 +68,33 @@ def test_roundtrip_values_and_buckets(spark, warehouse, pipeline_sf0001):
     assert "entity_id" in text and "8" in text  # Num Buckets: 8
     # Unbucketed table also round-trips.
     assert graph["summaries"].count() == pipeline_sf0001["summaries"].count()
+
+
+def test_cli_publish_warehouse(spark, corpus_sf0001, tmp_path, capsys):
+    """jobs/publish_warehouse.py over a real build output directory."""
+    import jobs.build_graph as build
+    import jobs.publish_warehouse as publish
+
+    kg_dir = str(tmp_path / "kg")
+    assert build.main(["--transcripts", corpus_sf0001["transcripts"],
+                       "--output", kg_dir, "--until", "edges"]) == 0
+    rc = publish.main(["--graph", kg_dir, "--prefix", "whcli", "--buckets", "4",
+                       "--location", str(tmp_path / "wh")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "table whcli_nodes: published" in out
+    assert "table whcli_edges: published" in out
+    try:
+        nodes, edges = spark.table("whcli_nodes"), spark.table("whcli_edges")
+        assert nodes.count() > 0
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(edges.join(nodes, edges.src_id == nodes.entity_id))
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        for t in ("nodes", "edges", "triples", "mentions", "canon_map", "chunks",
+                  "claims", "communities", "community_stats", "summaries"):
+            spark.sql(f"DROP TABLE IF EXISTS whcli_{t}")
