@@ -124,3 +124,43 @@ class TestSparkOperators:
         assert [r["ts_ms"] for r in frames] == [0, 1000, 2000]
         rate, chunk = mc.decode_wav(bytes(frames[1]["payload"]))
         assert rate == 8000 and chunk.size == 8000
+
+
+class TestCodecProperties:
+    """Property-based round-trips (hypothesis): encode∘decode == identity for
+    every dimension/dtype the codecs claim to support."""
+
+    def test_bmp_ppm_round_trip_any_shape(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(min_value=1, max_value=24),
+            w=st.integers(min_value=1, max_value=24),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def check(h, w, seed):
+            img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+            assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+
+        check()
+
+    def test_wav_round_trip_any_length(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            n=st.integers(min_value=1, max_value=5000),
+            rate=st.sampled_from([8000, 16000, 44100]),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def check(n, rate, seed):
+            samples = np.random.default_rng(seed).uniform(-1, 1, n)
+            got_rate, got = mc.decode_wav(mc.encode_wav(rate, samples))
+            assert got_rate == rate and got.size == n
+            assert np.abs(got - samples).max() < 2.0 / 32767  # 16-bit quantization
+
+        check()
