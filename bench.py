@@ -62,16 +62,18 @@ def main() -> None:
     # fresh output dir — the regime that matters at 10^12-turn scale where
     # each stage runs for hours). Key regimes (stable from round 3 on):
     # kg_pipeline_to_claims = COLD single run (the round-1 meaning);
-    # kg_pipeline_to_claims_steady = warm best-of-2. The headline
-    # triples/sec uses steady-state, as noted in BENCH/BASELINE.md.
+    # kg_pipeline_to_claims_steady = warm best-of-2 (min over the two
+    # post-cold reps — host capacity varies minute-to-minute on this box,
+    # see BENCH/BASELINE.md, so one warm rep can land in a degraded
+    # window). The headline triples/sec uses steady-state.
     out = os.path.join(paths["dir"], "kg_bench")
     pipe_secs = []
-    for _rep in range(2):
+    for _rep in range(3):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         res = run_pipeline(spark, paths["transcripts"], out, resume=False, until="claims")
         pipe_secs.append(time.time() - t0)
-    pipeline_sec = min(pipe_secs)
+    pipeline_sec = min(pipe_secs[1:])
     n_triples = res["triples"].count()
     n_turns = spark.read.parquet(paths["transcripts"]).count()
     timings["kg_pipeline_to_claims"] = round(pipe_secs[0], 3)
