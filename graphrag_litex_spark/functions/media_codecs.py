@@ -43,6 +43,30 @@ def detect_format(payload: bytes | None) -> str | None:
 
 DECODABLE = {"bmp", "ppm", "wav"}
 
+# Compressed image formats decodable IF Pillow is installed (optional
+# dependency — absent in this container; the import is guarded so the
+# operators degrade to the decoded=False envelope, never a task failure).
+PIL_IMAGE_FORMATS = {"jpeg", "png", "gif"}
+
+
+def _pil():
+    """Lazy, import-guarded Pillow handle (None when not installed).
+
+    Called inside executor UDFs too — the try/except runs per call but
+    Python caches the module, so the cost is a dict lookup."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decodable_image_formats() -> set[str]:
+    """Image formats decode_image can actually decode in THIS environment."""
+    base = {"bmp", "ppm"}
+    return base | PIL_IMAGE_FORMATS if _pil() else base
+
 # ---- images --------------------------------------------------------------
 
 
@@ -101,7 +125,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval > 255:
         raise NotImplementedError("16-bit PPM unsupported")
-    i += 1  # single whitespace after maxval
+    # Exactly ONE whitespace byte separates maxval from the pixel stream
+    # (PPM spec). Some Windows tools emit CRLF there: '\r\n' counts as one
+    # separator, otherwise a lone whitespace byte; anything else is corrupt.
+    sep = payload[i : i + 1]
+    if not sep.isspace():
+        raise ValueError("PPM header not followed by whitespace")
+    i += 2 if payload[i : i + 2] == b"\r\n" else 1
     return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3).copy()
 
 
@@ -116,6 +146,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt in PIL_IMAGE_FORMATS:
+        Image = _pil()
+        if Image is not None:
+            img = Image.open(io.BytesIO(payload))
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
     raise NotImplementedError(f"image format {fmt or 'unknown'} needs PIL/opencv")
 
 

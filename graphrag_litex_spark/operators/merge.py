@@ -153,14 +153,20 @@ def merge_edges(
                 F.count(F.lit(1)).alias("_s_cnt"),
                 F.collect_set("instance").alias("instances"),
             )
+            # Cap BEFORE the final shuffle (same as merge_nodes): a hot edge
+            # would otherwise ship its full provenance set through the
+            # reduce; n_in_bucket keeps n_instances exact (buckets disjoint
+            # by salt = hash(chunk_id)).
+            .withColumn("n_in_bucket", F.size("instances"))
+            .withColumn("instances", cap(F.col("instances")))
         )
         final = partial.groupBy("src_id", "dst_id", "src", "dst").agg(
             F.max_by("pred", _desc_key("pred")).alias("pred"),
             (F.sum("_s_sum") / F.sum("_s_cnt")).alias("strength"),
             # disjoint-by-salt: exact distinct count + no final distinct or
             # sort needed (see merge_nodes).
-            F.sum(F.size("instances")).alias("n_instances"),
-            cap(F.flatten(F.collect_list(cap(F.col("instances"))))).alias("instances"),
+            F.sum("n_in_bucket").alias("n_instances"),
+            cap(F.flatten(F.collect_list("instances"))).alias("instances"),
             F.sum("_s_cnt").alias("n_obs"),
         )
     else:

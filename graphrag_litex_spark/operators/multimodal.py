@@ -215,9 +215,10 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
     decoded (functions/media_codecs.py, numpy + stdlib only) and yield
     true content features: pixel dimensions, per-channel means, luma
     stddev for images; sample rate, duration, RMS level for audio.
-    Compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, absent in this
-    container: those rows come back ``decoded=False`` with the detected
-    format — a per-row envelope, never a task failure (the C2 stance).
+    JPEG/PNG/GIF decode through Pillow WHEN it is installed on executors
+    (optional, import-guarded); otherwise those rows — and always
+    MP4/... — come back ``decoded=False`` with the detected format: a
+    per-row envelope, never a task failure (the C2 stance).
     One Arrow batch per Python call; output is flat and join-ready.
     """
 
@@ -226,6 +227,9 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
 
         from graphrag_litex_spark.functions import media_codecs as mc
 
+        # Resolved once per task: {bmp, ppm} plus jpeg/png/gif when Pillow
+        # is installed on the executor (optional dependency, import-guarded).
+        img_fmts = mc.decodable_image_formats()
         for pdf in it:
             rows = []
             for media_id, kind, payload in zip(
@@ -246,7 +250,7 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
                     "rms": None,
                 }
                 try:
-                    if fmt in ("bmp", "ppm"):
+                    if fmt in img_fmts:
                         img = mc.decode_image(payload)
                         luma = img.astype(np.float64).mean(axis=2)
                         row.update(
@@ -282,13 +286,14 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphrag_litex_spark.functions import media_codecs as mc
 
+        img_fmts = mc.decodable_image_formats()
         for pdf in it:
             payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 fmt = mc.detect_format(payload)
                 meta = dict(meta or {})
                 try:
-                    if fmt not in ("bmp", "ppm"):
+                    if fmt not in img_fmts:
                         raise NotImplementedError(fmt)
                     img = mc.resize_nearest(mc.decode_image(payload), width, height)
                     payloads.append(mc.encode_ppm(img))

@@ -16,9 +16,10 @@ Scale design notes (local[32] is a proxy for a 1000-executor cluster):
   * the only Python on the hot path is the Arrow-batched extraction UDF and
     nothing downstream of it — normalization, linking, CC, merges,
     communities are all Catalyst expressions/joins;
-  * canon_map is tiny (distinct normalized names, not mentions) and is
-    broadcast into the two resolution joins (D1) — no shuffle of the big
-    side by name;
+  * canon_map (distinct normalized names, not mentions) is broadcast into
+    the resolution joins (D1) only while its measured parquet size is under
+    ``broadcast_threshold_bytes``; above that the joins degrade to
+    AQE-managed shuffle joins instead of hitting the 8 GB broadcast cap;
   * merge aggregations use salted two-phase aggregation for hot keys
     (operators/merge.py) and AQE handles post-shuffle coalescing/skew;
   * parquet stage materialization doubles as lineage truncation for the
@@ -70,6 +71,36 @@ def _parquet_stats(path: str) -> dict:
     return {"rows": rows, "files": files, "bytes": size}
 
 
+def resolution_join(raw: DataFrame, canon: DataFrame, *, broadcast: bool) -> DataFrame:
+    """D1: resolve relationship source/target names to canonical ids via two
+    hash joins; INNER join semantics drop rows naming unknown entities
+    (reference indexing/simple_graph_builder.py:96-97).
+
+    ``broadcast`` is the caller's size valve: True adds the explicit
+    ``F.broadcast`` hint (correct when the canon map is measured-small),
+    False leaves join-strategy selection to Catalyst/AQE so a 10^9-row map
+    becomes a shuffle join against the bucketed warehouse tables instead of
+    blowing the 8 GB broadcast cap."""
+    src_map = canon.select(
+        F.col("norm_name").alias("_src_norm"),
+        F.col("canonical").alias("src"),
+        F.col("entity_id").alias("src_id"),
+    )
+    dst_map = canon.select(
+        F.col("norm_name").alias("_dst_norm"),
+        F.col("canonical").alias("dst"),
+        F.col("entity_id").alias("dst_id"),
+    )
+    if broadcast:
+        src_map, dst_map = F.broadcast(src_map), F.broadcast(dst_map)
+    return (
+        raw.withColumn("_src_norm", norm_name_col("source"))
+        .withColumn("_dst_norm", norm_name_col("target"))
+        .join(src_map, "_src_norm")
+        .join(dst_map, "_dst_norm")
+    )
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     """Engine knobs (reference analogs: /root/reference/config.py)."""
@@ -100,6 +131,12 @@ class PipelineConfig:
     salt_buckets: int = 16
     max_instances: int | None = 10_000  # provenance-array cap per node/edge
     cc_max_iter: int = 25
+    # D1 broadcast valve: hint F.broadcast on the canon-map resolution
+    # joins only while the map's measured parquet size (manifest bytes) is
+    # at or under this. Above it (10^8+ distinct names at 10^12 turns) the
+    # join falls back to AQE-managed shuffle join. 0 disables the hint
+    # unconditionally.
+    broadcast_threshold_bytes: int = 200 * 1024 * 1024
     lpa_iters: int = 8
     min_community_size: int = 3  # config.py:41
     levels: int = 3  # community_detection.py:35
@@ -443,7 +480,21 @@ class KGPipeline:
         if until == "canon_map":
             return results
 
-        canon = F.broadcast(results["canon_map"])
+        # D1 size valve: broadcast the name->id map ONLY when small (the
+        # reference broadcasts its dict because it IS small per-process;
+        # indexing/simple_graph_builder.py:96-97). canon_map has one row per
+        # distinct normalized entity name — at 10^12 turns that is plausibly
+        # 1e8-1e9 rows, and a forced F.broadcast hint bypasses
+        # autoBroadcastJoinThreshold and dies at Spark's 8 GB broadcast cap
+        # instead of degrading. The manifest already records the stage's
+        # exact on-disk bytes (parquet footers, no extra job): hint below
+        # the threshold, otherwise leave the strategy to AQE (the warehouse
+        # buckets nodes/edges on the join key for the shuffle-join case).
+        canon_bytes = manifest.get("canon_map", {}).get("bytes", 0)
+        canon_small = 0 < canon_bytes <= cfg.broadcast_threshold_bytes
+        canon = results["canon_map"]
+        if canon_small:
+            canon = F.broadcast(canon)
 
         # S7 nodes (E1): canonical merge-agg.
         results["nodes"] = mat(
@@ -456,26 +507,9 @@ class KGPipeline:
             ),
         )
 
-        # Canonicalized relationship rows (D1: two broadcast hash joins;
-        # inner-join semantics drop unknown names,
-        # indexing/simple_graph_builder.py:96-97).
         def canon_edges() -> DataFrame:
-            raw = results["raw_edges"]
-            src_map = canon.select(
-                F.col("norm_name").alias("_src_norm"),
-                F.col("canonical").alias("src"),
-                F.col("entity_id").alias("src_id"),
-            )
-            dst_map = canon.select(
-                F.col("norm_name").alias("_dst_norm"),
-                F.col("canonical").alias("dst"),
-                F.col("entity_id").alias("dst_id"),
-            )
-            return (
-                raw.withColumn("_src_norm", norm_name_col("source"))
-                .withColumn("_dst_norm", norm_name_col("target"))
-                .join(F.broadcast(src_map), "_src_norm")
-                .join(F.broadcast(dst_map), "_dst_norm")
+            return resolution_join(
+                results["raw_edges"], results["canon_map"], broadcast=canon_small
             )
 
         # Triples: the P/R-gated artifact — per-turn grain, strength filter

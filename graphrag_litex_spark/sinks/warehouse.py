@@ -25,14 +25,19 @@ Bucket keys (one hash family, so any pair co-locates):
   mentions  -> entity_id        (mention provenance lookups)
   canon_map -> entity_id
 
-Non-id tables (chunks, communities, community_stats, summaries, claims —
-claims join through an ARRAY of entity ids, which buckets cannot co-locate)
-are saved unbucketed for completeness.
+Claims join through an ARRAY of entity ids, which buckets cannot
+co-locate — so publishing "claims" ALSO derives and publishes an exploded
+``claim_entities (claim_id, entity_id)`` bridge table bucketed on
+entity_id: the claims->nodes join runs Exchange-free through the bridge
+(two bucketed SortMergeJoins), instead of exploding the array at query
+time and shuffling the result. Other non-id tables (chunks, communities,
+community_stats, summaries, claims itself) are saved unbucketed.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 BUCKET_KEYS = {
     "nodes": "entity_id",
@@ -40,7 +45,18 @@ BUCKET_KEYS = {
     "triples": "src_id",
     "mentions": "entity_id",
     "canon_map": "entity_id",
+    "claim_entities": "entity_id",
 }
+
+
+def _catalog_bucket_count(spark: SparkSession, ident: str) -> int | None:
+    """Bucket count of an existing catalog table (None if absent/unbucketed)."""
+    if not spark.catalog.tableExists(ident):
+        return None
+    for r in spark.sql(f"DESCRIBE EXTENDED {ident}").collect():
+        if r.col_name == "Num Buckets":
+            return int(r.data_type)
+    return None
 
 
 def save_graph_tables(
@@ -64,6 +80,28 @@ def save_graph_tables(
     is a static conf fixed at session start.
     """
     import os
+
+    graph = dict(graph)
+    # Claims bridge: explode the entity_ids array once at publish time so
+    # claim->entity joins are bucket-co-located (see module docstring).
+    if "claims" in graph and "claim_entities" not in graph:
+        graph["claim_entities"] = graph["claims"].select(
+            "claim_id", F.explode("entity_ids").alias("entity_id")
+        )
+
+    # Warehouse-wide co-location guard: a bucketed table under this prefix
+    # that is NOT being republished in this call must already agree on the
+    # bucket count — silently publishing a subset at a different count
+    # would break the Exchange-free invariant against the untouched tables.
+    spark = next(iter(graph.values())).sparkSession
+    for name in BUCKET_KEYS.keys() - graph.keys():
+        existing = _catalog_bucket_count(spark, f"{prefix}_{name}")
+        if existing is not None and existing != buckets:
+            raise ValueError(
+                f"bucket-count mismatch: existing table {prefix}_{name} has "
+                f"{existing} buckets, this publish requests {buckets}; "
+                "republish all bucketed tables together or reuse the count"
+            )
 
     written: dict[str, str] = {}
     for name, df in graph.items():

@@ -42,6 +42,7 @@ KG_TABLES = [
     "edges",
     "triples",
     "claims",
+    "claim_entities",
     "communities",
     "community_stats",
     "summaries",

@@ -59,9 +59,75 @@ class TestCodecs:
         assert small.shape == (4, 4, 3)
         assert np.array_equal(small, img[::2, ::2])
 
+    def test_ppm_crlf_after_maxval(self):
+        # Some Windows tools emit CRLF as the single separator after maxval;
+        # it must count as ONE separator, not shift the pixel stream.
+        img = _img(4, 7)
+        payload = mc.encode_ppm(img)
+        header_end = payload.index(b"255\n") + 3
+        crlf = payload[:header_end] + b"\r\n" + payload[header_end + 1 :]
+        assert np.array_equal(mc.decode_ppm(crlf), img)
+
+    def test_ppm_nonwhitespace_after_maxval_rejected(self):
+        img = _img(2, 2)
+        payload = mc.encode_ppm(img)
+        header_end = payload.index(b"255\n") + 3
+        corrupt = payload[:header_end] + b"X" + payload[header_end + 1 :]
+        with pytest.raises(ValueError):
+            mc.decode_ppm(corrupt)
+
     def test_unsupported_raises(self):
+        if mc._pil() is None:
+            with pytest.raises(NotImplementedError):
+                mc.decode_image(b"\xff\xd8\xff\xe0jpegdata")
+        else:  # with Pillow the payload is merely corrupt, not unsupported
+            with pytest.raises(Exception):
+                mc.decode_image(b"\xff\xd8\xff\xe0jpegdata")
+        # video is unsupported in every environment
         with pytest.raises(NotImplementedError):
-            mc.decode_image(b"\xff\xd8\xff\xe0jpegdata")
+            mc.decode_image(b"\x00\x00\x00\x18ftypmp42")
+
+    def test_decodable_formats_reflect_environment(self):
+        fmts = mc.decodable_image_formats()
+        assert {"bmp", "ppm"} <= fmts
+        if mc._pil() is None:
+            assert not (fmts & mc.PIL_IMAGE_FORMATS)
+        else:
+            assert mc.PIL_IMAGE_FORMATS <= fmts
+
+    def test_pil_decode_path_with_fake_pil(self, monkeypatch):
+        """Exercise the guarded Pillow branch without Pillow installed: a
+        stand-in PIL.Image module proves decode_image routes PNG payloads
+        through Image.open(...).convert('RGB') -> uint8 array."""
+        import sys
+        import types
+
+        want = _img(3, 4)
+
+        class _FakeImg:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return want
+
+        fake_image = types.SimpleNamespace(open=lambda buf: _FakeImg())
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+        got = mc.decode_image(b"\x89PNG\r\n\x1a\nrest")
+        assert np.array_equal(got, want)
+        assert mc.PIL_IMAGE_FORMATS <= mc.decodable_image_formats()
+
+    @pytest.mark.skipif(mc._pil() is None, reason="Pillow not installed")
+    def test_pil_png_round_trip(self):
+        import io
+
+        from PIL import Image
+
+        img = _img(5, 6)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")  # lossless
+        assert np.array_equal(mc.decode_image(buf.getvalue()), img)
 
 
 @pytest.fixture(scope="module")

@@ -16,7 +16,10 @@ def warehouse(spark, pipeline_sf0001, tmp_path_factory):
     from graphrag_litex_spark.sinks.warehouse import save_graph_tables
 
     wh = str(tmp_path_factory.mktemp("warehouse"))
-    graph = {k: pipeline_sf0001[k] for k in ("nodes", "edges", "triples", "summaries")}
+    graph = {
+        k: pipeline_sf0001[k]
+        for k in ("nodes", "edges", "triples", "summaries", "claims")
+    }
     idents = save_graph_tables(graph, prefix="whtest", buckets=8, location=wh)
     yield idents
     for ident in idents.values():
@@ -62,12 +65,62 @@ def test_roundtrip_values_and_buckets(spark, warehouse, pipeline_sf0001):
     assert set(graph) >= {"nodes", "edges", "triples", "summaries"}
     assert graph["nodes"].count() == pipeline_sf0001["nodes"].count()
     assert graph["edges"].count() == pipeline_sf0001["edges"].count()
-    # Bucket spec survives the catalog round-trip.
-    ddl = spark.sql(f"DESCRIBE EXTENDED {warehouse['nodes']}").collect()
-    text = "\n".join(f"{r.col_name} {r.data_type}" for r in ddl)
-    assert "entity_id" in text and "8" in text  # Num Buckets: 8
+    # Bucket spec survives the catalog round-trip (assert the exact rows,
+    # not substring-anywhere: '8' appears in paths/stats/timestamps too).
+    ddl = {r.col_name: r.data_type for r in
+           spark.sql(f"DESCRIBE EXTENDED {warehouse['nodes']}").collect()}
+    assert ddl.get("Num Buckets") == "8"
+    assert "entity_id" in ddl.get("Bucket Columns", "")
     # Unbucketed table also round-trips.
     assert graph["summaries"].count() == pipeline_sf0001["summaries"].count()
+
+
+def test_claim_entities_bridge_join_no_exchange(spark, warehouse, pipeline_sf0001):
+    """Publishing claims derives a (claim_id, entity_id) bridge bucketed on
+    entity_id: the claims->nodes join runs with NO Exchange on either side."""
+    assert "claim_entities" in warehouse
+    bridge = spark.table(warehouse["claim_entities"])
+    nodes = spark.table(warehouse["nodes"])
+    # one row per (claim, entity) pair; values match the exploded array
+    want = {
+        (r["claim_id"], e)
+        for r in pipeline_sf0001["claims"].collect()
+        for e in r["entity_ids"]
+    }
+    got = {(r["claim_id"], r["entity_id"]) for r in bridge.collect()}
+    assert got == want and len(got) > 0
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bridge.join(nodes, "entity_id").select(
+            "claim_id", "entity_id", "canonical_name"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucket_count_mismatch_rejected(spark, warehouse, pipeline_sf0001, tmp_path):
+    """Republishing a subset at a different bucket count must fail loudly —
+    it would silently break co-location against the untouched tables."""
+    from graphrag_litex_spark.sinks.warehouse import save_graph_tables
+
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        save_graph_tables(
+            {"nodes": pipeline_sf0001["nodes"]},
+            prefix="whtest",
+            buckets=16,
+            location=str(tmp_path / "wh16"),
+        )
+    # same count is fine (overwrite republish of a subset)
+    save_graph_tables(
+        {"nodes": pipeline_sf0001["nodes"]},
+        prefix="whtest",
+        buckets=8,
+        location=str(tmp_path / "wh8"),
+    )
 
 
 def test_cli_publish_warehouse(spark, corpus_sf0001, tmp_path, capsys):
