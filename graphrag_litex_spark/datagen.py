@@ -240,29 +240,47 @@ def gen_dir(sf: float, base_dir: str | None = None) -> str:
     return os.path.join(base, f"sf{sf:g}")
 
 
-def ensure_corpus(sf: float, base_dir: str | None = None) -> dict[str, str]:
+def ensure_corpus(
+    sf: float, base_dir: str | None = None, goldens: bool = True
+) -> dict[str, str]:
     """Generate (once) and return paths for the sf-scaled corpus + goldens.
 
     Writes ``transcripts.parquet`` plus golden oracle outputs (see oracle.py)
     guarded by a manifest so repeated calls are no-ops (checkpoint-style
     idempotence, same contract as the pipeline stages).
+
+    ``goldens=False`` writes the transcripts only — the single-process
+    golden oracle is O(corpus) pure Python, prohibitive at the large scale
+    factors the scaling bench uses (which only needs the input table plus
+    parallelism-invariant output counts). A later ``goldens=True`` call on
+    the same sf upgrades the directory in place.
     """
     out = gen_dir(sf, base_dir)
     manifest_path = os.path.join(out, "_manifest.json")
-    paths = {
-        "dir": out,
-        "transcripts": os.path.join(out, "transcripts"),  # parquet directory
+    golden_paths = {
         "golden_raw_triples": os.path.join(out, "golden_raw_triples.parquet"),
         "golden_mentions": os.path.join(out, "golden_mentions.parquet"),
         "golden_triples": os.path.join(out, "golden_triples.parquet"),
         "golden_canon_map": os.path.join(out, "golden_canon_map.parquet"),
         "golden_claims": os.path.join(out, "golden_claims.parquet"),
     }
+    paths = {
+        "dir": out,
+        "transcripts": os.path.join(out, "transcripts"),  # parquet directory
+        **golden_paths,
+    }
     want = {"gen_version": GEN_VERSION, "seed": GLOBAL_SEED, "sf": sf}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             have = json.load(f)
-        if have == want and all(os.path.exists(p) for p in paths.values()):
+        core_ok = {k: have.get(k) for k in want} == want
+        need = [paths["transcripts"]]
+        if goldens:
+            need += list(golden_paths.values())
+        have_goldens = have.get("goldens", True)  # older manifests: full gen
+        if core_ok and (have_goldens or not goldens) and all(
+            os.path.exists(p) for p in need
+        ):
             return paths
 
     os.makedirs(out, exist_ok=True)
@@ -282,11 +300,12 @@ def ensure_corpus(sf: float, base_dir: str | None = None) -> dict[str, str]:
             table.slice(i * step, step), os.path.join(tdir, f"part-{i:05d}.parquet")
         )
 
-    # Golden oracle outputs (single-process, pure Python — see oracle.py).
-    from graphrag_litex_spark import oracle
+    if goldens:
+        # Golden oracle outputs (single-process, pure Python — oracle.py).
+        from graphrag_litex_spark import oracle
 
-    oracle.write_goldens(table, paths)
+        oracle.write_goldens(table, paths)
 
     with open(manifest_path, "w") as f:
-        json.dump(want, f)
+        json.dump({**want, "goldens": goldens}, f)
     return paths

@@ -167,6 +167,37 @@ def embedding_candidate_pairs(
     )
 
 
+_EMBEDDER_REGISTRY: dict[str, object] = {}
+
+
+def register_link_embedder(name: str, factory) -> None:
+    """Register a production C7 embedder under ``name`` so it is selectable
+    from PipelineConfig(link_embedder=name) with ZERO pipeline code changes.
+
+    ``factory`` is a zero-arg callable returning an Arrow-batched pandas UDF
+    ``string -> array<double>`` (e.g. wrapping a sentence-transformer whose
+    model loads once per executor inside the UDF closure). The NAME — not
+    the callable — is what enters the pipeline config, so checkpoint
+    fingerprints stay JSON-hashable and a resumed run re-resolves the same
+    registered embedder."""
+    _EMBEDDER_REGISTRY[name] = factory
+
+
+def resolve_link_embedder(name: str):
+    """Embedder-name -> UDF for embedding_candidate_pairs (None = the
+    default hashing featurizer). Registry first, then built-ins."""
+    if name in _EMBEDDER_REGISTRY:
+        return _EMBEDDER_REGISTRY[name]()
+    if name == "prefix_ngram":
+        return prefix_ngram_embed_udf()
+    if name == "hash":
+        return None
+    raise ValueError(
+        f"unknown link_embedder {name!r}: register it with "
+        "register_link_embedder(name, factory) or use 'hash'/'prefix_ngram'"
+    )
+
+
 def prefix_ngram_embed_udf(dim: int = 64):
     """C7 slot: Arrow-batched UDF over functions.normalize.prefix_ngram_embed
     — the deterministic stand-in that reproduces the reference resolver's

@@ -104,13 +104,18 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's LSH bucket.
+    """Approximate top-k: score only rows in the query's LSH bucket plus
+    every bucket within Hamming distance <= ``probe_bits`` of it (the same
+    multi-probe recall recovery as :func:`knn_join_lsh` — near neighbors
+    that land one plane away are still found, so recall no longer cliffs
+    when the query's own bucket is sparse).
 
-    At scale the bucket join prunes ~(1 - 2^-planes) of the corpus before
-    any scoring; recall is tunable via ``planes`` (fewer planes = bigger
-    buckets = higher recall). Falls back to nothing-found if the bucket is
-    empty — callers can retry with fewer planes.
+    At scale the bucket filter prunes ~(1 - (1+planes)/2^planes) of the
+    corpus before any scoring (at probe_bits=1); recall is tunable via
+    ``planes`` (fewer planes = bigger buckets = higher recall) and
+    ``probe_bits`` (0 = exact-bucket only, the previous behavior).
     """
     dim = len(query_vec)
     sigged = embeddings.withColumn(
@@ -120,9 +125,21 @@ def lsh_bucketed_topk(
     spark = embeddings.sparkSession
     qdf = spark.range(1).select(_query_lit(query_vec).alias("v"))
     qsig = qdf.select(hyperplane_signature(F.col("v"), dim, planes).alias("s")).collect()[0]["s"]
+    probe_sigs = {qsig}
+    if probe_bits >= 1:
+        probe_sigs |= {qsig ^ (1 << p) for p in range(planes)}
+    if probe_bits >= 2:
+        probe_sigs |= {
+            qsig ^ ((1 << p) | (1 << q))
+            for p in range(planes)
+            for q in range(p + 1, planes)
+        }
     q = _query_lit(query_vec)
     return (
-        sigged.where(F.col("_sig") == qsig)
+        # IN-list of <= 1 + planes + planes^2/2 literals: a pushdown-able
+        # predicate on the signature column, no join or explode needed for
+        # the single-query path.
+        sigged.where(F.col("_sig").isin(*[int(s) for s in probe_sigs]))
         .select(
             F.col(id_col),
             F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),

@@ -192,14 +192,25 @@ def ann_lsh_topk_golden(
     query_vec: list[float],
     k: int = 10,
     planes: int = 4,
+    probe_bits: int = 1,
 ) -> pa.Table:
     dim = len(query_vec)
     q = [float(v) for v in query_vec]
     qsig = hyperplane_sig(q, dim, planes)
+    # multi-probe: the query's bucket plus all within Hamming <= probe_bits
+    probe = {qsig}
+    if probe_bits >= 1:
+        probe |= {qsig ^ (1 << p) for p in range(planes)}
+    if probe_bits >= 2:
+        probe |= {
+            qsig ^ ((1 << p) | (1 << b))
+            for p in range(planes)
+            for b in range(p + 1, planes)
+        }
     scored = []
     for vid, v in zip(vec_ids, vecs):
         vd = [float(x) for x in v]
-        if hyperplane_sig(vd, dim, planes) == qsig:
+        if hyperplane_sig(vd, dim, planes) in probe:
             scored.append((vid, round_half_up(_cosine_fold(vd, q), 6)))
     scored.sort(key=lambda r: (-r[1], r[0]))
     scored = scored[:k]
@@ -352,7 +363,7 @@ def keeper_map_golden(doc_ids: list, pair_table: pa.Table) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 5
+DOCOPS_VERSION = 6  # v6: ann_lsh multi-probe (probe_bits=1)
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:

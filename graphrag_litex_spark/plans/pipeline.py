@@ -113,10 +113,12 @@ class PipelineConfig:
     # entity_resolver.py:32-42, with the pluggable C7 embedder).
     link_scorer: str = "ngram"
     embed_sim_threshold: float = 0.85  # entity_resolver.py:10-12
-    # Embedder for link_scorer="embedding": "hash" (token-overlap cosine) or
+    # Embedder for link_scorer="embedding": "hash" (token-overlap cosine),
     # "prefix_ngram" (suffix-expansion linking, the reference's MiniLM-like
-    # behavior). A custom embedder UDF plugs in at the operator level
-    # (linking.embedding_candidate_pairs(embed_udf=...)).
+    # behavior), or ANY name registered via
+    # linking.register_link_embedder(name, factory) — the production
+    # sentence-transformer slot; only the NAME enters the checkpoint
+    # fingerprint, so configs stay JSON-hashable.
     link_embedder: str = "hash"
     # Giant-block valve (operators/linking._block_keyed): None = decide
     # automatically — refinement turns ON when the distinct-name count
@@ -159,6 +161,7 @@ class KGPipeline:
         "communities",
         "community_stats",
         "summaries",
+        "summary_embeddings",
     ]
 
     def __init__(
@@ -446,14 +449,13 @@ class KGPipeline:
             if cfg.link_scorer == "embedding":
                 from graphrag_litex_spark.operators.linking import (
                     embedding_candidate_pairs,
-                    prefix_ngram_embed_udf,
+                    resolve_link_embedder,
                 )
 
-                embed_udf = (
-                    prefix_ngram_embed_udf()
-                    if cfg.link_embedder == "prefix_ngram"
-                    else None
-                )
+                # "hash" / "prefix_ngram" built-ins, or any embedder
+                # registered via linking.register_link_embedder (the
+                # production sentence-transformer slot, C7).
+                embed_udf = resolve_link_embedder(cfg.link_embedder)
                 pairs = embedding_candidate_pairs(
                     names,
                     cfg.embed_sim_threshold,
@@ -636,6 +638,20 @@ class KGPipeline:
                     results["edges"],
                     degrees=member_deg(),
                 ),
+                graph_rows,
+            )
+            if until == "summaries":
+                return results
+
+            # S12 summary_embeddings (A5/§4, reference embedding cache
+            # utils/embedding_utils.py:52-63): the query path passes this
+            # frame to answer_question/answer_questions so the embedding
+            # UDF runs once per BUILD, not once per question served.
+            from graphrag_litex_spark.querying.answer import embed_summaries
+
+            results["summary_embeddings"] = mat(
+                "summary_embeddings",
+                lambda: embed_summaries(results["summaries"]),
                 graph_rows,
             )
         finally:

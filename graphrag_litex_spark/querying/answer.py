@@ -179,13 +179,23 @@ def answer_questions(
     questions: list[str],
     level: int = 0,
     k: int = 10,
+    summary_embeddings: DataFrame | None = None,
 ) -> list[dict]:
     """Batch query pipeline: every question retrieved, mapped, and reduced
     in ONE Spark pass; the reduce collects <= |questions| * k tiny rows.
     Returns one answer dict per input question (same shape as
     :func:`answer_question`), preserving input order.
+
+    ``summary_embeddings``: precomputed :func:`embed_summaries` output
+    (e.g. the pipeline's materialized summary_embeddings stage) — passing
+    it skips the embedding UDF entirely (reference embedding cache,
+    utils/embedding_utils.py:52-63).
     """
-    emb = embed_summaries(summaries)
+    emb = (
+        summary_embeddings
+        if summary_embeddings is not None
+        else embed_summaries(summaries)
+    )
     selected = select_top_k_batch(emb, questions, level=level, k=k)
     mapped = map_answers_batch(selected).orderBy(
         "question_id", F.col("helpfulness").desc(), F.col("community_id").asc()
@@ -255,6 +265,7 @@ def answer_question(
     level: int = 0,
     k: int = 10,
     answerer=None,
+    summary_embeddings: DataFrame | None = None,
 ) -> dict:
     """Full query pipeline; the reduce step collects <= k tiny rows (the
     only driver-side collection in the engine, mirroring the reference's
@@ -264,8 +275,18 @@ def answer_question(
     its ``map`` runs distributed per selected summary, its ``reduce`` runs
     once on the driver over the <= k surviving answers, exactly the
     reference's one global-answer call (map_reduce.py:47). Default: the
-    deterministic token-overlap map + concatenation reduce."""
-    emb = embed_summaries(summaries)
+    deterministic token-overlap map + concatenation reduce.
+
+    ``summary_embeddings``: precomputed :func:`embed_summaries` output
+    (the pipeline's materialized summary_embeddings stage) — under query
+    load, re-running the embedding UDF over every summary per question is
+    pure waste; with this frame supplied zero Python runs in retrieval
+    (reference embedding cache, utils/embedding_utils.py:52-63)."""
+    emb = (
+        summary_embeddings
+        if summary_embeddings is not None
+        else embed_summaries(summaries)
+    )
     selected = select_top_k(emb, question, level=level, k=k)
     if answerer is None:
         mapped = map_answers(selected, question)

@@ -46,6 +46,7 @@ KG_TABLES = [
     "communities",
     "community_stats",
     "summaries",
+    "summary_embeddings",
 ]
 
 

@@ -2,6 +2,7 @@
 (the property the reference's greedy resolver lacks, SURVEY.md Q5)."""
 
 import pandas as pd
+import pytest
 
 from graphrag_litex_spark.operators.cc import connected_components
 from graphrag_litex_spark.oracle import link_names
@@ -246,3 +247,57 @@ def test_prefix_ngram_pipeline_config(spark, corpus_sf0001, tmp_path):
     # the corpus's planted suffix variants merge under this embedder
     merged = [v for v in by_canon.values() if len(v) > 1]
     assert merged, "expected at least one suffix-expansion merge"
+
+
+def test_registered_custom_embedder_drop_in(spark, corpus_sf0001, tmp_path):
+    """VERDICT r3 #7: a production embedder (sentence-transformer shaped:
+    model "loaded" once per executor inside the UDF closure) drops into the
+    C7 slot via register_link_embedder + PipelineConfig(link_embedder=name)
+    — zero pipeline code changes. The fake model maps every 'acme *' name
+    to one vector, so those names merge into a single canonical entity."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from graphrag_litex_spark.operators.linking import (
+        register_link_embedder,
+        resolve_link_embedder,
+    )
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    def make_fake_st_udf():
+        # The pattern a real sentence-transformer uses: the (fake) model is
+        # constructed lazily inside the UDF the first time a batch arrives
+        # on an executor, then reused for every later batch.
+        state = {}
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def fake_st(s: pd.Series) -> pd.Series:
+            if "model" not in state:
+                state["model"] = lambda t: (
+                    [1.0, 0.0] if (t or "").startswith("acme") else
+                    [0.0, 1.0] if not t else
+                    [float(len(t) % 7 + 1), float(sum(map(ord, t)) % 11 + 1)]
+                )
+            return s.map(state["model"])
+
+        return fake_st
+
+    register_link_embedder("fake_st", make_fake_st_udf)
+    assert resolve_link_embedder("fake_st") is not None
+
+    res = run_pipeline(
+        spark,
+        corpus_sf0001["transcripts"],
+        str(tmp_path / "kg_custom_emb"),
+        config=PipelineConfig(link_scorer="embedding", link_embedder="fake_st"),
+        resume=False,
+        until="canon_map",
+    )
+    canon = {r["norm_name"]: r["canonical"] for r in res["canon_map"].collect()}
+    acme = {n for n in canon if n.split()[0] == "acme"}
+    assert len(acme) >= 2  # corpus has multiple acme variants
+    assert len({canon[n] for n in acme}) == 1  # all merged by the fake model
+
+    with pytest.raises(ValueError, match="unknown link_embedder"):
+        resolve_link_embedder("never_registered")

@@ -164,3 +164,47 @@ def test_answer_questions_batch_equals_single(summaries):
     singles = [answer_question(summaries, q, level=0, k=2) for q in questions]
     assert batch == singles
     assert batch[0]["used_communities"] and batch[0]["answer"]
+
+
+def test_precomputed_summary_embeddings_skip_embed_udf(
+    spark, summaries, tmp_path, monkeypatch
+):
+    """Query serving must not re-run the embedding UDF per question: with a
+    precomputed summary_embeddings frame the plan is UDF-free and
+    embed_summaries is never called."""
+    from graphrag_litex_spark.querying import answer as A
+
+    emb_path = str(tmp_path / "summary_embeddings")
+    A.embed_summaries(summaries).write.parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+
+    # retrieval plan over the materialized table contains no Python eval
+    plan = (
+        A.select_top_k(emb, "who acquired acme corp", level=0, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    want = A.answer_question(summaries, "who acquired acme corp", level=0, k=5)
+
+    def boom(*a, **k):
+        raise AssertionError("embed_summaries must not run with precomputed table")
+
+    monkeypatch.setattr(A, "embed_summaries", boom)
+    got = A.answer_question(
+        None, "who acquired acme corp", level=0, k=5, summary_embeddings=emb
+    )
+    assert got == want
+    got_batch = A.answer_questions(
+        None, ["who acquired acme corp"], level=0, k=5, summary_embeddings=emb
+    )
+    assert got_batch[0]["used_communities"] == want["used_communities"]
+
+
+def test_pipeline_materializes_summary_embeddings(pipeline_sf0001):
+    emb = pipeline_sf0001["summary_embeddings"]
+    assert "embedding" in emb.columns and emb.count() > 0
+    row = emb.select("embedding").first()
+    assert len(row["embedding"]) == 64

@@ -119,6 +119,38 @@ def test_lsh_topk_subset_of_brute(spark):
         assert abs(brute[r["vec_id"]] - r["cosine"]) < 1e-6
 
 
+def test_lsh_topk_multiprobe_recall(spark):
+    """Multi-probe (Hamming-1 bit flips) keeps single-query ANN recall from
+    cliffing when the query's own bucket is sparse: recall vs brute force
+    must be >= 0.8 at planes=8 and never below the exact-bucket probe."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, 16) * 3
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.randn(16) * 0.15])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = rows[0][1]
+    rest = df.where(F.col("vec_id") != 0)
+    brute = {r["vec_id"] for r in S.brute_force_topk(rest, q, k=10).collect()}
+
+    def recall(probe_bits):
+        got = {
+            r["vec_id"]
+            for r in S.lsh_bucketed_topk(
+                rest, q, k=10, planes=8, probe_bits=probe_bits
+            ).collect()
+        }
+        return len(got & brute) / len(brute), got
+
+    r0, ids0 = recall(0)
+    r1, ids1 = recall(1)
+    assert r1 >= 0.8, f"multi-probe recall {r1} too low"
+    assert r1 >= r0  # probing a superset of buckets can only help
+
+
 @pytest.fixture(scope="module")
 def rand_vecs(spark):
     import numpy as np

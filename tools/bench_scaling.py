@@ -51,7 +51,7 @@ from graphrag_litex_spark.session import get_spark
 sf = {sf}
 cores = {cores}
 ramdisk = {ramdisk}
-paths = datagen.ensure_corpus(sf)
+paths = datagen.ensure_corpus(sf, goldens=False)  # bench needs the input only
 spark = get_spark(app_name="scaling_bench", cores=cores,
                   extra_conf={{"spark.ui.showConsoleProgress": "false",
                               "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)}})
