@@ -133,6 +133,13 @@ class PipelineConfig:
     salt_buckets: int = 16
     max_instances: int | None = 10_000  # provenance-array cap per node/edge
     cc_max_iter: int = 25
+    # Submit the mutually independent nodes/triples/claims stage builds as
+    # concurrent Spark jobs (separate driver threads): overlaps one stage's
+    # under-parallelized final reduce + write with the next one's scan,
+    # shrinking the fixed stage-boundary tail that caps full-pipeline
+    # scaling on short runs. Purely a scheduling change — stage outputs,
+    # fingerprints, and resume semantics are identical either way.
+    concurrent_stages: bool = True
     # D1 broadcast valve: hint F.broadcast on the canon-map resolution
     # joins only while the map's measured parquet size (manifest bytes) is
     # at or under this. Above it (10^8+ distinct names at 10^12 turns) the
@@ -177,6 +184,11 @@ class KGPipeline:
         self.config = config or PipelineConfig()
         os.makedirs(out_dir, exist_ok=True)
         self._manifest_path = os.path.join(out_dir, "_manifest.json")
+        import threading
+
+        # concurrent_stages runs _materialize from several driver threads;
+        # the manifest dict + file write are the only shared mutable state.
+        self._manifest_lock = threading.Lock()
 
     # ---- checkpoint manifest -------------------------------------------
     def _input_fingerprint(self, extra_inputs: list[str] | None = None) -> str:
@@ -253,12 +265,13 @@ class KGPipeline:
             df = df.coalesce(n_part)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        manifest[name] = {
-            "fingerprint": fingerprint,
-            "sec": round(time.time() - t0, 2),
-            **_parquet_stats(path),  # footer metadata — no Spark job
-        }
-        self._save_manifest(manifest)
+        with self._manifest_lock:
+            manifest[name] = {
+                "fingerprint": fingerprint,
+                "sec": round(time.time() - t0, 2),
+                **_parquet_stats(path),  # footer metadata — no Spark job
+            }
+            self._save_manifest(manifest)
         return out
 
     # ---- incremental append ----------------------------------------------
@@ -499,15 +512,13 @@ class KGPipeline:
             canon = F.broadcast(canon)
 
         # S7 nodes (E1): canonical merge-agg.
-        results["nodes"] = mat(
-            "nodes",
-            lambda: merge_ops.merge_nodes(
+        def build_nodes() -> DataFrame:
+            return merge_ops.merge_nodes(
                 results["mentions"].join(canon, "norm_name"),
                 salted=cfg.salted,
                 salt_buckets=salt_buckets,
                 max_instances=cfg.max_instances,
-            ),
-        )
+            )
 
         def canon_edges() -> DataFrame:
             return resolution_join(
@@ -521,22 +532,70 @@ class KGPipeline:
         # the corpus-sized extraction table and redo the normalize + two
         # resolution joins a second time (~2x the per-run join work at sf10,
         # a full extra corpus pass at 100 TB).
-        results["triples"] = mat(
-            "triples",
-            lambda: canon_edges()
-            .where(F.col("strength") >= cfg.min_strength)
-            .select(
-                F.col("source_id").alias("conv_id"),
-                "turn_idx",
-                "chunk_id",
-                F.col("src").alias("subj"),
-                "pred",
-                F.col("dst").alias("obj"),
-                "strength",
-                "src_id",
-                "dst_id",
-            ),
-        )
+        def build_triples() -> DataFrame:
+            return (
+                canon_edges()
+                .where(F.col("strength") >= cfg.min_strength)
+                .select(
+                    F.col("source_id").alias("conv_id"),
+                    "turn_idx",
+                    "chunk_id",
+                    F.col("src").alias("subj"),
+                    "pred",
+                    F.col("dst").alias("obj"),
+                    "strength",
+                    "src_id",
+                    "dst_id",
+                )
+            )
+
+        # S9 claims (D2 + E4): resolve claim entity names -> canonical ids,
+        # drop claims with zero resolved entities
+        # (indexing/simple_graph_builder.py:126-147), content dedup.
+        def build_claims() -> DataFrame:
+            raw = results["raw_claims"]
+            per_claim = (
+                raw.select(
+                    "source_id",
+                    "chunk_id",
+                    "content",
+                    F.explode("entity_names").alias("ename"),
+                )
+                .withColumn("norm_name", norm_name_col("ename"))
+                .join(canon, "norm_name")  # inner: unknown names dropped (D2)
+                .groupBy("source_id", "chunk_id", "content")
+                .agg(F.array_sort(F.collect_set("entity_id")).alias("entity_ids"))
+            )
+            return merge_ops.merge_claims(per_claim)
+
+        # nodes / triples / claims are mutually independent given canon_map
+        # (disjoint kind-filtered views over the extraction table), so their
+        # builds are submitted as CONCURRENT Spark jobs: each of these
+        # stages under-parallelizes in its final reduce + write, and running
+        # them back-to-back leaves the cluster idle at every stage boundary
+        # — the fixed tail that capped full-pipeline scaling at 4->16 cores.
+        # Concurrent submission overlaps one stage's write/reduce with the
+        # next one's scan (Spark's scheduler interleaves tasks from separate
+        # jobs). Sequential fallback when only a prefix is requested or the
+        # valve is off.
+        run_claims = until not in ("nodes", "triples", "edges")
+        if cfg.concurrent_stages and run_claims:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(3, thread_name_prefix="kg_stage") as pool:
+                f_nodes = pool.submit(mat, "nodes", build_nodes)
+                f_triples = pool.submit(mat, "triples", build_triples)
+                f_claims = pool.submit(mat, "claims", build_claims)
+                results["nodes"] = f_nodes.result()
+                results["triples"] = f_triples.result()
+                results["claims"] = f_claims.result()
+        else:
+            results["nodes"] = mat("nodes", build_nodes)
+            results["triples"] = mat("triples", build_triples)
+            if run_claims:
+                results["claims"] = mat("claims", build_claims)
+        if until in ("nodes", "triples"):
+            return results
 
         # S8 edges (E2): pair merge over the already-resolved,
         # already-strength-filtered triples stage (same min_strength, so the
@@ -560,30 +619,7 @@ class KGPipeline:
                 max_instances=cfg.max_instances,
             ),
         )
-        if until in ("nodes", "edges", "triples"):
-            return results
-
-        # S9 claims (D2 + E4): resolve claim entity names -> canonical ids,
-        # drop claims with zero resolved entities
-        # (indexing/simple_graph_builder.py:126-147), content dedup.
-        def build_claims() -> DataFrame:
-            raw = results["raw_claims"]
-            per_claim = (
-                raw.select(
-                    "source_id",
-                    "chunk_id",
-                    "content",
-                    F.explode("entity_names").alias("ename"),
-                )
-                .withColumn("norm_name", norm_name_col("ename"))
-                .join(canon, "norm_name")  # inner: unknown names dropped (D2)
-                .groupBy("source_id", "chunk_id", "content")
-                .agg(F.array_sort(F.collect_set("entity_id")).alias("entity_ids"))
-            )
-            return merge_ops.merge_claims(per_claim)
-
-        results["claims"] = mat("claims", build_claims)
-        if until == "claims":
+        if until in ("edges", "claims"):
             return results
 
         # S10 communities (F1/F2 via LPA) + stats (E5) + min-size (E6).
