@@ -349,6 +349,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def _bpe_tokenized_docs(spark, sf_dir):
+        """documents with corpus-trained merged-BPE token arrays (H6/B1 at
+        full merge fidelity — operators/bpe_ops.py)."""
+        from graphrag_litex_spark.operators.bpe_ops import (
+            bpe_tokenize,
+            train_bpe_merges,
+        )
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        merges = train_bpe_merges(d, n_merges=256)
+        return bpe_tokenize(d, merges)
+
+    def bpe_merged_lossless(spark, sf_dir):
+        """Cross-engine check of BPE's losslessness invariant: the merged
+        byte tokens of every document concatenate back to exactly the
+        document's UTF-8 bytes, so the token-derived byte count must equal
+        DuckDB's strlen(text) — a value-level oracle for an operator whose
+        encoding loop itself is not SQL-expressible."""
+        return _bpe_tokenized_docs(spark, sf_dir).select(
+            "doc_id",
+            F.length(F.array_join("bpe_tokens", "")).cast("long").alias("n_bytes"),
+        )
+
+    def bpe_merged_token_stats(spark, sf_dir):
+        """Merged-token counts per language (rows-only driver check — the
+        merge loop is not SQL-expressible; value-level coverage comes from
+        bpe_merged_lossless plus the pure==Spark differential unit)."""
+        return (
+            _bpe_tokenized_docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("bpe_tokens_count").cast("long").alias("total_merged_tokens"),
+            )
+        )
+
     def similarity_topk(spark, sf_dir):
         from graphrag_litex_spark.operators.similarity import brute_force_topk
 
@@ -494,6 +530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lang_id,
         token_stats,
         bpe_token_stats,
+        bpe_merged_lossless,
+        bpe_merged_token_stats,
         similarity_topk,
         knn_join_sample,
         embedding_dup_pairs,
@@ -769,6 +807,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(n_bpe) AS bigint) AS total_bpe_tokens,
                    cast(sum(n_ws) AS bigint) AS total_ws_tokens
             FROM toks GROUP BY lang
+        """,
+        "bpe_merged_lossless": """
+            SELECT doc_id, CAST(strlen(text) AS bigint) AS n_bytes
+            FROM documents
         """,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

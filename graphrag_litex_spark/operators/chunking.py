@@ -36,8 +36,9 @@ def bpe_pretokenizer() -> Callable[[str], list[str]]:
     so Spark-side counting and this chunker agree on the token stream).
     Stands in for the reference's tiktoken cl100k_base windows
     (extraction/text_chunker.py:64,81,91,101) at the PRETOKEN granularity —
-    the units BPE merges operate within; the merge table itself isn't
-    shipped. Tokens carry their leading whitespace, so joining windows with
+    the units BPE merges operate within. For windows in fully MERGED
+    subword units, see operators/bpe_ops.chunk_documents_bpe (corpus-
+    trained merge table). Tokens carry their leading whitespace, so joining windows with
     ``joiner=""`` reconstructs the original text span byte-for-byte
     (unlike the whitespace tokenizer, which normalizes runs of spaces)."""
     import regex  # third-party: supports \p{L}/\p{N} like Java/RE2  # noqa: F401

@@ -53,22 +53,46 @@ from graphrag_litex_spark.operators.normalize_ops import norm_name_col
 PIPELINE_VERSION = 11
 
 
+# Per-partition lineage entries recorded per stage; beyond this many output
+# files only the aggregate + skew stats are kept (manifest stays KB-sized at
+# 10^5-file stages, where per-file detail belongs in the files themselves).
+_LINEAGE_MAX_FILES = 512
+
+
 def _parquet_stats(path: str) -> dict:
     """Stage-output metrics from parquet footers (metadata-only, no Spark
-    job): rows, file count (= write partitions), bytes. Recorded per stage
-    in the manifest — the north rule's per-partition metrics alongside the
-    per-row (source_id, chunk_id) lineage columns."""
+    job): totals plus PER-PARTITION lineage — one (file, rows, bytes) entry
+    per output file (= write partition), with ``max_part_rows`` as the skew
+    indicator (a partition far above rows/files signals a hot key that the
+    salting/AQE valves should have defused). Recorded per stage in the
+    manifest — the north rule's per-partition lineage + metrics, alongside
+    the per-row (source_id, chunk_id) provenance columns."""
     import pyarrow.parquet as pq
 
-    rows = files = size = 0
+    parts = []
     for dp, _, fs in os.walk(path):
         for f in fs:
             if f.endswith(".parquet"):
                 fp = os.path.join(dp, f)
-                rows += pq.read_metadata(fp).num_rows
-                files += 1
-                size += os.stat(fp).st_size
-    return {"rows": rows, "files": files, "bytes": size}
+                parts.append(
+                    {
+                        "file": os.path.relpath(fp, path),
+                        "rows": pq.read_metadata(fp).num_rows,
+                        "bytes": os.stat(fp).st_size,
+                    }
+                )
+    parts.sort(key=lambda p: p["file"])
+    out = {
+        "rows": sum(p["rows"] for p in parts),
+        "files": len(parts),
+        "bytes": sum(p["bytes"] for p in parts),
+        "max_part_rows": max((p["rows"] for p in parts), default=0),
+    }
+    if len(parts) <= _LINEAGE_MAX_FILES:
+        out["partitions"] = parts
+    else:
+        out["partitions_truncated"] = True
+    return out
 
 
 def resolution_join(raw: DataFrame, canon: DataFrame, *, broadcast: bool) -> DataFrame:

@@ -126,6 +126,21 @@ def test_resume_is_noop(spark, corpus_sf0001, tmp_path):
     assert res["nodes"].count() > 0
     assert os.path.exists(os.path.join(out, "_manifest.json"))
 
+    # Per-partition lineage (north rule): every completed stage records one
+    # (file, rows, bytes) entry per output partition, consistent with its
+    # aggregate metrics and with a max_part_rows skew indicator.
+    import json
+
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    for stage in ("extractions", "canon_map", "nodes"):
+        entry = manifest[stage]
+        parts = entry["partitions"]
+        assert len(parts) == entry["files"] > 0
+        assert sum(p["rows"] for p in parts) == entry["rows"]
+        assert sum(p["bytes"] for p in parts) == entry["bytes"]
+        assert entry["max_part_rows"] == max(p["rows"] for p in parts)
+        assert all(p["file"].endswith(".parquet") for p in parts)
+
 
 def test_incremental_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_factory):
     """Batch incrementality: pipeline(half A) + append(half B) must produce

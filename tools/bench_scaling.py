@@ -210,6 +210,8 @@ def main() -> None:
         "target": 0.8,
     }
     print(json.dumps(report))
+    if "--no-md" in sys.argv:
+        return
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
