@@ -83,13 +83,23 @@ chunks.unpersist()
 base = "/dev/shm/kg_scale" if ramdisk else paths["dir"]
 secs = []
 n_triples = 0
+stage_secs = {{}}
 for rep in range({reps}):
     out = os.path.join(base, f"kg_scale_{{cores}}_{{rep}}")
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     res = run_pipeline(spark, paths["transcripts"], out, resume=False, until="claims")
-    secs.append(time.time() - t0)
+    rep_sec = time.time() - t0
     n_triples = res["triples"].count()
+    # Per-stage wall from the manifest (written at each stage commit) for
+    # the best rep — decomposes the non-extraction tail in the report.
+    # Note: nodes/triples/claims build CONCURRENTLY, so their secs overlap.
+    if not secs or rep_sec < min(secs):
+        with open(os.path.join(out, "_manifest.json")) as fh:
+            man = json.load(fh)
+        stage_secs = {{k: v["sec"] for k, v in man.items()
+                      if isinstance(v, dict) and "sec" in v}}
+    secs.append(rep_sec)
     shutil.rmtree(out, ignore_errors=True) if ramdisk else None
 sec = min(secs)
 print("RESULT " + json.dumps({{"cores": cores, "sec": round(sec, 2),
@@ -97,7 +107,8 @@ print("RESULT " + json.dumps({{"cores": cores, "sec": round(sec, 2),
       "n_triples": n_triples, "n_turns": n_turns,
       "triples_per_sec": round(n_triples / sec, 2),
       "turns_per_sec": round(n_turns / sec, 2),
-      "extract_turns_per_sec": round(n_turns / extract_sec, 2)}}))
+      "extract_turns_per_sec": round(n_turns / extract_sec, 2),
+      "stage_secs": stage_secs}}))
 """
 
 PROBE_SNIPPET = r"""
