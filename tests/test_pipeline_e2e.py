@@ -324,3 +324,26 @@ def test_auto_block_valve_pipeline_paths(spark, corpus_sf0001, tmp_path):
         by_canon_hard.setdefault(c, set()).add(n)
     for members in by_canon_hard.values():
         assert len({base[m] for m in members}) == 1
+
+
+def test_parquet_stats_lineage_truncation(tmp_path, monkeypatch):
+    """Beyond the cap, per-file lineage is dropped (manifest stays bounded)
+    but aggregates and the skew indicator are still exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphrag_litex_spark.plans import pipeline as P
+
+    d = tmp_path / "stage"
+    d.mkdir()
+    for i, n in enumerate([5, 1, 3]):
+        pq.write_table(pa.table({"x": list(range(n))}), d / f"part-{i}.parquet")
+
+    full = P._parquet_stats(str(d))
+    assert full["rows"] == 9 and full["files"] == 3 and full["max_part_rows"] == 5
+    assert [p["rows"] for p in full["partitions"]] == [5, 1, 3]
+
+    monkeypatch.setattr(P, "_LINEAGE_MAX_FILES", 2)
+    capped = P._parquet_stats(str(d))
+    assert capped["rows"] == 9 and capped["max_part_rows"] == 5
+    assert "partitions" not in capped and capped["partitions_truncated"] is True
