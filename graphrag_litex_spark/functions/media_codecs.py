@@ -1,11 +1,14 @@
 """Dependency-free media codecs (numpy + stdlib only).
 
 The container has no PIL/ffmpeg/opencv, but several real media formats are
-fully decodable without them: uncompressed 24-bit BMP, binary PPM (P6), and
-PCM WAV. These kernels make the multimodal operators' decode path REAL for
-those formats — compressed formats (JPEG/PNG/MP4/...) remain the honest
-stub. Pure functions shared by the Spark UDFs and the tests, following the
-functions/ pattern (same code on both sides of the differential).
+fully decodable without them: uncompressed 24-bit BMP, binary PPM (P6), PCM
+WAV, and — via stdlib ``zlib`` — 8-bit non-interlaced PNG (all five scanline
+filters, gray/RGB/palette/alpha color types). These kernels make the
+multimodal operators' decode path REAL for those formats — formats whose
+codecs genuinely need a native library (JPEG/GIF/MP4/...) remain the honest
+stub, upgraded transparently when Pillow is installed. Pure functions shared
+by the Spark UDFs and the tests, following the functions/ pattern (same code
+on both sides of the differential).
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -41,12 +45,14 @@ def detect_format(payload: bytes | None) -> str | None:
     return None
 
 
-DECODABLE = {"bmp", "ppm", "wav"}
+DECODABLE = {"bmp", "ppm", "wav", "png"}
 
-# Compressed image formats decodable IF Pillow is installed (optional
-# dependency — absent in this container; the import is guarded so the
-# operators degrade to the decoded=False envelope, never a task failure).
-PIL_IMAGE_FORMATS = {"jpeg", "png", "gif"}
+# Image formats decodable IF Pillow is installed (optional dependency —
+# absent in this container; the import is guarded so the operators degrade
+# to the decoded=False envelope, never a task failure). PNG is NOT in this
+# set: it decodes natively via stdlib zlib (decode_png); Pillow is only a
+# fallback there for exotic PNGs (16-bit, interlaced).
+PIL_IMAGE_FORMATS = {"jpeg", "gif"}
 
 
 def _pil():
@@ -64,7 +70,7 @@ def _pil():
 
 def decodable_image_formats() -> set[str]:
     """Image formats decode_image can actually decode in THIS environment."""
-    base = {"bmp", "ppm"}
+    base = {"bmp", "ppm", "png"}
     return base | PIL_IMAGE_FORMATS if _pil() else base
 
 # ---- images --------------------------------------------------------------
@@ -140,13 +146,143 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
 
 
+# ---- PNG (stdlib zlib; RFC 2083) ----------------------------------------
+
+# color type -> channels at 8-bit depth (0 gray, 2 RGB, 3 palette,
+# 4 gray+alpha, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG (filter 0 scanlines)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), np.uint8)  # leading 0 = filter None per row
+    raw[:, 1:] = img.reshape(h, w * 3)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (h, w, 3) uint8 RGB array.
+
+    Handles all five scanline filters (None/Sub/Up/Average/Paeth) and color
+    types 0/2/3/4/6; alpha is dropped (the ``convert("RGB")`` analog).
+    16-bit depth, sub-byte depths, and Adam7 interlacing raise
+    NotImplementedError (decode_image falls back to Pillow when present)."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    idat = bytearray()
+    palette = None
+    w = h = depth = ctype = interlace = None
+    i = 8
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        i += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={ctype} interlace={interlace} unsupported"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+
+    # Defilter (spec §6): rows depend on the row above, so the row loop is
+    # sequential; Up/None rows stay vectorized, and Sub/Average/Paeth walk
+    # bytes within the row (fine at thumbnail scale — parallelism comes from
+    # the Arrow batch of many images per task, not from within one image).
+    rows = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = raw[y, 0]
+        cur = raw[y, 1:].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif f == 2:  # Up
+            cur = (cur.astype(np.uint16) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        rows[y] = cur
+        prev = cur
+
+    if ctype == 2:
+        img = rows.reshape(h, w, 3)
+    elif ctype == 0:
+        img = np.repeat(rows.reshape(h, w, 1), 3, axis=2)
+    elif ctype == 4:
+        img = np.repeat(rows.reshape(h, w, 2)[:, :, :1], 3, axis=2)
+    elif ctype == 6:
+        img = rows.reshape(h, w, 4)[:, :, :3]
+    else:  # 3: palette
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        img = palette[rows.reshape(h, w)]
+    return np.ascontiguousarray(img)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     fmt = detect_format(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
-    if fmt in PIL_IMAGE_FORMATS:
+    if fmt == "png":
+        try:
+            return decode_png(payload)
+        except NotImplementedError:
+            if _pil() is None:  # 16-bit/interlaced PNG without Pillow
+                raise
+    if fmt in PIL_IMAGE_FORMATS or fmt == "png":
         Image = _pil()
         if Image is not None:
             img = Image.open(io.BytesIO(payload))

@@ -5,11 +5,13 @@ metadata struct. The decode/feature-extract kernels are Arrow-batched
 ``mapInPandas`` functions.
 
 Decode is REAL for the dependency-free formats — uncompressed 24-bit BMP,
-binary PPM, PCM WAV (functions/media_codecs.py, numpy + stdlib): see
+binary PPM, 8-bit PNG (stdlib zlib, all scanline filters), PCM WAV
+(functions/media_codecs.py, numpy + stdlib): see
 ``decode_and_featurize`` (true pixel/audio features), ``resize_images``
 (actual nearest-neighbor resample), ``sample_audio_windows`` (actual PCM
-windowing). Compressed formats (JPEG/PNG/MP4/...) need PIL/ffmpeg, which
-are NOT in this container: those rows return ``decoded=False`` envelopes,
+windowing). Formats needing a native codec (JPEG/GIF/MP4/...) go through
+PIL/ffmpeg, which are NOT in this container: those rows return
+``decoded=False`` envelopes,
 and the original byte-level kernels below keep their honest stub
 (``decode_stub=True`` computes deterministic pseudo-features;
 ``decode_stub=False`` raises NotImplementedError where PIL/ffmpeg would
@@ -211,11 +213,11 @@ DECODED_FEATURE_SCHEMA = T.StructType(
 def decode_and_featurize(media: DataFrame) -> DataFrame:
     """REAL decode + feature extraction for dependency-free formats.
 
-    Uncompressed BMP / binary PPM images and PCM WAV audio are actually
-    decoded (functions/media_codecs.py, numpy + stdlib only) and yield
-    true content features: pixel dimensions, per-channel means, luma
+    Uncompressed BMP / binary PPM / 8-bit PNG images and PCM WAV audio are
+    actually decoded (functions/media_codecs.py, numpy + stdlib only) and
+    yield true content features: pixel dimensions, per-channel means, luma
     stddev for images; sample rate, duration, RMS level for audio.
-    JPEG/PNG/GIF decode through Pillow WHEN it is installed on executors
+    JPEG/GIF decode through Pillow WHEN it is installed on executors
     (optional, import-guarded); otherwise those rows — and always
     MP4/... — come back ``decoded=False`` with the detected format: a
     per-row envelope, never a task failure (the C2 stance).

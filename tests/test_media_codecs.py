@@ -89,7 +89,7 @@ class TestCodecs:
 
     def test_decodable_formats_reflect_environment(self):
         fmts = mc.decodable_image_formats()
-        assert {"bmp", "ppm"} <= fmts
+        assert {"bmp", "ppm", "png"} <= fmts  # png is native (stdlib zlib)
         if mc._pil() is None:
             assert not (fmts & mc.PIL_IMAGE_FORMATS)
         else:
@@ -97,8 +97,8 @@ class TestCodecs:
 
     def test_pil_decode_path_with_fake_pil(self, monkeypatch):
         """Exercise the guarded Pillow branch without Pillow installed: a
-        stand-in PIL.Image module proves decode_image routes PNG payloads
-        through Image.open(...).convert('RGB') -> uint8 array."""
+        stand-in PIL.Image module proves decode_image routes GIF payloads
+        (no native codec) through Image.open(...).convert('RGB')."""
         import sys
         import types
 
@@ -114,7 +114,7 @@ class TestCodecs:
         fake_pil.Image = fake_image
         monkeypatch.setitem(sys.modules, "PIL", fake_pil)
         monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
-        got = mc.decode_image(b"\x89PNG\r\n\x1a\nrest")
+        got = mc.decode_image(b"GIF87a-rest-of-stream")
         assert np.array_equal(got, want)
         assert mc.PIL_IMAGE_FORMATS <= mc.decodable_image_formats()
 
@@ -128,6 +128,195 @@ class TestCodecs:
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="PNG")  # lossless
         assert np.array_equal(mc.decode_image(buf.getvalue()), img)
+
+
+def _wrap_png(w, h, ctype, filtered_rows: bytes, palette: bytes | None = None) -> bytes:
+    """Assemble a PNG from an already-filtered scanline stream (test helper:
+    lets each test choose the filter bytes the decoder must undo)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(filtered_rows)) + chunk(b"IEND", b"")
+
+
+def _filter_rows(img2d: np.ndarray, bpp: int, filt: int) -> bytes:
+    """Reference scanline FILTERING (the encode direction of PNG spec §6) —
+    independent arithmetic the decoder's defilter must invert exactly."""
+    h, stride = img2d.shape
+    out = bytearray()
+    prev = np.zeros(stride, int)
+    for y in range(h):
+        cur = img2d[y].astype(int)
+        row = bytearray([filt])
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if filt == 0:
+                pred = 0
+            elif filt == 1:
+                pred = a
+            elif filt == 2:
+                pred = b
+            elif filt == 3:
+                pred = (a + b) >> 1
+            else:  # 4 Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row.append((cur[x] - pred) & 0xFF)
+        out += row
+        prev = cur
+    return bytes(out)
+
+
+class TestPng:
+    """Native (stdlib-zlib) PNG codec: encode/decode round-trip, every
+    scanline filter, every 8-bit color type, and the honest failure modes."""
+
+    def test_round_trip(self):
+        img = _img(7, 5)
+        payload = mc.encode_png(img)
+        assert mc.detect_format(payload) == "png"
+        assert np.array_equal(mc.decode_png(payload), img)
+        assert np.array_equal(mc.decode_image(payload), img)  # routing
+
+    @pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+    def test_all_scanline_filters(self, filt):
+        img = _img(6, 4)
+        raw = _filter_rows(img.reshape(6, 12), bpp=3, filt=filt)
+        assert np.array_equal(mc.decode_png(_wrap_png(4, 6, 2, raw)), img)
+
+    def test_mixed_filters_per_row(self):
+        # Real encoders pick a filter per row; splice rows filtered with
+        # different types into one stream.
+        img = _img(5, 3)
+        rows = []
+        prev = np.zeros(9, int)
+        for y in range(5):
+            f = y % 5
+            cur = img.reshape(5, 9)[y].astype(int)
+            row = bytearray([f])
+            for x in range(9):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                pred = {
+                    0: 0,
+                    1: a,
+                    2: b,
+                    3: (a + b) >> 1,
+                }.get(f)
+                if pred is None:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row.append((cur[x] - pred) & 0xFF)
+            rows.append(bytes(row))
+            prev = cur
+        assert np.array_equal(
+            mc.decode_png(_wrap_png(3, 5, 2, b"".join(rows))), img
+        )
+
+    def test_grayscale(self):
+        g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+        raw = _filter_rows(g, bpp=1, filt=0)
+        out = mc.decode_png(_wrap_png(4, 3, 0, raw))
+        assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+    def test_rgba_drops_alpha(self):
+        rgba = _img(3, 3)
+        rgba = np.dstack([rgba, np.full((3, 3), 77, np.uint8)])
+        raw = _filter_rows(rgba.reshape(3, 12), bpp=4, filt=2)
+        assert np.array_equal(mc.decode_png(_wrap_png(3, 3, 6, raw)), rgba[:, :, :3])
+
+    def test_gray_alpha(self):
+        ga = np.dstack([np.full((2, 2), 9, np.uint8), np.full((2, 2), 1, np.uint8)])
+        raw = _filter_rows(ga.reshape(2, 4), bpp=2, filt=0)
+        assert np.array_equal(
+            mc.decode_png(_wrap_png(2, 2, 4, raw)), np.full((2, 2, 3), 9, np.uint8)
+        )
+
+    def test_palette(self):
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idx = np.array([[0, 1], [2, 0]], np.uint8)
+        raw = _filter_rows(idx, bpp=1, filt=1)
+        out = mc.decode_png(_wrap_png(2, 2, 3, raw, palette=pal.tobytes()))
+        assert np.array_equal(out, pal[idx])
+
+    def test_multiple_idat_chunks(self):
+        # The pixel stream may be split across any number of IDAT chunks.
+        import struct
+        import zlib
+
+        img = _img(4, 4)
+        z = zlib.compress(_filter_rows(img.reshape(4, 12), 3, 0))
+        half = len(z) // 2
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", z[:half])
+            + chunk(b"IDAT", z[half:])
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(mc.decode_png(payload), img)
+
+    def test_unsupported_depth_interlace(self):
+        import struct
+        import zlib
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        for ihdr in [
+            struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),  # 16-bit
+            struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),  # Adam7
+        ]:
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b""))
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                mc.decode_png(payload)
+
+    def test_truncated_stream_rejected(self):
+        img = _img(4, 4)
+        payload = mc.encode_png(img)
+        with pytest.raises(ValueError):
+            mc.decode_png(payload[:20])  # signature ok, IHDR chopped
+        # well-formed chunks but short pixel stream
+        raw = _filter_rows(img.reshape(4, 12), 3, 0)
+        with pytest.raises(ValueError):
+            mc.decode_png(_wrap_png(4, 5, 2, raw))  # h claims 5 rows, has 4
 
 
 @pytest.fixture(scope="module")
@@ -145,6 +334,8 @@ def media_df(spark):
             meta=Row(mime="image/bmp", width=6, height=4, duration_ms=None)),
         Row(media_id="img_ppm", kind="image", payload=bytes(mc.encode_ppm(img)),
             meta=Row(mime="image/x-portable-pixmap", width=6, height=4, duration_ms=None)),
+        Row(media_id="img_png", kind="image", payload=bytes(mc.encode_png(img)),
+            meta=Row(mime="image/png", width=6, height=4, duration_ms=None)),
         Row(media_id="aud_wav", kind="audio", payload=bytes(mc.encode_wav(rate, samples)),
             meta=Row(mime="audio/wav", width=None, height=None, duration_ms=3000)),
         Row(media_id="img_jpeg", kind="image", payload=b"\xff\xd8\xff\xe0fakejpeg",
@@ -160,7 +351,7 @@ class TestSparkOperators:
         from graphrag_litex_spark.operators.multimodal import decode_and_featurize
 
         feats = {r["media_id"]: r.asDict() for r in decode_and_featurize(media_df).collect()}
-        for mid in ("img_bmp", "img_ppm"):
+        for mid in ("img_bmp", "img_ppm", "img_png"):
             f = feats[mid]
             assert f["decoded"] and (f["width"], f["height"]) == (6, 4)
             assert f["channel_mean"] == [200.0, 0.0, 0.0]
@@ -175,7 +366,7 @@ class TestSparkOperators:
         from graphrag_litex_spark.operators.multimodal import resize_images
 
         out = {r["media_id"]: r for r in resize_images(media_df, 3, 2).collect()}
-        for mid in ("img_bmp", "img_ppm"):
+        for mid in ("img_bmp", "img_ppm", "img_png"):
             img = mc.decode_ppm(bytes(out[mid]["payload"]))
             assert img.shape == (2, 3, 3)
             assert out[mid]["meta"]["width"] == 3 and out[mid]["meta"]["height"] == 2
