@@ -318,6 +318,46 @@ class TestPng:
         with pytest.raises(ValueError):
             mc.decode_png(_wrap_png(4, 5, 2, raw))  # h claims 5 rows, has 4
 
+    def test_exotic_png_falls_back_to_pil(self, monkeypatch):
+        """A 16-bit PNG is beyond the native codec; decode_image must route
+        it to Pillow when installed (fake module) and raise
+        NotImplementedError — not crash — when it is not."""
+        import struct
+        import sys
+        import types
+        import zlib
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        deep = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 25))
+            + chunk(b"IEND", b"")
+        )
+        if mc._pil() is None:
+            with pytest.raises(NotImplementedError):
+                mc.decode_image(deep)
+        want = _img(2, 2)
+
+        class _FakeImg:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return want
+
+        fake_image = types.SimpleNamespace(open=lambda buf: _FakeImg())
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+        assert np.array_equal(mc.decode_image(deep), want)
+
 
 @pytest.fixture(scope="module")
 def media_df(spark):
