@@ -441,6 +441,25 @@ class TestCodecProperties:
             img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
             assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+            assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
+
+        check()
+
+    def test_png_defilter_inverts_any_filter(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(min_value=1, max_value=12),
+            w=st.integers(min_value=1, max_value=12),
+            filt=st.integers(min_value=0, max_value=4),
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+        )
+        def check(h, w, filt, seed):
+            img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            raw = _filter_rows(img.reshape(h, w * 3), bpp=3, filt=filt)
+            assert np.array_equal(mc.decode_png(_wrap_png(w, h, 2, raw)), img)
 
         check()
 
