@@ -278,17 +278,29 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, DECODED_FEATURE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, out_format: str = "ppm"
+) -> DataFrame:
     """REAL image resize (nearest-neighbor) for decodable formats; output
-    payload is re-encoded PPM (deterministic, dependency-free). Rows whose
+    payload is re-encoded deterministically and dependency-free as
+    ``out_format`` — "ppm" (raw, fastest) or "png" (zlib-compressed; the
+    right choice when resized thumbnails feed a training-data sink, where
+    payload bytes are shuffled and stored at corpus scale). Rows whose
     format cannot be decoded here pass through unchanged with their
-    original meta — the honest boundary, flagged by mime staying non-PPM.
+    original meta — the honest boundary, flagged by mime staying put.
     """
+    if out_format not in ("ppm", "png"):
+        raise ValueError(f"out_format must be 'ppm' or 'png', got {out_format!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from graphrag_litex_spark.functions import media_codecs as mc
 
         img_fmts = mc.decodable_image_formats()
+        encode, mime = (
+            (mc.encode_png, "image/png")
+            if out_format == "png"
+            else (mc.encode_ppm, "image/x-portable-pixmap")
+        )
         for pdf in it:
             payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
@@ -298,8 +310,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     if fmt not in img_fmts:
                         raise NotImplementedError(fmt)
                     img = mc.resize_nearest(mc.decode_image(payload), width, height)
-                    payloads.append(mc.encode_ppm(img))
-                    meta.update(mime="image/x-portable-pixmap", width=width, height=height)
+                    payloads.append(encode(img))
+                    meta.update(mime=mime, width=width, height=height)
                 except Exception:  # undecodable/corrupt -> pass through unchanged
                     payloads.append(payload)
                 metas.append(meta)

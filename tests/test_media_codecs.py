@@ -413,6 +413,25 @@ class TestSparkOperators:
         # Non-decodable payload passes through untouched.
         assert bytes(out["img_jpeg"]["payload"]) == b"\xff\xd8\xff\xe0fakejpeg"
 
+    def test_resize_images_png_output(self, media_df):
+        from graphrag_litex_spark.operators.multimodal import resize_images
+
+        out = {
+            r["media_id"]: r
+            for r in resize_images(media_df, 3, 2, out_format="png").collect()
+        }
+        for mid in ("img_bmp", "img_ppm", "img_png"):
+            img = mc.decode_png(bytes(out[mid]["payload"]))
+            assert img.shape == (2, 3, 3)
+            assert out[mid]["meta"]["mime"] == "image/png"
+        assert bytes(out["img_jpeg"]["payload"]) == b"\xff\xd8\xff\xe0fakejpeg"
+
+    def test_resize_images_bad_format_rejected(self, media_df):
+        from graphrag_litex_spark.operators.multimodal import resize_images
+
+        with pytest.raises(ValueError):
+            resize_images(media_df, 3, 2, out_format="webp")
+
     def test_sample_audio_windows(self, media_df):
         from graphrag_litex_spark.operators.multimodal import sample_audio_windows
 
