@@ -132,13 +132,21 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if maxval > 255:
         raise NotImplementedError("16-bit PPM unsupported")
     # Exactly ONE whitespace byte separates maxval from the pixel stream
-    # (PPM spec). Some Windows tools emit CRLF there: '\r\n' counts as one
-    # separator, otherwise a lone whitespace byte; anything else is corrupt.
+    # (PPM spec). Some Windows tools emit CRLF there. '\r' + first pixel
+    # byte 0x0A is indistinguishable from CRLF by bytes alone, so use the
+    # remaining length to disambiguate: prefer the skip that makes the
+    # pixel stream fit exactly; fall back to treating '\r\n' as one
+    # separator (the common Windows case, possibly with trailing bytes).
     sep = payload[i : i + 1]
     if not sep.isspace():
         raise ValueError("PPM header not followed by whitespace")
-    i += 2 if payload[i : i + 2] == b"\r\n" else 1
-    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3).copy()
+    need = w * h * 3
+    rest = len(payload) - i
+    if payload[i : i + 2] == b"\r\n" and rest - 1 != need:
+        i += 2
+    else:
+        i += 1
+    return np.frombuffer(payload, np.uint8, count=need, offset=i).reshape(h, w, 3).copy()
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

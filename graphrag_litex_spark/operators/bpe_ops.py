@@ -86,9 +86,17 @@ def bpe_tokenize(
     and ``<tokens_col>_count``. Lossless per row:
     ``concat(tokens).encode("latin-1") == text.encode("utf-8")``."""
 
+    # Lazy per-worker init: the closure dict is deserialized once per worker
+    # process, so the encoder (ranks dict + its pretoken LRU) is built on
+    # the first Arrow batch and REUSED across batches — rebuilding it per
+    # batch would throw the hot-pretoken cache away every ~10k rows.
+    _state: dict = {}
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def enc(texts: pd.Series) -> pd.Series:
-        encode_word = make_encoder(merges)
+        if "enc" not in _state:
+            _state["enc"] = make_encoder(merges)
+        encode_word = _state["enc"]
         return texts.map(lambda t: encode_text(t, encode_word, _pretokenize))
 
     return df.withColumn(tokens_col, enc(F.col(text_col))).withColumn(
@@ -116,7 +124,6 @@ def chunk_windows_bpe(
     overlap = min(overlap, chunk_size // 2)
     if n <= chunk_size:
         return [text or ""]
-    step = chunk_size - overlap
     out = []
     start = 0
     while start < n:
@@ -140,9 +147,13 @@ def chunk_documents_bpe(
     """docs -> (source_id, n, chunk_id, text): one row per merged-token
     window; same output shape as chunking.chunk_documents_windowed."""
 
+    _state: dict = {}  # per-worker encoder cache (see bpe_tokenize)
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def chunk_udf(texts: pd.Series) -> pd.Series:
-        encode_word = make_encoder(merges)
+        if "enc" not in _state:
+            _state["enc"] = make_encoder(merges)
+        encode_word = _state["enc"]
         return texts.map(
             lambda t: chunk_windows_bpe(t, encode_word, chunk_size, overlap)
         )

@@ -289,12 +289,17 @@ class KGPipeline:
             df = df.coalesce(n_part)
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        # Footer metadata — no Spark job. Computed BEFORE taking the lock:
+        # at a 10^5-file stage the walk takes seconds, and holding the lock
+        # through it would serialize the concurrent stages' commits.
+        stats = _parquet_stats(path)
+        entry = {
+            "fingerprint": fingerprint,
+            "sec": round(time.time() - t0, 2),
+            **stats,
+        }
         with self._manifest_lock:
-            manifest[name] = {
-                "fingerprint": fingerprint,
-                "sec": round(time.time() - t0, 2),
-                **_parquet_stats(path),  # footer metadata — no Spark job
-            }
+            manifest[name] = entry
             self._save_manifest(manifest)
         return out
 

@@ -82,6 +82,8 @@ def save_graph_tables(
     import os
 
     graph = dict(graph)
+    if not graph:
+        return {}
     # Claims bridge: explode the entity_ids array once at publish time so
     # claim->entity joins are bucket-co-located (see module docstring).
     if "claims" in graph and "claim_entities" not in graph:

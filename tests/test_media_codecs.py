@@ -68,6 +68,17 @@ class TestCodecs:
         crlf = payload[:header_end] + b"\r\n" + payload[header_end + 1 :]
         assert np.array_equal(mc.decode_ppm(crlf), img)
 
+    def test_ppm_cr_separator_with_newline_first_pixel(self):
+        # A lone '\r' separator (valid whitespace) followed by a first pixel
+        # byte of 0x0A looks byte-identical to CRLF; the length heuristic
+        # must prefer the skip that makes the pixel stream fit exactly.
+        img = _img(2, 2)
+        img[0, 0] = (10, 20, 30)  # first payload byte = 0x0A
+        payload = mc.encode_ppm(img)
+        header_end = payload.index(b"255\n") + 3
+        cr = payload[:header_end] + b"\r" + payload[header_end + 1 :]
+        assert np.array_equal(mc.decode_ppm(cr), img)
+
     def test_ppm_nonwhitespace_after_maxval_rejected(self):
         img = _img(2, 2)
         payload = mc.encode_ppm(img)

@@ -151,3 +151,9 @@ def test_cli_publish_warehouse(spark, corpus_sf0001, tmp_path, capsys):
         for t in ("nodes", "edges", "triples", "mentions", "canon_map", "chunks",
                   "claims", "communities", "community_stats", "summaries"):
             spark.sql(f"DROP TABLE IF EXISTS whcli_{t}")
+
+
+def test_empty_graph_is_noop(spark):
+    from graphrag_litex_spark.sinks.warehouse import save_graph_tables
+
+    assert save_graph_tables({}, prefix="whempty", buckets=8) == {}

@@ -10,13 +10,17 @@ runs = {}
 for p in sorted(glob.glob(sys.argv[1] if len(sys.argv) > 1 else "BENCH/runs/r4_sf30_run*.json")):
     runs[p.split("/")[-1].replace(".json", "")] = json.load(open(p))
 
-levels = {}  # cores -> (best pipeline t/s, run), extraction t/s
+levels = {}  # cores -> best pipeline level (+run) with best-extract tracked separately
 for name, r in runs.items():
     for c, lv in r["levels"].items():
         c = int(c)
         cur = levels.get(c)
         if cur is None or lv["triples_per_sec"] > cur["triples_per_sec"]:
-            levels[c] = {**lv, "run": name}
+            # Carry the separately-tracked extract best through the
+            # replacement — pipeline-best and extract-best may come from
+            # different runs.
+            keep = {k: cur[k] for k in ("extract_best", "extract_run")} if cur else {}
+            levels[c] = {**lv, "run": name, **keep}
         if "extract_best" not in levels[c] or lv["extract_turns_per_sec"] > levels[c]["extract_best"]:
             levels[c]["extract_best"] = lv["extract_turns_per_sec"]
             levels[c]["extract_run"] = name
