@@ -1,0 +1,182 @@
+"""spark-submit entry point: curate a raw document corpus into training
+data — the composition every large-scale pretraining pipeline runs over
+the toolbox operators (SURVEY.md training-data extensions; no reference
+analog — the reference stops at KG construction).
+
+    raw docs -> language-ID + quality annotation (one column pass)
+             -> filter (lang / quality / token-count bounds)
+             -> exact dedup (normalized-text hash, keep min doc_id)
+             -> near dedup (MinHash+LSH banded candidates -> exact-Jaccard
+                verify -> connected components -> keeper map)
+             -> curated parquet + JSON report (per-stage counts + token
+                accounting, the numbers a data lead actually asks for)
+
+Usage:
+    spark-submit --py-files graphrag_litex_spark.zip jobs/curate.py \
+        --docs /path/to/documents_parquet --out /path/to/curated \
+        [--langs en,de] [--min-quality 0.3] [--min-tokens 5]
+        [--max-tokens 100000] [--jaccard-threshold 0.6] [--no-near-dedup]
+
+Scale notes (100 TB stance): annotation is pure Catalyst columns fused
+into the scan; each dedup stage is one key-shuffle (normalized-hash
+groupBy; banded LSH equi-join — ids only through the shuffle, never
+all-pairs); keeper application is a hash join on doc_id; no driver-side
+loops and no per-row Python anywhere. Counts come from one aggregate per
+stage boundary, not repeated count() scans of the raw input.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def curate(
+    spark,
+    docs,
+    langs: list[str] | None = None,
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
+    jaccard_threshold: float = 0.6,
+    near_dedup: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Programmatic API: returns (curated DataFrame, report dict).
+
+    The curated frame carries the annotation columns (lang_pred,
+    quality_score, n_tokens) so downstream sampling can stratify without
+    recomputing them.
+    """
+    from pyspark.sql import functions as F
+
+    from graphrag_litex_spark.operators.dedup import duplicate_keeper_map, norm_text_col
+    from graphrag_litex_spark.operators.text_analysis import language_id, quality_features
+
+    ann = quality_features(language_id(docs, text_col), text_col)
+    keep = (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
+    if max_tokens is not None:
+        keep = keep & (F.col("n_tokens") <= max_tokens)
+    if langs:
+        keep = keep & F.col("lang_pred").isin(list(langs))
+    ann = ann.withColumn("_keep", keep)
+
+    # One aggregate over the annotated scan for the input-side numbers.
+    stats = ann.agg(
+        F.count("*").alias("docs_in"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum(F.col("_keep").cast("long")).alias("docs_after_filter"),
+        F.sum(F.when(F.col("_keep"), F.col("n_tokens"))).alias("tokens_after_filter"),
+    ).first()
+
+    filtered = ann.where("_keep").drop("_keep")
+
+    # Exact dedup: normalized-text hash, keep the natural-min doc id.
+    # One shuffle on the hash; survivors re-attach via a doc_id hash join.
+    h = F.md5(norm_text_col(text_col))
+    hashed = filtered.withColumn("_h", h)
+    exact_keepers = hashed.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    exact = (
+        hashed.join(exact_keepers, "_h")
+        .where(F.col(id_col) == F.col("_keeper"))
+        .drop("_h", "_keeper")
+    )
+    n_exact = exact.count()
+
+    report = {
+        "docs_in": stats["docs_in"],
+        "tokens_in": int(stats["tokens_in"] or 0),
+        "docs_after_filter": int(stats["docs_after_filter"] or 0),
+        "tokens_after_filter": int(stats["tokens_after_filter"] or 0),
+        "exact_dups_removed": int(stats["docs_after_filter"] or 0) - n_exact,
+        "filters": {
+            "langs": langs,
+            "min_quality": min_quality,
+            "min_tokens": min_tokens,
+            "max_tokens": max_tokens,
+        },
+    }
+
+    curated = exact
+    if near_dedup:
+        kmap = duplicate_keeper_map(
+            exact.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            jaccard_threshold=jaccard_threshold,
+        )
+        curated = exact.join(
+            kmap.where("is_keeper").select(F.col("doc_id").alias(id_col)), id_col
+        )
+        n_final = curated.count()
+        report["near_dups_removed"] = n_exact - n_final
+        report["jaccard_threshold"] = jaccard_threshold
+    else:
+        n_final = n_exact
+        report["near_dups_removed"] = 0
+    report["docs_out"] = n_final
+    return curated, report
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Curate a document corpus for training")
+    p.add_argument("--docs", required=True, help="parquet path of the documents table")
+    p.add_argument("--out", required=True, help="output directory for the curated corpus")
+    p.add_argument("--langs", default=None, help="comma-separated lang_pred allowlist")
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--min-tokens", type=int, default=1)
+    p.add_argument("--max-tokens", type=int, default=None)
+    p.add_argument("--jaccard-threshold", type=float, default=0.6)
+    p.add_argument("--no-near-dedup", action="store_true")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        try:  # under spark-submit the session builder inherits the master
+            spark = SparkSession.builder.appName("kgx_curate").getOrCreate()
+        except Exception:
+            from graphrag_litex_spark.session import get_spark
+
+            spark = get_spark("kgx_curate")
+
+    docs = spark.read.parquet(args.docs)
+    curated, report = curate(
+        spark,
+        docs,
+        langs=args.langs.split(",") if args.langs else None,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        jaccard_threshold=args.jaccard_threshold,
+        near_dedup=not args.no_near_dedup,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    curated.write.mode("overwrite").parquet(os.path.join(args.out, "documents"))
+    # Token accounting for the emitted corpus (post-write scan is cheap and
+    # reads the curated subset, not the raw input).
+    from pyspark.sql import functions as F
+
+    out_docs = spark.read.parquet(os.path.join(args.out, "documents"))
+    report["tokens_out"] = int(
+        out_docs.agg(F.sum("n_tokens")).first()[0] or 0
+    )
+    with open(os.path.join(args.out, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

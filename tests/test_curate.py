@@ -1,0 +1,90 @@
+"""Corpus-curation job (jobs/curate.py): the filter -> exact-dedup ->
+near-dedup composition over the toolbox operators, with report accounting
+checked against hand-planted duplicates."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the other animals "
+    "watch from the field and the sun is high in the clear blue sky today"
+)
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    rows = [
+        ("a", BASE),
+        # near-duplicate of a: one word changed -> high shingle Jaccard
+        ("b", BASE.replace("blue sky", "grey sky")),
+        # normalized-exact duplicate of a (case + punctuation + whitespace)
+        ("c", "The  quick BROWN fox, jumps over the lazy dog while the "
+              "other animals watch from the field and the sun is high in "
+              "the clear blue sky today!"),
+        # distinct keeper-worthy document
+        ("d", "completely different content about spark pipelines and the "
+              "aggregation of token statistics across many distributed "
+              "partitions with careful shuffle management in the engine"),
+        # low quality: punctuation soup, filtered by min_quality
+        ("e", "!!! ??? !!! ??? !!!"),
+        # German: filtered by the lang allowlist
+        ("f", "der hund und die katze sind nicht mit dem vogel zu sehen "
+              "und das ist ein gutes beispiel den satz zu verlaengern"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_curate_end_to_end(spark, raw_docs):
+    from jobs.curate import curate
+
+    curated, report = curate(
+        spark,
+        raw_docs,
+        langs=["en"],
+        min_quality=0.3,
+        min_tokens=5,
+        jaccard_threshold=0.6,
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    # e fails quality, f fails lang; c collapses into a (exact), b into a (near)
+    assert kept == ["a", "d"]
+    assert report["docs_in"] == 6
+    assert report["docs_after_filter"] == 4  # a b c d
+    assert report["exact_dups_removed"] == 1  # c
+    assert report["near_dups_removed"] == 1  # b
+    assert report["docs_out"] == 2
+    assert report["tokens_in"] > report["tokens_after_filter"]
+    # annotation columns survive for downstream stratified sampling
+    assert {"lang_pred", "quality_score", "n_tokens"} <= set(curated.columns)
+
+
+def test_curate_no_near_dedup_valve(spark, raw_docs):
+    from jobs.curate import curate
+
+    curated, report = curate(
+        spark, raw_docs, langs=["en"], min_quality=0.3, near_dedup=False
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert kept == ["a", "b", "d"]  # near-dup b survives, exact-dup c does not
+    assert report["near_dups_removed"] == 0
+
+
+def test_curate_cli(spark, raw_docs, tmp_path):
+    from jobs import curate as job
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    raw_docs.write.parquet(src)
+    rc = job.main(
+        ["--docs", src, "--out", out, "--langs", "en", "--min-quality", "0.3"]
+    )
+    assert rc == 0
+    with open(f"{out}/report.json") as fh:
+        report = json.load(fh)
+    assert report["docs_out"] == 2
+    assert 0 < report["tokens_out"] <= report["tokens_after_filter"]
+    docs = spark.read.parquet(f"{out}/documents")
+    assert docs.count() == 2
