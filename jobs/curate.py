@@ -35,6 +35,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _materialize(df, path: str):
+    """Write a stage to parquet and reopen it: every downstream consumer
+    (including the report's count jobs, which parquet answers from footer
+    metadata) reads the stage instead of recomputing its whole lineage —
+    the KG pipeline's checkpoint stance applied to curation."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def curate(
     spark,
     docs,
@@ -46,12 +55,20 @@ def curate(
     near_dedup: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stage_dir: str | None = None,
+    out_path: str | None = None,
 ):
     """Programmatic API: returns (curated DataFrame, report dict).
 
     The curated frame carries the annotation columns (lang_pred,
     quality_score, n_tokens) so downstream sampling can stratify without
     recomputing them.
+
+    ``stage_dir``/``out_path`` control the lazy-vs-materialized tradeoff:
+    without them every report count re-executes its lineage (fine at test
+    scale); with them the filtered/exact/final stages are written once and
+    each count is a metadata read of the written stage — the only shape
+    that holds at 100 TB, and what the CLI uses.
     """
     from pyspark.sql import functions as F
 
@@ -75,6 +92,8 @@ def curate(
     ).first()
 
     filtered = ann.where("_keep").drop("_keep")
+    if stage_dir:
+        filtered = _materialize(filtered, os.path.join(stage_dir, "filtered"))
 
     # Exact dedup: normalized-text hash, keep the natural-min doc id.
     # One shuffle on the hash; survivors re-attach via a doc_id hash join.
@@ -86,6 +105,8 @@ def curate(
         .where(F.col(id_col) == F.col("_keeper"))
         .drop("_h", "_keeper")
     )
+    if stage_dir:
+        exact = _materialize(exact, os.path.join(stage_dir, "exact"))
     n_exact = exact.count()
 
     report = {
@@ -113,13 +134,14 @@ def curate(
         curated = exact.join(
             kmap.where("is_keeper").select(F.col("doc_id").alias(id_col)), id_col
         )
-        n_final = curated.count()
-        report["near_dups_removed"] = n_exact - n_final
         report["jaccard_threshold"] = jaccard_threshold
-    else:
-        n_final = n_exact
-        report["near_dups_removed"] = 0
+    if out_path:
+        curated = _materialize(curated, out_path)
+    n_final = curated.count()
+    report["near_dups_removed"] = (n_exact - n_final) if near_dedup else 0
     report["docs_out"] = n_final
+    if out_path:
+        report["tokens_out"] = int(curated.agg(F.sum("n_tokens")).first()[0] or 0)
     return curated, report
 
 
@@ -162,15 +184,8 @@ def main(argv: list[str] | None = None) -> int:
         near_dedup=not args.no_near_dedup,
         id_col=args.id_col,
         text_col=args.text_col,
-    )
-    curated.write.mode("overwrite").parquet(os.path.join(args.out, "documents"))
-    # Token accounting for the emitted corpus (post-write scan is cheap and
-    # reads the curated subset, not the raw input).
-    from pyspark.sql import functions as F
-
-    out_docs = spark.read.parquet(os.path.join(args.out, "documents"))
-    report["tokens_out"] = int(
-        out_docs.agg(F.sum("n_tokens")).first()[0] or 0
+        stage_dir=os.path.join(args.out, "_stages"),
+        out_path=os.path.join(args.out, "documents"),
     )
     with open(os.path.join(args.out, "report.json"), "w") as fh:
         json.dump(report, fh, indent=1)
