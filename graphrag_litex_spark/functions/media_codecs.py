@@ -2,13 +2,15 @@
 
 The container has no PIL/ffmpeg/opencv, but several real media formats are
 fully decodable without them: uncompressed 24-bit BMP, binary PPM (P6), PCM
-WAV, and — via stdlib ``zlib`` — 8-bit non-interlaced PNG (all five scanline
-filters, gray/RGB/palette/alpha color types). These kernels make the
-multimodal operators' decode path REAL for those formats — formats whose
-codecs genuinely need a native library (JPEG/GIF/MP4/...) remain the honest
-stub, upgraded transparently when Pillow is installed. Pure functions shared
-by the Spark UDFs and the tests, following the functions/ pattern (same code
-on both sides of the differential).
+WAV, — via stdlib ``zlib`` — 8-bit non-interlaced PNG (all five scanline
+filters, gray/RGB/palette/alpha color types), and — via functions/jpeg.py —
+baseline sequential JPEG (SOF0/SOF1, sampling factors 1-2, restart markers).
+These kernels make the multimodal operators' decode path REAL for those
+formats — formats whose codecs genuinely need a native library (GIF/MP4/...,
+progressive JPEG) remain the honest stub, upgraded transparently when Pillow
+is installed. Pure functions shared by the Spark UDFs and the tests,
+following the functions/ pattern (same code on both sides of the
+differential).
 """
 
 from __future__ import annotations
@@ -45,14 +47,15 @@ def detect_format(payload: bytes | None) -> str | None:
     return None
 
 
-DECODABLE = {"bmp", "ppm", "wav", "png"}
+DECODABLE = {"bmp", "ppm", "wav", "png", "jpeg"}
 
-# Image formats decodable IF Pillow is installed (optional dependency —
+# Image formats decodable ONLY IF Pillow is installed (optional dependency —
 # absent in this container; the import is guarded so the operators degrade
-# to the decoded=False envelope, never a task failure). PNG is NOT in this
-# set: it decodes natively via stdlib zlib (decode_png); Pillow is only a
-# fallback there for exotic PNGs (16-bit, interlaced).
-PIL_IMAGE_FORMATS = {"jpeg", "gif"}
+# to the decoded=False envelope, never a task failure). PNG and JPEG are NOT
+# in this set: they decode natively (stdlib zlib / functions/jpeg.py);
+# Pillow is only a fallback there for exotic streams (16-bit or interlaced
+# PNG, progressive or 12-bit JPEG).
+PIL_IMAGE_FORMATS = {"gif"}
 
 
 def _pil():
@@ -70,7 +73,7 @@ def _pil():
 
 def decodable_image_formats() -> set[str]:
     """Image formats decode_image can actually decode in THIS environment."""
-    base = {"bmp", "ppm", "png"}
+    base = {"bmp", "ppm", "png", "jpeg"}
     return base | PIL_IMAGE_FORMATS if _pil() else base
 
 # ---- images --------------------------------------------------------------
@@ -290,7 +293,15 @@ def decode_image(payload: bytes) -> np.ndarray:
         except NotImplementedError:
             if _pil() is None:  # 16-bit/interlaced PNG without Pillow
                 raise
-    if fmt in PIL_IMAGE_FORMATS or fmt == "png":
+    if fmt == "jpeg":
+        from graphrag_litex_spark.functions.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            if _pil() is None:  # progressive/12-bit JPEG without Pillow
+                raise
+    if fmt in PIL_IMAGE_FORMATS or fmt in ("png", "jpeg"):
         Image = _pil()
         if Image is not None:
             img = Image.open(io.BytesIO(payload))

@@ -213,14 +213,16 @@ DECODED_FEATURE_SCHEMA = T.StructType(
 def decode_and_featurize(media: DataFrame) -> DataFrame:
     """REAL decode + feature extraction for dependency-free formats.
 
-    Uncompressed BMP / binary PPM / 8-bit PNG images and PCM WAV audio are
-    actually decoded (functions/media_codecs.py, numpy + stdlib only) and
-    yield true content features: pixel dimensions, per-channel means, luma
-    stddev for images; sample rate, duration, RMS level for audio.
-    JPEG/GIF decode through Pillow WHEN it is installed on executors
-    (optional, import-guarded); otherwise those rows — and always
-    MP4/... — come back ``decoded=False`` with the detected format: a
-    per-row envelope, never a task failure (the C2 stance).
+    Uncompressed BMP / binary PPM / 8-bit PNG / baseline JPEG images and
+    PCM WAV audio are actually decoded (functions/media_codecs.py +
+    functions/jpeg.py, numpy + stdlib only) and yield true content
+    features: pixel dimensions, per-channel means, luma stddev for images;
+    sample rate, duration, RMS level for audio. GIF and exotic streams
+    (progressive JPEG, 16-bit PNG) decode through Pillow WHEN it is
+    installed on executors (optional, import-guarded); otherwise those
+    rows — and always MP4/... — come back ``decoded=False`` with the
+    detected format: a per-row envelope, never a task failure (the C2
+    stance).
     One Arrow batch per Python call; output is flat and join-ready.
     """
 

@@ -88,19 +88,21 @@ class TestCodecs:
             mc.decode_ppm(corrupt)
 
     def test_unsupported_raises(self):
-        if mc._pil() is None:
+        # JPEG decodes natively now; a truncated stream is corrupt, not
+        # unsupported (ValueError from the segment parser in any env).
+        with pytest.raises(ValueError):
+            mc.decode_image(b"\xff\xd8\xff\xe0jpegdata")
+        if mc._pil() is None:  # GIF still needs Pillow
             with pytest.raises(NotImplementedError):
-                mc.decode_image(b"\xff\xd8\xff\xe0jpegdata")
-        else:  # with Pillow the payload is merely corrupt, not unsupported
-            with pytest.raises(Exception):
-                mc.decode_image(b"\xff\xd8\xff\xe0jpegdata")
+                mc.decode_image(b"GIF87a-rest")
         # video is unsupported in every environment
         with pytest.raises(NotImplementedError):
             mc.decode_image(b"\x00\x00\x00\x18ftypmp42")
 
     def test_decodable_formats_reflect_environment(self):
         fmts = mc.decodable_image_formats()
-        assert {"bmp", "ppm", "png"} <= fmts  # png is native (stdlib zlib)
+        # png (stdlib zlib) and baseline jpeg (functions/jpeg.py) are native
+        assert {"bmp", "ppm", "png", "jpeg"} <= fmts
         if mc._pil() is None:
             assert not (fmts & mc.PIL_IMAGE_FORMATS)
         else:
@@ -370,10 +372,112 @@ class TestPng:
         assert np.array_equal(mc.decode_image(deep), want)
 
 
+def _gradient(h=41, w=57) -> np.ndarray:
+    """Smooth gradient — the signal JPEG is designed for, so round-trip
+    error bounds are tight and deterministic."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+class TestJpeg:
+    """Baseline JPEG codec (functions/jpeg.py): lossy round-trips assert
+    dimensions exactly and pixel closeness (MAE), per layout variant."""
+
+    def test_444_round_trip(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        img = _gradient()
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 2.0
+
+    def test_420_subsampled_round_trip(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        img = _gradient(30, 22)  # non-multiple-of-16 dims exercise padding
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, subsample=True))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 4.0
+
+    def test_restart_markers(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        img = _gradient(33, 49)
+        plain = jpeg.encode_jpeg(img, quality=85)
+        with_rst = jpeg.encode_jpeg(img, quality=85, restart_interval=2)
+        assert b"\xff\xdd" in with_rst  # DRI segment present
+        a = jpeg.decode_jpeg(plain).astype(float)
+        b = jpeg.decode_jpeg(with_rst).astype(float)
+        # RST only re-syncs the entropy stream; pixels must be identical.
+        assert np.array_equal(a, b)
+
+    def test_grayscale_single_component(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        img = _gradient(17, 25)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90, grayscale=True))
+        assert out.shape == img.shape
+        # All three output channels equal (replicated luma)...
+        assert np.array_equal(out[..., 0], out[..., 1])
+        assert np.array_equal(out[..., 1], out[..., 2])
+        # ...and close to the true luma plane.
+        luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        assert np.abs(out[..., 0].astype(float) - luma).mean() < 2.0
+
+    def test_solid_color_near_exact(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        img = np.full((16, 16, 3), [200, 30, 90], np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    def test_noise_survives_structurally(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 12.0
+
+    def test_decode_image_routes_jpeg(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        img = _gradient(9, 11)
+        payload = jpeg.encode_jpeg(img, quality=92)
+        assert mc.detect_format(payload) == "jpeg"
+        out = mc.decode_image(payload)
+        assert out.shape == img.shape
+
+    def test_progressive_raises_not_implemented(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        payload = bytearray(jpeg.encode_jpeg(_gradient(9, 9)))
+        sof = payload.index(b"\xff\xc0")
+        payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            jpeg.decode_jpeg(bytes(payload))
+
+    def test_truncated_entropy_raises(self):
+        from graphrag_litex_spark.functions import jpeg
+
+        payload = jpeg.encode_jpeg(_gradient(25, 25))
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(payload[: len(payload) // 2])
+
+
 @pytest.fixture(scope="module")
 def media_df(spark):
     from pyspark.sql import Row
 
+    from graphrag_litex_spark.functions import jpeg as _jpeg
     from graphrag_litex_spark.operators.multimodal import MEDIA_SCHEMA
 
     img = np.zeros((4, 6, 3), dtype=np.uint8)
@@ -391,6 +495,9 @@ def media_df(spark):
             meta=Row(mime="audio/wav", width=None, height=None, duration_ms=3000)),
         Row(media_id="img_jpeg", kind="image", payload=b"\xff\xd8\xff\xe0fakejpeg",
             meta=Row(mime="image/jpeg", width=None, height=None, duration_ms=None)),
+        Row(media_id="img_jpeg_real", kind="image",
+            payload=bytes(_jpeg.encode_jpeg(np.ascontiguousarray(img), quality=95)),
+            meta=Row(mime="image/jpeg", width=6, height=4, duration_ms=None)),
         Row(media_id="corrupt", kind="image", payload=b"BMgarbage",
             meta=Row(mime="image/bmp", width=None, height=None, duration_ms=None)),
     ]
@@ -412,16 +519,22 @@ class TestSparkOperators:
         assert abs(a["rms"] - 0.25 / np.sqrt(2)) < 1e-3
         assert feats["img_jpeg"] == {**feats["img_jpeg"], "decoded": False, "format": "jpeg"}
         assert feats["corrupt"]["decoded"] is False  # envelope, not task failure
+        # A real baseline JPEG decodes natively (functions/jpeg.py): true
+        # dims and near-true channel means (lossy codec -> tolerance).
+        j = feats["img_jpeg_real"]
+        assert j["decoded"] and (j["width"], j["height"]) == (6, 4)
+        assert abs(j["channel_mean"][0] - 200.0) < 4.0
+        assert abs(j["channel_mean"][1]) < 4.0 and abs(j["channel_mean"][2]) < 4.0
 
     def test_resize_images(self, media_df):
         from graphrag_litex_spark.operators.multimodal import resize_images
 
         out = {r["media_id"]: r for r in resize_images(media_df, 3, 2).collect()}
-        for mid in ("img_bmp", "img_ppm", "img_png"):
+        for mid in ("img_bmp", "img_ppm", "img_png", "img_jpeg_real"):
             img = mc.decode_ppm(bytes(out[mid]["payload"]))
             assert img.shape == (2, 3, 3)
             assert out[mid]["meta"]["width"] == 3 and out[mid]["meta"]["height"] == 2
-        # Non-decodable payload passes through untouched.
+        # Corrupt payload passes through untouched.
         assert bytes(out["img_jpeg"]["payload"]) == b"\xff\xd8\xff\xe0fakejpeg"
 
     def test_resize_images_png_output(self, media_df):
