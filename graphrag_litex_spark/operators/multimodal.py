@@ -5,18 +5,20 @@ metadata struct. The decode/feature-extract kernels are Arrow-batched
 ``mapInPandas`` functions.
 
 Decode is REAL for the dependency-free formats — uncompressed 24-bit BMP,
-binary PPM, 8-bit PNG (stdlib zlib, all scanline filters), PCM WAV
-(functions/media_codecs.py, numpy + stdlib): see
-``decode_and_featurize`` (true pixel/audio features), ``resize_images``
+binary PPM, 8-bit PNG (stdlib zlib, all scanline filters), baseline JPEG
+(functions/jpeg.py), PCM WAV (functions/media_codecs.py, numpy + stdlib):
+see ``decode_and_featurize`` (true pixel/audio features), ``resize_images``
 (actual nearest-neighbor resample), ``sample_audio_windows`` (actual PCM
-windowing). Formats needing a native codec (JPEG/GIF/MP4/...) go through
-PIL/ffmpeg, which are NOT in this container: those rows return
-``decoded=False`` envelopes,
-and the original byte-level kernels below keep their honest stub
-(``decode_stub=True`` computes deterministic pseudo-features;
-``decode_stub=False`` raises NotImplementedError where PIL/ffmpeg would
-plug in). Spark plumbing — schema, batching, partitioning, cardinality
-changes — is identical on both paths.
+windowing). MP4 is real at the CONTAINER level (functions/mp4.py): true
+duration/dimensions/codec metadata and true per-sample encoded bytes via
+``sample_frames`` — only the codec stream inside still needs ffmpeg, so
+those rows keep ``decoded=False``. Formats needing a native library
+(GIF, progressive JPEG) go through Pillow when installed; otherwise they
+return ``decoded=False`` envelopes, and the byte-level kernels keep their
+honest stub (``decode_stub=True`` computes deterministic pseudo-features;
+``decode_stub=False`` raises NotImplementedError where ffmpeg would plug
+in). Spark plumbing — schema, batching, partitioning, cardinality changes —
+is identical on both paths.
 """
 
 from __future__ import annotations
@@ -161,13 +163,21 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, decode_stub: bool = True
 ) -> DataFrame:
     """Frame sampler: one OUTPUT ROW PER FRAME (mapInPandas changes
-    cardinality — the shape a real ffmpeg-backed sampler needs). Frames are
-    taken every ``every_ms`` of ``meta.duration_ms``; the stub 'frame' is
-    the payload byte-slice proportional to the timestamp. Rows without a
-    duration yield a single frame at t=0.
+    cardinality — the shape a real ffmpeg-backed sampler needs).
+
+    For REAL MP4 payloads the sample tables (stts/stsc/stsz/stco) are
+    parsed (functions/mp4.py, stdlib only) and each output payload is the
+    true encoded access unit out of mdat at the ``every_ms`` grid — exactly
+    what a downstream GPU-decode stage consumes; pixel decode itself stays
+    behind the honest codec boundary. Other formats use the stub slice
+    (payload byte-range proportional to the timestamp) over
+    ``meta.duration_ms``; rows without a duration yield one frame at t=0.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_litex_spark.functions import media_codecs as mc
+        from graphrag_litex_spark.functions import mp4
+
         for pdf in it:
             if not decode_stub:
                 raise NotImplementedError(
@@ -178,6 +188,18 @@ def sample_frames(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 payload = payload or b""
+                if mc.detect_format(payload) == "mp4":
+                    try:
+                        for idx, ts_ms, sample in mp4.extract_samples(
+                            bytes(payload), every_ms=every_ms
+                        ):
+                            mid.append(media_id)
+                            fidx.append(idx)
+                            ts.append(ts_ms)
+                            pay.append(sample)
+                        continue
+                    except Exception:
+                        pass  # corrupt container -> stub slice below
                 duration = int((meta or {}).get("duration_ms") or 0)
                 n_frames = max(1, duration // every_ms)
                 step = max(1, len(payload) // n_frames)
@@ -271,6 +293,19 @@ def decode_and_featurize(media: DataFrame) -> DataFrame:
                             sample_rate=int(rate),
                             duration_ms=int(1000 * samples.size / rate) if rate else 0,
                             rms=float(np.sqrt((samples**2).mean())) if samples.size else 0.0,
+                        )
+                    elif fmt == "mp4":
+                        # Container metadata is REAL (stdlib box parse);
+                        # decoded stays False — the codec stream inside
+                        # needs ffmpeg, and we don't pretend otherwise.
+                        from graphrag_litex_spark.functions import mp4
+
+                        info = mp4.parse_mp4(bytes(payload))
+                        vt = info.video_track()
+                        row.update(
+                            duration_ms=int(info.duration_ms()) or None,
+                            width=int(vt.width) if vt and vt.width else None,
+                            height=int(vt.height) if vt and vt.height else None,
                         )
                 except Exception:
                     row["decoded"] = False  # corrupt payload -> envelope, not task failure
