@@ -35,7 +35,13 @@ _DDB_TEXT_NORM = (
     "'\\s+', ' ', 'g'))"
 )
 # Stopword list literals shared with operators.text_analysis.STOPWORDS:
+from graphrag_litex_spark.operators.text_analysis import BPE_PRETOKEN_RE as _BPE_RE
 from graphrag_litex_spark.operators.text_analysis import STOPWORDS as _SW
+
+# The SAME pretokenizer pattern string the Spark side compiles (Java regex),
+# quoted as a DuckDB string literal — interpolated, not hand-copied, so the
+# two engines can never drift.
+_DDB_BPE_RE = "'" + _BPE_RE.replace("'", "''") + "'"
 
 _SW_EN, _SW_DE, _SW_FR, _SW_ES = (
     "[" + ", ".join(f"'{w}'" for w in _SW[lang]) + "]" for lang in ("en", "de", "fr", "es")
@@ -793,10 +799,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred
             FROM h
         """,
-        "bpe_token_stats": """
+        "bpe_token_stats": f"""
             WITH toks AS (
                 SELECT lang,
-                       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe,
+                       len(regexp_extract_all(text, {_DDB_BPE_RE})) AS n_bpe,
                        CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')) = ''
                             THEN 0
                             ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')), ' '))
@@ -889,10 +895,10 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[i*15+1 : least(i*15+20, n_tok)], ' ') AS text
             FROM w
         """,
-        "kg_chunks_bpe": """
+        "kg_chunks_bpe": f"""
             WITH d AS (
                 SELECT cast(doc_id AS varchar) AS source_id,
-                       regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+') AS toks
+                       regexp_extract_all(text, {_DDB_BPE_RE}) AS toks
                 FROM documents WHERE text IS NOT NULL AND text != ''
             ), p AS (
                 SELECT source_id, toks, len(toks) AS n_tok,

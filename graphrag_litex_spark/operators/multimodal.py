@@ -190,16 +190,21 @@ def sample_frames(
                 payload = payload or b""
                 if mc.detect_format(payload) == "mp4":
                     try:
-                        for idx, ts_ms, sample in mp4.extract_samples(
+                        extracted = mp4.extract_samples(
                             bytes(payload), every_ms=every_ms
-                        ):
+                        )
+                    except Exception:
+                        extracted = []  # corrupt container -> stub slice below
+                    # Empty tables (fragmented/fMP4: samples live in moof
+                    # boxes this parser doesn't walk) also fall through to
+                    # the stub so every media row keeps >= 1 output frame.
+                    if extracted:
+                        for idx, ts_ms, sample in extracted:
                             mid.append(media_id)
                             fidx.append(idx)
                             ts.append(ts_ms)
                             pay.append(sample)
                         continue
-                    except Exception:
-                        pass  # corrupt container -> stub slice below
                 duration = int((meta or {}).get("duration_ms") or 0)
                 n_frames = max(1, duration // every_ms)
                 step = max(1, len(payload) // n_frames)

@@ -125,20 +125,22 @@ def lsh_bucketed_topk(
     spark = embeddings.sparkSession
     qdf = spark.range(1).select(_query_lit(query_vec).alias("v"))
     qsig = qdf.select(hyperplane_signature(F.col("v"), dim, planes).alias("s")).collect()[0]["s"]
+    # Full Hamming ball of radius probe_bits (any radius, not a hard-coded
+    # 1/2): C(planes, d) signatures per distance d.
+    from itertools import combinations
+
     probe_sigs = {qsig}
-    if probe_bits >= 1:
-        probe_sigs |= {qsig ^ (1 << p) for p in range(planes)}
-    if probe_bits >= 2:
-        probe_sigs |= {
-            qsig ^ ((1 << p) | (1 << q))
-            for p in range(planes)
-            for q in range(p + 1, planes)
-        }
+    for d in range(1, min(probe_bits, planes) + 1):
+        for bits in combinations(range(planes), d):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe_sigs.add(qsig ^ flip)
     q = _query_lit(query_vec)
     return (
-        # IN-list of <= 1 + planes + planes^2/2 literals: a pushdown-able
-        # predicate on the signature column, no join or explode needed for
-        # the single-query path.
+        # IN-list of sum_d C(planes, d) literals (d <= probe_bits; 2^planes
+        # at most): a pushdown-able predicate on the signature column, no
+        # join or explode needed for the single-query path.
         sigged.where(F.col("_sig").isin(*[int(s) for s in probe_sigs]))
         .select(
             F.col(id_col),

@@ -30,11 +30,20 @@ def token_count_col(text_col="text"):
 
 # GPT-2-style BPE pretokenizer pattern, lookahead-free so the SAME string
 # compiles identically under Java regex (Spark) and RE2 (DuckDB) — the
-# original's trailing-space lookahead `\s+(?!\S)` is dropped; greedy `\s+`
-# gives the same match COUNT. Counts pretokens (the units BPE merges
-# operate within), the standard cheap token-count proxy when the merge
-# table isn't shipped to executors.
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# original's trailing-space lookahead `\s+(?!\S)` is dropped; greedy
+# whitespace runs give the same match COUNT. Whitespace is an EXPLICIT
+# ASCII class, not `\s`: `\s` means three different sets across the
+# engines that run this pattern (Java: ASCII+VT; RE2: ASCII minus VT;
+# Python `regex`: full Unicode), so NBSP/U+2028-bearing text would
+# tokenize differently between the JVM trainer and the Python encoder.
+# With the explicit class, Unicode whitespace consistently falls to the
+# `[^...]` punctuation branch in every engine. Counts pretokens (the units
+# BPE merges operate within), the standard cheap token-count proxy when
+# the merge table isn't shipped to executors.
+_WS = r" \t\n\x0B\f\r"
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^" + _WS + r"\p{L}\p{N}]+|[" + _WS + r"]+"
+)
 
 
 def bpe_token_count_col(text_col="text"):

@@ -197,16 +197,17 @@ def ann_lsh_topk_golden(
     dim = len(query_vec)
     q = [float(v) for v in query_vec]
     qsig = hyperplane_sig(q, dim, planes)
-    # multi-probe: the query's bucket plus all within Hamming <= probe_bits
+    # multi-probe: the query's bucket plus the FULL Hamming ball of radius
+    # probe_bits (independent implementation of the operator's expansion)
+    from itertools import combinations
+
     probe = {qsig}
-    if probe_bits >= 1:
-        probe |= {qsig ^ (1 << p) for p in range(planes)}
-    if probe_bits >= 2:
-        probe |= {
-            qsig ^ ((1 << p) | (1 << b))
-            for p in range(planes)
-            for b in range(p + 1, planes)
-        }
+    for d in range(1, min(probe_bits, planes) + 1):
+        for bits in combinations(range(planes), d):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe.add(qsig ^ flip)
     scored = []
     for vid, v in zip(vec_ids, vecs):
         vd = [float(x) for x in v]

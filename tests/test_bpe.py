@@ -29,6 +29,11 @@ TEXTS = [
     "",
     "aaaa aaaa aaaa bbbb",
     "tool_call(name='search', args={'q': 1})",
+    # Unicode whitespace: NBSP / line-sep / ideographic space / vertical tab.
+    # `\s` means different sets under Java, RE2, and Python `regex`, so the
+    # pattern uses an explicit ASCII class — these rows pin the parity.
+    "price:\u00a0 100 and\u2028more\u3000text",  # NBSP / LSEP / ideographic
+    "vertical\x0btab and\ttab",
 ]
 
 
@@ -84,19 +89,17 @@ def test_jvm_pretokenizer_matches_python(spark):
     """regexp_extract_all (Java regex) and the regex module agree on the
     pretoken stream — the invariant pretoken_counts relies on."""
     df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
-    jvm = [
-        r["toks"]
-        for r in df.select(
-            F.regexp_extract_all(
-                "text",
-                F.lit(
-                    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
-                ),
-                0,
-            ).alias("toks")
-        ).collect()
-    ]
-    assert jvm == [_pretokenize(t) for t in TEXTS]
+    from graphrag_litex_spark.operators.text_analysis import BPE_PRETOKEN_RE
+
+    df_jvm = df.select(
+        F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0).alias("toks"),
+        "text",
+    )
+    jvm = {r["text"]: r["toks"] for r in df_jvm.collect()}
+    for t in TEXTS:
+        assert jvm[t] == _pretokenize(t), repr(t)
+        # losslessness: pretokens partition the text exactly
+        assert "".join(jvm[t]) == t
 
 
 def test_spark_tokenize_matches_pure(spark):

@@ -472,6 +472,19 @@ class TestJpeg:
         with pytest.raises(ValueError):
             jpeg.decode_jpeg(payload[: len(payload) // 2])
 
+    def test_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        (some camera firmware pads); the parser must skip them."""
+        from graphrag_litex_spark.functions import jpeg
+
+        img = _gradient(9, 13)
+        payload = jpeg.encode_jpeg(img, quality=90)
+        # insert fill bytes before the SOF0 marker
+        sof = payload.index(b"\xff\xc0")
+        padded = payload[:sof] + b"\xff\xff\xff" + payload[sof:]
+        out = jpeg.decode_jpeg(padded)
+        assert np.array_equal(out, jpeg.decode_jpeg(payload))
+
 
 @pytest.fixture(scope="module")
 def media_df(spark):
@@ -642,6 +655,33 @@ class TestMp4:
         assert (v["width"], v["height"], v["duration_ms"]) == (64, 48, 2500)
         b = feats["bad"]  # corrupt container -> envelope, not task failure
         assert b["decoded"] is False and b["width"] is None
+
+    def test_sample_frames_empty_tables_falls_back_to_stub(self, spark):
+        """A parseable MP4 with NO samples in its tables (the fragmented
+        /fMP4 shape, where samples live in moof boxes) must keep the
+        one-frame-minimum invariant via the stub path — rows never vanish."""
+        import struct
+
+        from pyspark.sql import Row
+
+        from graphrag_litex_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            sample_frames,
+        )
+
+        def box(tag, body):
+            return struct.pack(">I", len(body) + 8) + tag + body
+
+        # ftyp + empty moov: detected as mp4, parses, yields zero samples.
+        payload = box(b"ftyp", b"isom" + b"\x00" * 8) + box(b"moov", b"")
+        media = spark.createDataFrame(
+            [Row(media_id="frag", kind="video", payload=payload,
+                 meta=Row(mime="video/mp4", width=None, height=None,
+                          duration_ms=2000))],
+            MEDIA_SCHEMA,
+        )
+        out = sample_frames(media, every_ms=1000).collect()
+        assert [r["frame_idx"] for r in out] == [0, 1]  # stub over duration_ms
 
     def test_sample_frames_real_mp4(self, spark):
         from pyspark.sql import Row

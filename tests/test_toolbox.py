@@ -149,6 +149,10 @@ def test_lsh_topk_multiprobe_recall(spark):
     r1, ids1 = recall(1)
     assert r1 >= 0.8, f"multi-probe recall {r1} too low"
     assert r1 >= r0  # probing a superset of buckets can only help
+    # probe_bits > 2 expands the full Hamming ball (not capped at radius
+    # 2): probing ALL 2^planes buckets must recover brute force exactly.
+    r_all, ids_all = recall(8)
+    assert r_all == 1.0, f"probe-all recall {r_all} != 1.0"
 
 
 @pytest.fixture(scope="module")
