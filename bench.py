@@ -35,6 +35,23 @@ def main() -> None:
     from graphrag_litex_spark.plans.pipeline import run_pipeline
     from graphrag_litex_spark.session import get_spark
 
+    # Host-capacity probe (pure numpy, no Spark): this Firecracker host's
+    # effective capacity swings several-fold minute-to-minute (hypervisor
+    # overcommit — measured repeatedly in BENCH/BASELINE.md; e.g. the same
+    # commit benched 7.7s and 27.2s steady within half an hour). The probe
+    # brackets the run so a reader can normalize round-over-round numbers
+    # by host speed instead of mistaking a degraded window for a code
+    # regression. ~1.3s on a healthy window.
+    def probe() -> float:
+        import numpy as np
+
+        a = np.random.RandomState(0).rand(3000, 3000)
+        t0 = time.time()
+        (a @ a).sum()
+        return round(time.time() - t0, 3)
+
+    probe_pre = probe()
+
     sf = E._sf_from_dir(sf_dir)
     paths = datagen.ensure_corpus(sf)
     spark = get_spark(
@@ -121,6 +138,8 @@ def main() -> None:
                 "cpus": cpus,
                 "pipeline_sec": round(pipeline_sec, 2),
                 "turns_per_sec": round(n_turns / pipeline_sec, 2) if pipeline_sec else 0,
+                "probe_sec_pre": probe_pre,
+                "probe_sec_post": probe(),
             }
         )
     )
