@@ -461,6 +461,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = embed_chunks(chunk_documents_windowed(d, chunk_size=20, overlap=5))
         return _topk(emb, "what is this corpus about", k=5).select("chunk_id", "cosine")
 
+    def asof_purchase_click(spark, sf_dir):
+        """Distributed AS-OF join (union + last-non-null window, ONE shuffle,
+        no range product): each purchase event attached to the same user's
+        most recent click at-or-before it. Oracle: DuckDB's native
+        ASOF LEFT JOIN. Right side deduped per (user, ts) so the tie winner
+        is engine-independent."""
+        from pyspark.sql import Window
+
+        from graphrag_litex_spark.operators.temporal import asof_join, ts_micros
+
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        purch = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+        clicks = (
+            ev.where(F.col("event_type") == "click")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("event_id", "user_id", "ts")
+        )
+        j = asof_join(purch, clicks, on="user_id", right_cols=["event_id"])
+        return j.select(
+            "event_id",
+            "user_id",
+            ts_micros("ts").alias("ts_us"),
+            F.col("event_id_r").alias("click_event_id"),
+            (ts_micros("ts") - ts_micros("ts_r")).alias("lag_us"),
+        )
+
+    def event_sessions(spark, sf_dir):
+        """Gap-based sessionization (6h gap) -> per-session stats. The
+        money sums run in decimal so both engines are bit-exact; cents as
+        BIGINT avoids decimal-rendering drift in the value hash."""
+        from graphrag_litex_spark.operators.temporal import session_stats, ts_micros
+
+        ev = spark.read.parquet(_t(sf_dir, "events")).withColumn(
+            "value_d", F.col("value").cast("decimal(14,2)")
+        )
+        s = session_stats(
+            ev, gap_minutes=360.0, value_col="value_d", order_tiebreak="event_id"
+        )
+        return s.select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            ts_micros("session_start").alias("start_us"),
+            ts_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("total_value") * 100).cast("long").alias("total_cents"),
+        )
+
+    def pii_scrub(spark, sf_dir):
+        """PII redaction: map-only regex scrub + per-category counts (the
+        testdata corpus is PII-free by construction, so redaction must be
+        the identity here — the adversarial inputs live in tests/test_scrub
+        units; this query value-compares the full redacted text + counts)."""
+        from graphrag_litex_spark.operators.scrub import pii_scrub as _scrub
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        out = _scrub(d)
+        longs = [F.col(c).cast("long").alias(c) for c in out.columns if c.startswith("n_")]
+        return out.select("doc_id", "text_redacted", *longs)
+
+    def boilerplate_segments(spark, sf_dir):
+        """Sentence-frequency boilerplate detection over the transcript
+        corpus (template sentences recur across turns): segments present in
+        >= max(2, 1% of turns) distinct turns."""
+        from graphrag_litex_spark.operators.scrub import (
+            boilerplate_segments as _boiler,
+        )
+
+        tr = spark.read.parquet(_gold(_sf_from_dir(sf_dir), "transcripts"))
+        docs = tr.select(
+            F.concat_ws("_", "conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        return _boiler(docs, min_doc_frac=0.01, min_docs=2)
+
+    def repetition_stats(spark, sf_dir):
+        """Gopher-style within-document repetition signals (dup-word frac,
+        top-word frac, dup-segment frac)."""
+        from graphrag_litex_spark.operators.scrub import repetition_stats as _rep
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return _rep(d)
+
     # Rows-only scale paths (LSH internals aren't ANSI-SQL expressible):
     def dedup_minhash_lsh(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import minhash_lsh_candidates
@@ -543,6 +628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding_dup_pairs,
         multimodal_features,
         windowed_activity,
+        asof_purchase_click,
+        event_sessions,
+        pii_scrub,
+        boilerplate_segments,
+        repetition_stats,
         kg_chunks_windowed,
         kg_chunks_bpe,
         vector_rag_topk,
@@ -585,6 +675,27 @@ def oracle_sql() -> dict[str, str]:
     graph = ensure_graph_goldens(_CORPUS.setdefault(sf, datagen.ensure_corpus(sf)))
 
     pred_key = "lpad(cast(length(pred) as varchar), 6, '0') || pred"
+
+    # PII oracle: the SAME pattern strings and replacement order as
+    # operators/scrub.PII_PATTERNS, interpolated (never hand-copied).
+    from graphrag_litex_spark.operators.scrub import PII_PATTERNS, SEGMENT_SPLIT_RE
+
+    pii_red = "text"
+    pii_counts = []
+    for _pn, _pp in PII_PATTERNS:
+        _lit = _pp.replace("'", "''")
+        pii_counts.append(
+            f"cast(len(regexp_extract_all(text, '{_lit}')) AS bigint) AS n_{_pn}"
+        )
+        pii_red = f"regexp_replace({pii_red}, '{_lit}', '<{_pn.upper()}>', 'g')"
+    pii_counts_sql = ",\n                   ".join(pii_counts)
+    pii_total_sql = " + ".join(f"n_{n}" for n, _ in PII_PATTERNS)
+    seg_lit = SEGMENT_SPLIT_RE.replace("'", "''")
+    ddb_segments = (
+        f"list_filter(list_transform(string_split_regex(text, '{seg_lit}'), "
+        "x -> trim(x)), x -> x <> '')"
+    )
+
     return {
         # ---- KG pipeline: differential vs single-process golden outputs ----
         "kg_triples_agg": f"""
@@ -875,6 +986,93 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_turns,
                    count(DISTINCT conv_id) AS n_convs
             FROM w GROUP BY ws, role
+        """,
+        "asof_purchase_click": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+                QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            )
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   c.event_id AS click_event_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "event_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, value, ts, epoch_us(ts) AS us FROM events
+            ), l AS (
+                SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM o
+            ), n AS (
+                SELECT *, CASE WHEN prev IS NULL OR us - prev > 21600000000
+                               THEN 1 ELSE 0 END AS ns
+                FROM l
+            ), s AS (
+                SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM n
+            )
+            SELECT user_id, cast(session_idx AS bigint) AS session_idx,
+                   min(us) AS start_us, max(us) AS end_us,
+                   count(*) AS n_events,
+                   cast(sum(cast(value AS decimal(14,2))) * 100 AS bigint) AS total_cents
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   {pii_red} AS text_redacted,
+                   {pii_counts_sql},
+                   cast({pii_total_sql} AS bigint) AS n_pii
+            FROM documents
+        """,
+        "boilerplate_segments": f"""
+            WITH docs AS (
+                SELECT conv_id || '_' || cast(turn_idx AS varchar) AS doc_id, text
+                FROM read_parquet('{transcripts}')
+            ), total AS (SELECT count(*) AS n FROM docs),
+            segs AS (
+                SELECT DISTINCT doc_id, seg.s AS segment
+                FROM docs, unnest({ddb_segments}) AS seg(s)
+            )
+            SELECT segment, count(*) AS n_docs
+            FROM segs GROUP BY segment
+            HAVING count(*) >= greatest(2, ceil(0.01 * (SELECT n FROM total)))
+        """,
+        "repetition_stats": f"""
+            WITH g AS (
+                SELECT doc_id, {_DDB_TEXT_NORM} AS norm,
+                       {ddb_segments} AS segs
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       list_filter(string_split(norm, ' '), x -> x <> '') AS w,
+                       segs
+                FROM g
+            ), f AS (
+                SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_dw,
+                       len(segs) AS n_segs, len(list_distinct(segs)) AS n_ds
+                FROM b
+            ), t AS (
+                SELECT doc_id, max(c) AS top_c FROM (
+                    SELECT doc_id, u.wrd, count(*) AS c
+                    FROM b, unnest(w) AS u(wrd) GROUP BY doc_id, u.wrd
+                ) GROUP BY doc_id
+            )
+            SELECT f.doc_id AS id, cast(n_words AS bigint) AS n_words,
+                   round(CASE WHEN n_words > 0
+                              THEN (n_words - n_dw) * 1.0 / n_words ELSE 0 END, 6)
+                       AS dup_word_frac,
+                   round(CASE WHEN n_words > 0
+                              THEN coalesce(top_c, 0) * 1.0 / n_words ELSE 0 END, 6)
+                       AS top_word_frac,
+                   round(CASE WHEN n_segs > 0
+                              THEN (n_segs - n_ds) * 1.0 / n_segs ELSE 0 END, 6)
+                       AS dup_segment_frac
+            FROM f LEFT JOIN t USING (doc_id)
         """,
         "kg_chunks_windowed": """
             WITH d AS (

@@ -1,0 +1,219 @@
+"""Corpus scrubbing for training-data curation: PII redaction, boilerplate
+segment detection/removal, and Gopher-style repetition signals.
+
+All hot paths are pure column expressions (JVM regex / array functions, zero
+Python), so they ride whole-stage codegen and cost no shuffle except where a
+cross-document aggregate is inherent (boilerplate frequency counting). Every
+regex below is written in the Java-regex AND RE2 common subset (no
+lookaround, no backreferences, explicit character classes) so the DuckDB
+oracles compile the literally identical pattern string.
+
+No reference analog (the reference is a KG builder); these are the
+curation operators a 100 TB pretraining pipeline runs before dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# PII patterns — ordered: longer/more-specific first so one category never
+# eats a substring another would claim after replacement. Shared verbatim
+# with the DuckDB oracle via these module constants.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("cc", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+# Sentence-ish segment splitter (boilerplate grain): terminal punctuation
+# runs followed by whitespace OR end-of-text — the alternation (not a
+# lookahead, which RE2 lacks) keeps intra-token dots (emails, URLs,
+# version numbers) inside their segment. RE2- and Java-regex compatible.
+SEGMENT_SPLIT_RE = r"[.!?]+[ \t\r\n]+|[.!?]+$"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (id, text_redacted, n_email, n_cc, n_ssn, n_phone, n_ipv4,
+    n_pii). Counts are measured on the ORIGINAL text per category
+    (categories can overlap on pathological inputs; redaction order
+    resolves ownership). Replacement tokens are `<EMAIL>`, `<CC>`, ... .
+
+    Pure projection — no shuffle, no UDF; at 100 TB this is a map-only
+    stage fused into whatever scan feeds it.
+    """
+    red = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    out = docs.select(F.col(id_col), red.alias("text_redacted"), *counts)
+    total = sum((F.col(f"n_{name}") for name, _ in PII_PATTERNS), F.lit(0))
+    return out.withColumn("n_pii", total.cast("long"))
+
+
+def pii_redact_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """In-place variant for pipelines: rewrites ``text_col`` with the
+    redacted text and appends ``n_pii`` (total matches across categories),
+    keeping every other column. Pure withColumn — map-only, no join."""
+    red = F.col(text_col)
+    total = F.lit(0)
+    for name, pat in PII_PATTERNS:
+        total = total + F.coalesce(
+            F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0)
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.withColumn("n_pii", total.cast("long")).withColumn(text_col, red)
+
+
+def _segments_col(text_col: str):
+    return F.filter(
+        F.transform(F.split(F.col(text_col), SEGMENT_SPLIT_RE), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def boilerplate_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = 0.1,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Detect boilerplate: sentence-ish segments that occur in at least
+    ``max(min_docs, min_doc_frac * n_docs)`` DISTINCT documents ->
+    (segment, n_docs). The classic line/sentence-frequency scrub (C4's
+    "three-sentence dedup" family).
+
+    Shape: split -> explode -> distinct(id, segment) -> count by segment.
+    Two shuffles (distinct + count), both on the segment key; the distinct
+    pass bounds any document's contribution to 1 per segment, so a doc that
+    repeats a template a million times cannot skew the count stage. The
+    total-docs threshold is a broadcast crossJoin of a 1-row aggregate, not
+    a driver collect.
+    """
+    total = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    segs = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(_segments_col(text_col)).alias("segment"))
+        .distinct()
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        segs.crossJoin(F.broadcast(total))
+        .where(
+            F.col("n_docs")
+            >= F.greatest(F.lit(min_docs), F.ceil(F.lit(min_doc_frac) * F.col("__n_docs")))
+        )
+        .select("segment", "n_docs")
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Remove detected boilerplate segments from every document, preserving
+    the order and multiplicity of the surviving segments. -> original
+    columns with ``text_col`` rewritten (docs whose every segment is
+    boilerplate keep '').
+
+    Shape: posexplode -> broadcast LEFT ANTI join on segment -> re-assemble
+    via sort_array over collected (pos, seg) structs. The boilerplate set is
+    small by construction (it passed a min-doc-frequency gate), so the anti
+    join broadcasts; reassembly groups by doc id — one shuffle.
+    """
+    other = [c for c in docs.columns if c != text_col]
+    segs = docs.select(
+        *other, F.posexplode_outer(_segments_col(text_col)).alias("__pos", "__seg")
+    )
+    kept = segs.join(
+        F.broadcast(boilerplate.select(F.col("segment").alias("__seg"))),
+        on="__seg",
+        how="left_anti",
+    )
+    reassembled = (
+        kept.groupBy(*other)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__seg")))
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                joiner,
+            ).alias(text_col)
+        )
+    )
+    # groupBy drops docs whose posexplode_outer produced only anti-joined
+    # rows? No: left_anti removes segment rows; a doc with ALL segments
+    # boilerplate loses every row. Re-attach such docs with empty text.
+    all_ids = docs.select(*other)
+    return (
+        all_ids.join(reassembled, on=other, how="left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, §A1.3) within-document repetition
+    signals -> (id, n_words, dup_word_frac, top_word_frac,
+    dup_segment_frac):
+
+    - dup_word_frac: 1 - distinct_words / words
+    - top_word_frac: occurrences of the most frequent word / words
+    - dup_segment_frac: 1 - distinct_segments / segments (sentence grain)
+
+    Words/segments from the same splitters as the rest of the toolbox so
+    the DuckDB oracle is expressible verbatim. The word-frequency argmax is
+    an explode -> two-level agg (per (id, word), then per id); both aggs
+    hash-partition on id prefixes so AQE coalesces them into one exchange.
+    """
+    from graphrag_litex_spark.operators.dedup import norm_text_col
+
+    words = F.split(norm_text_col(text_col), " ")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.when(norm_text_col(text_col) == "", F.array()).otherwise(words).alias("__w"),
+        _segments_col(text_col).alias("__s"),
+    )
+    flat = base.select(
+        "id",
+        F.size("__w").alias("n_words"),
+        F.size(F.array_distinct("__w")).alias("n_dw"),
+        F.size("__s").alias("n_segs"),
+        F.size(F.array_distinct("__s")).alias("n_ds"),
+        F.explode_outer("__w").alias("word"),
+    )
+    per_word = flat.groupBy("id", "n_words", "n_dw", "n_segs", "n_ds", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = per_word.groupBy("id", "n_words", "n_dw", "n_segs", "n_ds").agg(
+        F.max(F.when(F.col("word").isNotNull(), F.col("c")).otherwise(0)).alias("top_c")
+    )
+    nz = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return top.select(
+        F.col("id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(nz(F.col("n_words") - F.col("n_dw"), F.col("n_words")), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(nz(F.col("top_c"), F.col("n_words")), 6).alias("top_word_frac"),
+        F.round(nz(F.col("n_segs") - F.col("n_ds"), F.col("n_segs")), 6).alias(
+            "dup_segment_frac"
+        ),
+    )

@@ -1,0 +1,176 @@
+"""Temporal operators: distributed as-of join and gap-based sessionization.
+
+Spark has no native AS OF join (DuckDB/Pandas do); the standard distributed
+formulation used here is the UNION + last-non-null WINDOW trick:
+
+    union(left tagged 1, right tagged 0)
+      -> window partitionBy(key) orderBy(ts, tag)
+      -> last(right payload, ignorenulls) over (unbounded preceding .. current)
+      -> keep left rows
+
+which costs exactly ONE shuffle on the join key (same as any keyed join) and
+never materializes a range product — the naive `l JOIN r ON l.key = r.key AND
+r.ts <= l.ts` explodes to O(|l| x |r|) per key before the per-row max, which
+is the difference between running and not running at 100 TB. Skew note: one
+window per key serializes a hot key within a task; for a pathological key,
+pre-split by time-bucket with a carry-in boundary row (same valve family as
+operators/merge.py salting). Not needed at any tested scale.
+
+No reference analog (the reference is a KG builder); this is part of the
+training-data toolbox (event-log feature joins, session construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ts_micros(col) -> Column:
+    """Epoch microseconds of a timestamp column. Parquet TIMESTAMP columns
+    load as TIMESTAMP_NTZ (isAdjustedToUTC=false), which `unix_micros`
+    rejects; the cast reinterprets the wall-clock value in the session time
+    zone (pinned to UTC in session.get_spark), matching DuckDB's
+    `epoch_us(ts)` on the same naive value."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the single right row with the same ``on``
+    key and the largest ``right_ts`` <= ``left_ts`` (direction="backward";
+    "forward" mirrors to smallest right_ts >= left_ts). Left-outer
+    semantics: unmatched left rows keep nulls. Equal timestamps match
+    (>= / <=), same as DuckDB's ASOF JOIN.
+
+    ``right_cols`` are the right payload columns to carry (default: all but
+    the key); they come back suffixed. ``tolerance_us``: if set, matches
+    farther than this many microseconds are nulled out.
+
+    Determinism: if the right side has duplicate (key, ts) pairs the winner
+    is unspecified (as in DuckDB) — dedupe first if exact reproducibility
+    across engines is needed.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != on]
+
+    # One unified ts axis; tag orders right rows before left at equal ts so
+    # equal-ts right rows are visible to the window frame of the left row.
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        payload.alias("__r"),
+        *[F.lit(None).cast(t.dataType).alias(f"__l_{t.name}") for t in left.schema],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    both = l.unionByName(r)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__r", ignorenulls=True).over(w)
+    else:
+        # forward: right rows AFTER (or at) the left ts; tag desc puts the
+        # right row after the left one at equal ts when scanning backward.
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").desc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__r", ignorenulls=True).over(w)
+
+    out = both.withColumn("__m", matched).where(F.col("__tag") == 1)
+
+    if tolerance_us is not None:
+        diff = F.abs(
+            ts_micros("__ts") - ts_micros(F.col("__m.__rts"))
+        )
+        out = out.withColumn(
+            "__m", F.when(diff <= F.lit(tolerance_us), F.col("__m"))
+        )
+
+    cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols]
+    cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))
+    return out.select(*cols)
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event of the same key exceeds ``gap_minutes``. Adds
+    ``session_idx`` (1-based per key) to every event row. One shuffle
+    (window on key); the per-key cumulative sum is the canonical
+    sessionization plan in every SQL engine, so a DuckDB oracle can run the
+    identical window query.
+
+    ``order_tiebreak``: extra ordering column for full determinism when a
+    key can have duplicate timestamps (session boundaries are tie-order
+    invariant — a zero gap never opens a session — but lag() itself isn't).
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap_us = int(gap_minutes * 60_000_000)
+    prev = F.lag(ts_micros(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull() | ((ts_micros(ts_col) - prev) > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_idx", F.sum(new_session).over(run))
+
+
+def session_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    value_col: str | None = None,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session aggregate view: (key, session_idx, session_start,
+    session_end, n_events[, total_value]). Two stages over one keyed
+    shuffle: the window above reuses its hash partitioning for the groupBy
+    (same key prefix), so EnsureRequirements inserts no second exchange."""
+    s = sessionize(events, key_col, ts_col, gap_minutes, order_tiebreak)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+    return s.groupBy(key_col, "session_idx").agg(*aggs)

@@ -3,8 +3,12 @@ data — the composition every large-scale pretraining pipeline runs over
 the toolbox operators (SURVEY.md training-data extensions; no reference
 analog — the reference stops at KG construction).
 
-    raw docs -> language-ID + quality annotation (one column pass)
-             -> filter (lang / quality / token-count bounds)
+    raw docs -> [optional] boilerplate-segment strip (corpus-wide
+                sentence-frequency detection -> removal)
+             -> [optional] PII redaction (map-only regex rewrite)
+             -> language-ID + quality annotation (one column pass)
+             -> filter (lang / quality / token-count bounds
+                [+ Gopher top-word repetition gate])
              -> exact dedup (normalized-text hash, keep min doc_id)
              -> near dedup (MinHash+LSH banded candidates -> exact-Jaccard
                 verify -> connected components -> keeper map)
@@ -53,6 +57,9 @@ def curate(
     max_tokens: int | None = None,
     jaccard_threshold: float = 0.6,
     near_dedup: bool = True,
+    boilerplate_min_frac: float | None = None,
+    pii_redact: bool = False,
+    max_top_word_frac: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     stage_dir: str | None = None,
@@ -73,9 +80,36 @@ def curate(
     from pyspark.sql import functions as F
 
     from graphrag_litex_spark.operators.dedup import duplicate_keeper_map, norm_text_col
+    from graphrag_litex_spark.operators.scrub import (
+        boilerplate_segments,
+        pii_redact_text,
+        repetition_stats,
+        strip_boilerplate,
+    )
     from graphrag_litex_spark.operators.text_analysis import language_id, quality_features
 
+    scrub_report: dict = {}
+    if boilerplate_min_frac is not None:
+        # Detect template sentences corpus-wide, strip them BEFORE
+        # annotation so token counts / quality reflect the retained text.
+        bl = boilerplate_segments(docs, id_col, text_col, min_doc_frac=boilerplate_min_frac)
+        if stage_dir:
+            bl = _materialize(bl, os.path.join(stage_dir, "boilerplate"))
+        scrub_report["boilerplate_segments"] = bl.count()
+        docs = strip_boilerplate(docs, bl, id_col, text_col)
+    if pii_redact:
+        # Map-only rewrite fused into the scan; n_pii rides along so the
+        # single input-side aggregate below can report redaction volume.
+        docs = pii_redact_text(docs, text_col)
+
     ann = quality_features(language_id(docs, text_col), text_col)
+    if max_top_word_frac is not None:
+        # Gopher-style repetition gate: drop docs dominated by one word.
+        reps = repetition_stats(docs, id_col, text_col)
+        bad = reps.where(F.col("top_word_frac") > max_top_word_frac).select(
+            F.col("id").alias(id_col)
+        )
+        ann = ann.join(bad, id_col, "left_anti")
     keep = (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
     if max_tokens is not None:
         keep = keep & (F.col("n_tokens") <= max_tokens)
@@ -84,12 +118,19 @@ def curate(
     ann = ann.withColumn("_keep", keep)
 
     # One aggregate over the annotated scan for the input-side numbers.
-    stats = ann.agg(
+    aggs = [
         F.count("*").alias("docs_in"),
         F.sum("n_tokens").alias("tokens_in"),
         F.sum(F.col("_keep").cast("long")).alias("docs_after_filter"),
         F.sum(F.when(F.col("_keep"), F.col("n_tokens"))).alias("tokens_after_filter"),
-    ).first()
+    ]
+    if pii_redact:
+        aggs.append(F.sum("n_pii").alias("pii_redactions"))
+        aggs.append(F.sum((F.col("n_pii") > 0).cast("long")).alias("pii_docs"))
+    stats = ann.agg(*aggs).first()
+    if pii_redact:
+        scrub_report["pii_redactions"] = int(stats["pii_redactions"] or 0)
+        scrub_report["pii_docs"] = int(stats["pii_docs"] or 0)
 
     filtered = ann.where("_keep").drop("_keep")
     if stage_dir:
@@ -120,7 +161,9 @@ def curate(
             "min_quality": min_quality,
             "min_tokens": min_tokens,
             "max_tokens": max_tokens,
+            "max_top_word_frac": max_top_word_frac,
         },
+        **scrub_report,
     }
 
     curated = exact
@@ -155,6 +198,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-tokens", type=int, default=None)
     p.add_argument("--jaccard-threshold", type=float, default=0.6)
     p.add_argument("--no-near-dedup", action="store_true")
+    p.add_argument(
+        "--strip-boilerplate",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="strip sentence segments present in >= FRAC of docs",
+    )
+    p.add_argument("--pii-redact", action="store_true", help="redact emails/phones/IPs/SSNs/CCs")
+    p.add_argument(
+        "--max-top-word-frac",
+        type=float,
+        default=None,
+        help="drop docs whose most frequent word exceeds this fraction (Gopher repetition gate)",
+    )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -182,6 +239,9 @@ def main(argv: list[str] | None = None) -> int:
         max_tokens=args.max_tokens,
         jaccard_threshold=args.jaccard_threshold,
         near_dedup=not args.no_near_dedup,
+        boilerplate_min_frac=args.strip_boilerplate,
+        pii_redact=args.pii_redact,
+        max_top_word_frac=args.max_top_word_frac,
         id_col=args.id_col,
         text_col=args.text_col,
         stage_dir=os.path.join(args.out, "_stages"),

@@ -72,6 +72,40 @@ def test_curate_no_near_dedup_valve(spark, raw_docs):
     assert report["near_dups_removed"] == 0
 
 
+def test_curate_scrub_stages(spark):
+    """Boilerplate strip + PII redaction + repetition gate, end to end."""
+    from jobs.curate import curate
+
+    footer = "Subscribe to our newsletter for more updates and offers."
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog in the field "
+              f"and that is the whole story of the day. {footer}"),
+        ("b", "a different document with plenty of distinct words that "
+              f"should pass every quality filter in the stack here. {footer}"),
+        ("c", "contact me at alice@example.com or call 555-123-4567 for "
+              f"the details of the plan we discussed earlier today. {footer}"),
+        # repetition bomb: one word dominates -> Gopher gate drops it
+        ("r", "spam " * 40 + "and a few other words here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    curated, report = curate(
+        spark,
+        docs,
+        near_dedup=False,
+        boilerplate_min_frac=0.5,
+        pii_redact=True,
+        max_top_word_frac=0.5,
+    )
+    kept = {r["doc_id"]: r["text"] for r in curated.select("doc_id", "text").collect()}
+    assert sorted(kept) == ["a", "b", "c"]  # r dropped by the repetition gate
+    assert report["boilerplate_segments"] == 1
+    for t in kept.values():
+        assert "Subscribe to our newsletter" not in t
+    assert "<EMAIL>" in kept["c"] and "<PHONE>" in kept["c"]
+    assert report["pii_docs"] == 1 and report["pii_redactions"] == 2
+    assert report["filters"]["max_top_word_frac"] == 0.5
+
+
 def test_curate_cli(spark, raw_docs, tmp_path):
     from jobs import curate as job
 

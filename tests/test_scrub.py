@@ -1,0 +1,92 @@
+"""Unit tests for PII redaction, boilerplate detection/removal, repetition."""
+
+from __future__ import annotations
+
+import pytest
+
+from graphrag_litex_spark.operators.scrub import (
+    boilerplate_segments,
+    pii_scrub,
+    repetition_stats,
+    strip_boilerplate,
+)
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@corp-mail.example.org today"),
+        (2, "card 4111 1111-1111 1111 and ssn 123-45-6789"),
+        (3, "call 555-867-5309 or ping 10.0.255.3 now"),
+        (4, "no pii here at all"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_pii_counts_and_redaction(pii_docs):
+    got = {r["doc_id"]: r for r in pii_scrub(pii_docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_pii"] == 1
+    assert got[1]["text_redacted"] == "mail me at <EMAIL> today"
+    assert got[2]["n_cc"] == 1 and got[2]["n_ssn"] == 1
+    assert got[2]["text_redacted"] == "card <CC> and ssn <SSN>"
+    assert got[3]["n_phone"] == 1 and got[3]["n_ipv4"] == 1
+    assert got[3]["text_redacted"] == "call <PHONE> or ping <IPV4> now"
+    assert got[4]["n_pii"] == 0 and got[4]["text_redacted"] == "no pii here at all"
+    assert got[5]["n_pii"] == 0 and got[5]["text_redacted"] == ""
+
+
+def test_pii_order_cc_before_phoneish(spark):
+    # a cc-shaped string contains phone-shaped substrings; cc must win
+    df = spark.createDataFrame([(1, "1234-5678-9012-3456")], "doc_id int, text string")
+    r = pii_scrub(df).collect()[0]
+    assert r["text_redacted"] == "<CC>" and r["n_cc"] == 1
+
+
+@pytest.fixture(scope="module")
+def boiler_docs(spark):
+    footer = "Click here to unsubscribe."
+    rows = [
+        (1, f"Alpha beta gamma. {footer}"),
+        (2, f"Delta epsilon! {footer} Zeta eta."),
+        (3, f"{footer} Theta iota?"),
+        (4, "Unique text only. Another unique line."),
+        (5, footer),  # the whole doc is boilerplate
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_boilerplate_detection(boiler_docs):
+    found = boilerplate_segments(boiler_docs, min_doc_frac=0.5, min_docs=2).collect()
+    assert {(r["segment"], r["n_docs"]) for r in found} == {
+        ("Click here to unsubscribe", 4)
+    }
+
+
+def test_strip_boilerplate(boiler_docs):
+    bl = boilerplate_segments(boiler_docs, min_doc_frac=0.5, min_docs=2)
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate(boiler_docs, bl).collect()}
+    assert out[1] == "Alpha beta gamma"
+    assert out[2] == "Delta epsilon. Zeta eta"  # order + multiplicity preserved
+    assert out[3] == "Theta iota"
+    assert out[4] == "Unique text only. Another unique line"
+    assert out[5] == ""  # fully-boilerplate doc survives with empty text
+    assert len(out) == 5  # no docs dropped
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "a a a b. a a a b."),     # heavy repetition, duplicate segment
+        (2, "one two three four."),   # no repetition
+        (3, ""),                      # empty -> all zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: words = [a x6, b x2] -> n=8, distinct=2; top a=6/8
+    assert got[1]["n_words"] == 8
+    assert got[1]["dup_word_frac"] == pytest.approx(6 / 8)
+    assert got[1]["top_word_frac"] == pytest.approx(6 / 8)
+    assert got[1]["dup_segment_frac"] == pytest.approx(0.5)  # 2 segs, 1 distinct
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_frac"] == pytest.approx(0.25)
+    assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0

@@ -1,0 +1,111 @@
+"""Unit tests for the as-of join and sessionization operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.temporal import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10)),  # matches r@10:05
+            (2, "u1", _ts(3)),   # before any right row -> null
+            (3, "u2", _ts(20)),  # equal ts match (>= semantics)
+            (4, "u3", _ts(30)),  # no right rows for u3 -> null
+        ],
+        "lid int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(5), 100),
+            ("u1", _ts(10, 1), 101),  # just after left lid=1 -> not matched
+            ("u2", _ts(20), 200),
+        ],
+        "k string, ts timestamp, v int",
+    )
+    return left, right
+
+
+def test_asof_backward(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", right_cols=["v"])
+    got = {r["lid"]: (r["v_r"], r["ts_r"]) for r in out.collect()}
+    assert got[1] == (100, _ts(5))
+    assert got[2] == (None, None)
+    assert got[3] == (200, _ts(20))  # equal timestamps match
+    assert got[4] == (None, None)
+    assert out.count() == 4  # left-outer: every left row survives
+
+
+def test_asof_forward(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", right_cols=["v"], direction="forward")
+    got = {r["lid"]: r["v_r"] for r in out.collect()}
+    assert got[1] == 101  # next right at-or-after 10:10 is 10:10:01
+    assert got[2] == 100  # 10:03 -> first right at 10:05
+    assert got[3] == 200  # equal ts matches forward too
+    assert got[4] is None
+
+
+def test_asof_tolerance(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", right_cols=["v"], tolerance_us=60_000_000)
+    got = {r["lid"]: r["v_r"] for r in out.collect()}
+    # lid=1 is 5min from its match -> nulled by a 1-minute tolerance
+    assert got[1] is None
+    assert got[3] == 200  # 0us away, survives
+
+
+def test_asof_single_shuffle_no_cartesian(frames):
+    left, right = frames
+    plan = asof_join(left, right, on="k", right_cols=["v"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # one hash-partitioning exchange on the key, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_boundaries(spark):
+    rows = [
+        ("u", 1, _ts(0)),
+        ("u", 2, _ts(30)),        # gap == 30min exactly -> SAME session (strict >)
+        ("u", 3, _ts(30, 1)),     # 1s -> same
+        ("u", 4, dt.datetime(2024, 1, 1, 11, 0, 2)),  # 30min+1s -> NEW session
+        ("v", 5, _ts(0)),         # other key independent
+    ]
+    df = spark.createDataFrame(rows, "k string, eid int, ts timestamp")
+    out = sessionize(df, key_col="k", ts_col="ts", gap_minutes=30.0, order_tiebreak="eid")
+    got = {r["eid"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_session_stats(spark):
+    rows = [
+        ("u", 1, _ts(0), 1.10),
+        ("u", 2, _ts(5), 2.20),
+        ("u", 3, dt.datetime(2024, 1, 1, 12, 0), 4.00),
+    ]
+    df = spark.createDataFrame(rows, "k string, eid int, ts timestamp, value double")
+    out = session_stats(
+        df, key_col="k", ts_col="ts", gap_minutes=30.0, value_col="value", order_tiebreak="eid"
+    ).orderBy("session_idx")
+    res = out.collect()
+    assert [r["n_events"] for r in res] == [2, 1]
+    assert res[0]["session_start"] == _ts(0) and res[0]["session_end"] == _ts(5)
+    assert abs(res[0]["total_value"] - 3.30) < 1e-9
+    # the groupBy reuses the window's hash partitioning: exactly one exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + (AQE final sort may add one)
