@@ -546,6 +546,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return _rep(d)
 
+    def sample_deterministic(spark, sf_dir):
+        """Reproducible hash-threshold sampling: membership is a pure
+        function of doc_id (md5-prefix compare), invariant to partitioning,
+        resume, and engine — asserted by the oracle selecting the identical
+        subset."""
+        from graphrag_litex_spark.operators.sampling import deterministic_sample
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return deterministic_sample(d, rate=0.25).select("doc_id", "lang")
+
+    def sample_stratified(spark, sf_dir):
+        """Per-language keep rates (corpus mixture control), same
+        deterministic key so rate changes are nested."""
+        from graphrag_litex_spark.operators.sampling import stratified_sample
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return stratified_sample(
+            d, rates={"en": 0.5, "de": 1.0}, strata_col="lang", default_rate=0.1
+        ).select("doc_id", "lang")
+
+    def corpus_profile(spark, sf_dir):
+        """Per-language corpus shape profile (exact interpolated
+        percentiles; swap to approx_percentile at 100 TB)."""
+        from graphrag_litex_spark.operators.sampling import corpus_profile as _prof
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return _prof(d, group_col="lang")
+
+    def pack_bins(spark, sf_dir):
+        """Greedy sequence packing into 256-token bins, sharded 16-way so
+        no global sort serializes the corpus; per-bin fill accounting."""
+        from graphrag_litex_spark.operators.sampling import pack_greedy, pack_stats
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return pack_stats(pack_greedy(d, budget=256), budget=256)
+
     # Rows-only scale paths (LSH internals aren't ANSI-SQL expressible):
     def dedup_minhash_lsh(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import minhash_lsh_candidates
@@ -633,6 +669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_scrub,
         boilerplate_segments,
         repetition_stats,
+        sample_deterministic,
+        sample_stratified,
+        corpus_profile,
+        pack_bins,
         kg_chunks_windowed,
         kg_chunks_bpe,
         vector_rag_topk,
@@ -694,6 +734,22 @@ def oracle_sql() -> dict[str, str]:
     ddb_segments = (
         f"list_filter(list_transform(string_split_regex(text, '{seg_lit}'), "
         "x -> trim(x)), x -> x <> '')"
+    )
+
+    # Sampling thresholds interpolated from the SAME helper the Spark
+    # operators use, so the two engines' keep sets can never drift.
+    from graphrag_litex_spark.operators.sampling import _HEX_DIGITS, _hex_threshold
+
+    samp_key = f"substr(md5(cast(doc_id AS varchar)), 1, {_HEX_DIGITS})"
+    thr_25 = _hex_threshold(0.25)
+    strat_case = (
+        f"CASE WHEN lang = 'en' THEN '{_hex_threshold(0.5)}' "
+        f"WHEN lang = 'de' THEN '{_hex_threshold(1.0)}' "
+        f"ELSE '{_hex_threshold(0.1)}' END"
+    )
+    ddb_ntokens = (
+        f"CASE WHEN {_DDB_TEXT_NORM} = '' THEN 0 "
+        f"ELSE len(string_split({_DDB_TEXT_NORM}, ' ')) END"
     )
 
     return {
@@ -1073,6 +1129,45 @@ def oracle_sql() -> dict[str, str]:
                               THEN (n_segs - n_ds) * 1.0 / n_segs ELSE 0 END, 6)
                        AS dup_segment_frac
             FROM f LEFT JOIN t USING (doc_id)
+        """,
+        "sample_deterministic": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {samp_key} < '{thr_25}'
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {samp_key} < {strat_case}
+        """,
+        "corpus_profile": f"""
+            WITH t AS (SELECT lang AS grp, {ddb_ntokens} AS n_tokens FROM documents)
+            SELECT grp, count(*) AS n_docs,
+                   cast(sum(n_tokens) AS bigint) AS total_tokens,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+                   round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens
+            FROM t GROUP BY grp
+        """,
+        "pack_bins": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       substr(md5(cast(doc_id AS varchar)), 1, 1) AS shard,
+                       cast({ddb_ntokens} AS bigint) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) AS cum
+                FROM b
+            ), p AS (
+                SELECT shard || '_' ||
+                       cast(cast(floor((cum - n_tokens) * 1.0 / 256) AS bigint) AS varchar)
+                           AS bin_id,
+                       n_tokens
+                FROM c
+            )
+            SELECT bin_id, count(*) AS n_docs,
+                   cast(sum(n_tokens) AS bigint) AS total_tokens,
+                   round(sum(n_tokens) / 256.0, 6) AS fill_ratio
+            FROM p GROUP BY bin_id
         """,
         "kg_chunks_windowed": """
             WITH d AS (

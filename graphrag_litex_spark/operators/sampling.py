@@ -1,0 +1,153 @@
+"""Corpus sampling, profiling, and sequence packing for training-data
+pipelines.
+
+Sampling here is DETERMINISTIC and engine-portable: membership is a pure
+function of the row id (an md5-hex-prefix threshold), not of a seeded RNG,
+so a re-run, a resume, a different partitioning, or a different engine
+(the DuckDB oracle) selects the identical subset. That reproducibility is
+the property a 100 TB corpus build actually needs — `df.sample()`'s
+seeded-per-partition randomness changes membership whenever the partition
+layout changes.
+
+All operators are pure column expressions or windows; no UDFs, no driver
+loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.text_analysis import token_count_col
+
+# Number of hex digits of the md5 used as the sampling key: 6 digits gives
+# rate granularity of 1/16^6 ~= 6e-8, plenty for corpus work.
+_HEX_DIGITS = 6
+_HEX_SPACE = 16**_HEX_DIGITS
+
+
+def _hex_threshold(rate: float) -> str:
+    """Hex-string threshold such that `md5_prefix < threshold` keeps ~rate.
+    rate>=1 returns "g", which is lexicographically above every hex string
+    (hex digits are 0-9a-f), so the compare keeps everything — no
+    special-case branch needed in CASE chains."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * _HEX_SPACE), f"0{_HEX_DIGITS}x")
+
+
+def sample_key_col(id_col: str = "doc_id"):
+    """The sampling key: first hex digits of md5(id-as-string). Uniform on
+    [0, 16^6) and identical in every engine that has md5 (lowercase hex
+    both in Spark and DuckDB), so `key < hex(rate * 16^6)` — a plain
+    string compare of equal-length hex strings — IS the sample."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, _HEX_DIGITS)
+
+
+def deterministic_sample(
+    docs: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, membership a pure function of the id.
+    Map-only (filter fused into the scan); repartition/resume/engine
+    invariant. rate=1.0 keeps everything exactly."""
+    if rate >= 1.0:
+        return docs
+    return docs.where(sample_key_col(id_col) < F.lit(_hex_threshold(rate)))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downweight one language):
+    ``rates`` maps stratum value -> keep rate; unlisted strata use
+    ``default_rate``. Same md5 key as `deterministic_sample`, so the keep
+    sets of different rates for the same stratum are NESTED (raising a rate
+    only adds documents) — the property needed for reproducible corpus
+    mixture ablations."""
+    thr = F.lit(_hex_threshold(default_rate))
+    for value, rate in rates.items():
+        thr = F.when(F.col(strata_col) == value, F.lit(_hex_threshold(rate))).otherwise(thr)
+    return docs.where(sample_key_col(id_col) < thr)
+
+
+def corpus_profile(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group size/shape profile: n_docs, total_tokens, mean/median/p95
+    token counts (exact interpolated percentiles — both Spark `percentile`
+    and DuckDB `quantile_cont` use linear interpolation, so the oracle is
+    value-exact). At 100 TB swap `percentile` for `approx_percentile` (one
+    line): the exact form shuffles every value of a group to one reducer;
+    the sketch form is a fixed-size mergeable summary. Group count here is
+    languages (tiny), so exact is fine at any corpus size."""
+    toks = token_count_col(text_col)
+    return (
+        docs.select(F.col(group_col).alias("grp"), toks.alias("n_tokens"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("median_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95_tokens"),
+        )
+    )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count=None,
+) -> DataFrame:
+    """Greedy sequence packing: assign whole documents, in deterministic id
+    order, to bins of ~``budget`` tokens (the standard pretraining step
+    that packs documents into fixed context windows). A document lands in
+    the bin its EXCLUSIVE prefix sum falls in, so bins can overflow by at
+    most one document (streaming-pack semantics; no document is split).
+
+    -> (doc_id, n_tokens, bin_id) with bin_id = "<shard>_<local bin>".
+
+    Scale: a single global order-by would serialize the corpus through one
+    reducer, so packing is SHARDED — rows hash (md5 first hex digit, 16
+    shards, engine-portable for the oracle) into independent streams, each
+    packed by its own window. Shards pack in parallel and each emits
+    near-full bins; at 100 TB raise the shard count by taking more hex
+    digits (256/4096-way) — the window per shard is the only shuffle.
+    """
+    toks = token_count(text_col) if token_count else token_count_col(text_col)
+    shard = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.cast("long").alias("n_tokens"),
+        shard.alias("_shard"),
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    local_bin = F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws("_", "_shard", local_bin.cast("string")).alias("bin_id"),
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-bin fill accounting over `pack_greedy` output: (bin_id, n_docs,
+    total_tokens, fill_ratio). One hash agg on bin_id."""
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )

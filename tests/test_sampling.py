@@ -1,0 +1,92 @@
+"""Unit tests for deterministic sampling, profiling, and sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.sampling import (
+    corpus_profile,
+    deterministic_sample,
+    pack_greedy,
+    pack_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "en" if i % 3 else "de", "word " * (i % 7 + 1)) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_sample_partitioning_invariant(docs):
+    a = _ids(deterministic_sample(docs.repartition(1), 0.3))
+    b = _ids(deterministic_sample(docs.repartition(13), 0.3))
+    assert a == b and 0 < len(a) < 400
+
+
+def test_sample_rates_nested_and_bounds(docs):
+    small = set(_ids(deterministic_sample(docs, 0.1)))
+    big = set(_ids(deterministic_sample(docs, 0.4)))
+    assert small <= big  # raising the rate only ADDS documents
+    assert len(_ids(deterministic_sample(docs, 1.0))) == 400
+    assert len(_ids(deterministic_sample(docs, 0.0))) == 0
+    # rate roughly honored (md5 is uniform; 400 docs, loose band)
+    assert 0.25 <= len(big) / 400 <= 0.55
+
+
+def test_stratified_rates(docs):
+    out = stratified_sample(
+        docs, rates={"de": 1.0, "en": 0.2}, strata_col="lang", default_rate=0.0
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    n_de = docs.where("lang = 'de'").count()
+    assert by_lang["de"] == n_de  # rate 1.0 keeps every row, even key 'ffffff'
+    assert 0 < by_lang.get("en", 0) < 400 - n_de
+    # the en subset is exactly deterministic_sample at the same rate
+    en_strat = set(_ids(out.where("lang = 'en'")))
+    en_flat = set(_ids(deterministic_sample(docs.where("lang = 'en'"), 0.2)))
+    assert en_strat == en_flat
+
+
+def test_pack_greedy_accounting(spark):
+    # shard-local packing: every doc assigned once; a bin never exceeds
+    # budget by more than its last (overflowing) document
+    rows = [(i, "w " * 10) for i in range(100)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_greedy(docs, budget=25)
+    assert packed.count() == 100
+    assert packed.select("doc_id").distinct().count() == 100
+    stats = pack_stats(packed, budget=25).collect()
+    for r in stats:
+        # exclusive-prefix rule: bin total < budget + one doc (10 tokens)
+        assert r["total_tokens"] < 25 + 10
+    # deterministic: repartitioned input packs identically
+    again = pack_greedy(docs.repartition(7), budget=25)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+
+
+def test_pack_bins_fill(spark):
+    rows = [(1, "a " * 30), (2, "b " * 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = pack_stats(pack_greedy(docs, budget=100), budget=100).collect()
+    assert sum(r["n_docs"] for r in stats) == 2
+    for r in stats:
+        assert r["fill_ratio"] == pytest.approx(r["total_tokens"] / 100.0)
+
+
+def test_corpus_profile_values(spark):
+    rows = [(1, "en", "a b c"), (2, "en", "a b c d e"), (3, "de", "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["grp"]: r for r in corpus_profile(docs).collect()}
+    assert got["en"]["n_docs"] == 2 and got["en"]["total_tokens"] == 8
+    assert got["en"]["median_tokens"] == pytest.approx(4.0)  # interpolated (3+5)/2
+    assert got["de"]["median_tokens"] == pytest.approx(1.0)
