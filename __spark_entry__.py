@@ -189,6 +189,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = _kg(spark, _sf_from_dir(sf_dir))["summaries"]
         return s.select("level", "community_id", "title", "rating", "summary")
 
+    def kg_entity_rank(spark, sf_dir):
+        """Entity salience: damped PageRank over the merged-edge graph as an
+        iterative hash-join loop (no GraphX), differential vs the
+        pure-Python power-iteration golden."""
+        from graphrag_litex_spark.operators.pagerank import pagerank
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        pr = pagerank(e.select("src", "dst"))
+        return pr.select(F.col("vertex").alias("name"), F.round("rank", 6).alias("rank"))
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -643,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_community_stats,
         kg_summaries,
         kg_query_topk,
+        kg_entity_rank,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -800,6 +811,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT content_key, count(DISTINCT eid) AS n_entities
                   FROM ents GROUP BY content_key) e USING (content_key)
             GROUP BY c.content_key, e.n_entities
+        """,
+        "kg_entity_rank": f"""
+            SELECT name, rank FROM read_parquet('{graph["golden_pagerank"]}')
         """,
         "kg_communities": f"""
             SELECT level, community_id, parent, entity_id

@@ -1,0 +1,90 @@
+"""Entity salience via PageRank over the merged KG edges — implemented as
+the north-rule style iterative hash-join loop (no GraphX/GraphFrames), the
+same execution shape as CC canonicalization (operators/cc.py) and LPA
+(operators/communities.py).
+
+Semantics: classic damped PageRank on the UNDIRECTED simple graph of the
+edge table (multi-edges collapse, self-loops drop — the same graph the
+community stages use, `oracle_graph._und_edges`). Symmetrizing removes
+dangling vertices by construction (every vertex has degree >= 1), so the
+update is the pure two-term form
+
+    r'(v) = (1 - d) / N  +  d * sum_{u ~ v} r(u) / deg(u)
+
+Scale shape: the adjacency is materialized once (hash-partitioned by src
+and checkpointed); each iteration is ONE shuffle — join ranks (one row per
+vertex, deg rides along) into the adjacency on src, then re-aggregate on
+dst. Rank state is vertex-proportional, never edge-proportional. Each round
+goes through `hard_checkpoint` so the plan/lineage (and the optimizer's
+sizeInBytes estimate) stays O(1) across iterations — see iterutils.py for
+why plain localCheckpoint is not enough.
+
+Differential oracle: `oracle_graph.pagerank_golden` replicates this
+bit-for-bit-modulo-FP-order in pure Python; the driver value-compares the
+rounded ranks (golden parquet, `kg_entity_rank`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """-> (vertex, rank) over the undirected simple graph of ``edges``.
+
+    Fixed ``iters`` power iterations (deterministic runtime and output —
+    parity with the pure-Python golden needs an iteration count, not an
+    epsilon race).
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # Both directions, partitioned by the join side once and pinned; the
+    # per-iteration join then shuffles only the vertex-sized rank state.
+    n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
+    adj = hard_checkpoint(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition(n_part, "u")
+    )
+
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()  # one job; N is needed as a literal in the update
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "vertex string, rank double")
+
+    base = (1.0 - damping) / n
+    ranks = hard_checkpoint(deg.select("u", "deg", F.lit(1.0 / n).alias("rank")))
+    for _ in range(iters):
+        contrib = (
+            adj.join(ranks, "u")
+            .select(F.col("v"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        new_ranks = hard_checkpoint(
+            deg.join(contrib, deg["u"] == contrib["v"], "left")
+            .select(
+                "u",
+                "deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        release(ranks)
+        ranks = new_ranks
+    out = ranks.select(F.col("u").alias("vertex"), "rank")
+    return out

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 2
+GRAPH_GOLDEN_VERSION = 3
 
 
 def _r(x: float, digits: int) -> float:
@@ -94,6 +94,30 @@ def _adj(und: set[tuple[str, str]]) -> dict[str, list[str]]:
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
     return adj
+
+
+def pagerank_golden(
+    und: set[tuple[str, str]], damping: float = 0.85, iters: int = 10
+) -> dict[str, float]:
+    """Pure-Python replica of operators/pagerank.pagerank: damped power
+    iteration on the undirected simple graph (no dangling vertices by
+    construction). FP sums differ from Spark's shuffle order only at the
+    ~1e-15 tail, far under the 1e-6 rounding both sides publish."""
+    adj = _adj(und)
+    verts = sorted(adj)
+    n = len(verts)
+    if n == 0:
+        return {}
+    base = (1.0 - damping) / n
+    r = dict.fromkeys(verts, 1.0 / n)
+    for _ in range(iters):
+        acc = dict.fromkeys(verts, 0.0)
+        for v in verts:
+            share = r[v] / len(adj[v])
+            for u in adj[v]:
+                acc[u] += share
+        r = {v: base + damping * acc[v] for v in verts}
+    return r
 
 
 # ---- LPA + hierarchy (mirrors operators/communities.py) ----
@@ -367,6 +391,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_community_stats": os.path.join(out_dir, "golden_community_stats.parquet"),
         "golden_summaries": os.path.join(out_dir, "golden_summaries.parquet"),
         "golden_query_topk": os.path.join(out_dir, "golden_query_topk.parquet"),
+        "golden_pagerank": os.path.join(out_dir, "golden_pagerank.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -406,6 +431,13 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
     edges = merged_edges(triple_rows)
     names = node_names(mention_rows)
     und = _und_edges(edges)
+
+    und_names = set()
+    for e in edges:
+        s_, o_ = e["src"], e["dst"]
+        if s_ != o_:
+            und_names.add((s_, o_) if s_ < o_ else (o_, s_))
+    pr = pagerank_golden(und_names)
 
     membership = detect_communities(vertices, und)
     stats = community_stats(membership, und)
@@ -457,6 +489,16 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_query_topk"],
+    )
+    pr_names = sorted(pr)
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array(pr_names, pa.string()),
+                "rank": pa.array([_r(pr[v], 6) for v in pr_names], pa.float64()),
+            }
+        ),
+        gpaths["golden_pagerank"],
     )
     with open(manifest, "w") as f:
         json.dump(want, f)

@@ -1,0 +1,62 @@
+"""PageRank operator: differential vs the pure-Python golden + invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.pagerank import pagerank
+from graphrag_litex_spark.oracle_graph import pagerank_golden
+
+
+def _spark_ranks(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {r["vertex"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_path_graph_matches_golden(spark):
+    pairs = [("a", "b"), ("b", "c")]
+    got = _spark_ranks(spark, pairs)
+    want = pagerank_golden({("a", "b"), ("b", "c")})
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # symmetry of the path: endpoints equal, middle highest
+    assert got["a"] == pytest.approx(got["c"], abs=1e-12)
+    assert got["b"] > got["a"]
+
+
+def test_mass_conserved_and_simple_graph(spark):
+    # multi-edges, reversed duplicates, and self-loops must collapse
+    pairs = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"), ("b", "c"), ("c", "d")]
+    got = _spark_ranks(spark, pairs)
+    assert len(got) == 4
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    want = pagerank_golden({("a", "b"), ("b", "c"), ("c", "d")})
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_star_graph_hub_dominates(spark):
+    pairs = [("hub", f"leaf{i}") for i in range(5)]
+    got = _spark_ranks(spark, pairs)
+    assert got["hub"] == max(got.values())
+    leaves = [v for k, v in got.items() if k != "hub"]
+    assert max(leaves) == pytest.approx(min(leaves), abs=1e-12)
+
+
+def test_partitioning_invariant(spark):
+    pairs = [(f"v{i}", f"v{(i * 7) % 23}") for i in range(60)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    a = {r["vertex"]: r["rank"] for r in pagerank(df.repartition(1), iters=5).collect()}
+    b = {r["vertex"]: r["rank"] for r in pagerank(df.repartition(11), iters=5).collect()}
+    assert a.keys() == b.keys()
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-12)
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df).count() == 0
+    df2 = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert pagerank(df2).count() == 0  # only a self-loop -> empty simple graph
