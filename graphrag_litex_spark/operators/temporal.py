@@ -153,6 +153,42 @@ def sessionize(
     return events.withColumn("session_idx", F.sum(new_session).over(run))
 
 
+def session_stats_native(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """`session_stats` built on Spark's NATIVE `session_window` aggregate
+    (one hash agg with session merging inside the exec — no window sort),
+    for pipelines that also run the streaming form: the same expression
+    works under `readStream` with a watermark, where the lag/cumsum
+    formulation cannot (no ordered windows over unbounded streams).
+
+    Boundary semantics match `sessionize` exactly: an event extends the
+    session when its gap from the previous event is <= gap (strictly
+    greater opens a new one). session_window is half-open — an event at
+    exactly last+gap starts a NEW session — so the native gap is widened
+    by one microsecond to make `==` inclusive like the lag/cumsum form;
+    asserted equivalent in tests. Emits (key, session_start, session_end,
+    n_events[, total_value]) with session_end = last EVENT ts.
+    """
+    gap = f"{int(gap_minutes * 60_000_000) + 1} microseconds"
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+    return (
+        events.groupBy(key_col, F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .drop("session_window")
+    )
+
+
 def session_stats(
     events: DataFrame,
     key_col: str = "user_id",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from graphrag_litex_spark.operators.temporal import (
     asof_join,
     session_stats,
+    session_stats_native,
     sessionize,
 )
 
@@ -109,3 +110,56 @@ def test_session_stats(spark):
     # the groupBy reuses the window's hash partitioning: exactly one exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2  # window + (AQE final sort may add one)
+
+
+def test_native_session_window_equivalence(spark):
+    """Spark's session_window aggregate == the lag/cumsum sessionizer on
+    the full events table INCLUDING the exact-gap boundary."""
+    import datetime as dt
+
+    rows = [
+        ("u", _ts(0), 1.0),
+        ("u", _ts(30), 1.0),                          # == gap -> same session
+        ("u", dt.datetime(2024, 1, 1, 11, 0, 1), 1.0),  # > gap -> new
+        ("v", _ts(7), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    a = sorted(
+        map(
+            tuple,
+            session_stats(df, "k", "ts", 30.0, value_col="value")
+            .select("k", "session_start", "session_end", "n_events", "total_value")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            session_stats_native(df, "k", "ts", 30.0, value_col="value")
+            .select("k", "session_start", "session_end", "n_events", "total_value")
+            .collect(),
+        )
+    )
+    assert a == b
+
+
+def test_native_session_window_on_events_table(spark):
+    """Equivalence on real data: the driver events table at sf0.001."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(
+        map(
+            tuple,
+            session_stats(ev, "user_id", "ts", 360.0, order_tiebreak="event_id")
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            session_stats_native(ev, "user_id", "ts", 360.0)
+            .select("user_id", "session_start", "session_end", "n_events")
+            .collect(),
+        )
+    )
+    assert a == b and len(a) > 50
