@@ -167,6 +167,59 @@ def main() -> int:
         )
     )
 
+    # As-of join: the union+window formulation must shuffle once on the key
+    # and never materialize a range product.
+    from graphrag_litex_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(os.path.join(TESTDATA, "events.parquet"))
+    purch = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    p = plan_of(asof_join(purch, clicks, on="user_id", right_cols=["event_id"]))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert p.count("Arguments: hashpartitioning") == 1, "as-of join must shuffle exactly once"
+    sections.append(
+        (
+            "As-of join (union + last-non-null window)",
+            "one hash exchange on the key; no range product, no broadcast of the big side",
+            p,
+        )
+    )
+
+    # PII scrub: pure projection — zero exchanges, pruned read schema.
+    from graphrag_litex_spark.operators.scrub import pii_scrub
+
+    p = plan_of(pii_scrub(d).select("doc_id", "n_pii"))
+    assert "Exchange" not in p, "PII scrub must be map-only"
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, "scan must prune to id+text"
+    sections.append(("PII scrub", "map-only regex projection fused into the pruned scan", p))
+
+    # Sequence packing: the only exchange is the 16-way shard partitioning
+    # for the per-shard window — no global sort.
+    from graphrag_litex_spark.operators.sampling import pack_greedy
+
+    p = plan_of(pack_greedy(d, budget=256))
+    assert p.count("Arguments: hashpartitioning") == 1 and "SinglePartition" not in p, (
+        "packing must shard, never serialize through one partition"
+    )
+    sections.append(
+        ("Sequence packing", "sharded window: one hash exchange on the shard key, no global sort", p)
+    )
+
+    # PageRank iteration step: contribution join + re-aggregate, no
+    # cartesian, no Python.
+    from graphrag_litex_spark.operators.pagerank import pagerank
+
+    edges = kg["edges"].select("src", "dst")
+    p = plan_of(pagerank(edges, iters=1))
+    assert "CartesianProduct" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "PageRank power iteration",
+            "adjacency checkpointed once; per-iteration contribution join + vertex-sized re-agg",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
