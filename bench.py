@@ -115,6 +115,10 @@ def main() -> None:
         "similarity_topk",
         "dedup_minhash_lsh",
         "text_quality",
+        "asof_purchase_click",
+        "event_sessions",
+        "pack_bins",
+        "kg_entity_rank",
     ):
         t0 = time.time()
         try:

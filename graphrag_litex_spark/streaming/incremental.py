@@ -126,6 +126,42 @@ def conversation_progress(transcripts_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_session_stats(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Watermarked streaming sessionization via Spark's native
+    ``session_window`` — the streaming form of
+    operators/temporal.session_stats_native (same 1µs-widened gap so the
+    exact-gap boundary matches the batch lag/cumsum sessionizer). Sessions
+    are emitted once closed (watermark passes session end); in append mode
+    a trigger-once run over static files reproduces the batch output for
+    every session older than the watermark — asserted in tests.
+    """
+    gap = f"{int(gap_minutes * 60_000_000) + 1} microseconds"
+    # Watermarks require TIMESTAMP; parquet TIMESTAMP columns stream in as
+    # TIMESTAMP_NTZ. The cast reinterprets the wall clock in the session tz
+    # (UTC, session.get_spark) — same convention as temporal.ts_micros.
+    events_stream = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .drop("session_window")
+    )
+
+
 def windowed_turn_activity(
     transcripts_stream: DataFrame,
     window: str = "10 minutes",

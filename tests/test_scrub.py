@@ -90,3 +90,16 @@ def test_repetition_stats(spark):
     assert got[2]["dup_word_frac"] == 0.0
     assert got[2]["top_word_frac"] == pytest.approx(0.25)
     assert got[3]["n_words"] == 0 and got[3]["top_word_frac"] == 0.0
+
+
+def test_null_text_contract(spark):
+    """Null text flows through every scrub operator without failing:
+    redaction passes null through, counts stay 0, fractions stay 0."""
+    d = spark.createDataFrame([(1, None), (2, "ok. ok.")], "doc_id int, text string")
+    p = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert p[1]["text_redacted"] is None and p[1]["n_pii"] == 0
+    r = {r["id"]: r for r in repetition_stats(d).collect()}
+    assert r[1]["dup_word_frac"] == 0.0 and r[1]["top_word_frac"] == 0.0
+    assert r[2]["dup_segment_frac"] == 0.5
+    b = boilerplate_segments(d, min_doc_frac=0.0, min_docs=1).collect()
+    assert {x["segment"] for x in b} == {"ok"}

@@ -108,3 +108,48 @@ def test_conversation_progress_stateful(spark, split_corpus, tmp_path_factory):
     )
     want = {r["conv_id"]: (r["n"], r["mx"], r["ch"]) for r in batch}
     assert latest == want
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path_factory):
+    """Watermarked session_window streaming == batch session stats for
+    every session that closed before the final watermark."""
+    import datetime as dt
+
+    from graphrag_litex_spark.operators.temporal import session_stats_native
+    from graphrag_litex_spark.streaming.incremental import streaming_session_stats
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    input_dir = str(tmp_path_factory.mktemp("sess_in"))
+    ev.coalesce(1).write.mode("overwrite").parquet(input_dir)
+    out = str(tmp_path_factory.mktemp("sess_out"))
+
+    stream = spark.readStream.schema(ev.schema).parquet(input_dir)
+    q = (
+        streaming_session_stats(stream, gap_minutes=360.0, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch_rows = session_stats_native(ev, "user_id", "ts", 360.0).collect()
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch_rows
+    }
+    # append mode only emits sessions closed before the final watermark:
+    # session_window's end is last_event + gap (6h), watermark lags 1h, so
+    # a session is flushed iff last_event + 6h < max_ts - 1h (1s margin)
+    max_ts = max(r["session_end"] for r in batch_rows)
+    horizon = max_ts - dt.timedelta(hours=7, seconds=1)
+    closed = {t for t in batch if t[2] < horizon}
+    assert streamed <= batch
+    assert closed <= streamed
+    assert len(streamed) > 100

@@ -163,3 +163,19 @@ def test_native_session_window_on_events_table(spark):
         )
     )
     assert a == b and len(a) > 50
+
+
+def test_null_ts_contract(spark):
+    """Null timestamps don't crash: a null-ts left row survives the as-of
+    join unmatched; sessionize gives it its own session boundary."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(1, "u", None), (2, "u", dt.datetime(2024, 1, 1))],
+        "eid int, k string, ts timestamp",
+    )
+    out = {r["eid"]: r["eid_r"] for r in
+           asof_join(ev, ev.where("eid = 2"), on="k", right_cols=["eid"]).collect()}
+    assert out == {1: None, 2: 2}
+    s = {r["eid"]: r["session_idx"] for r in sessionize(ev, "k", "ts", 30.0).collect()}
+    assert s[1] == 1 and s[2] == 2
