@@ -1107,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
             segs AS (
                 SELECT DISTINCT doc_id, seg.s AS segment
                 FROM docs, unnest({ddb_segments}) AS seg(s)
+                WHERE length(seg.s) <= 1000
             )
             SELECT segment, count(*) AS n_docs
             FROM segs GROUP BY segment

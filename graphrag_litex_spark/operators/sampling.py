@@ -77,16 +77,19 @@ def stratified_sample(
 
 
 def corpus_profile(
-    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text", approx: bool = False
 ) -> DataFrame:
     """Per-group size/shape profile: n_docs, total_tokens, mean/median/p95
     token counts (exact interpolated percentiles — both Spark `percentile`
     and DuckDB `quantile_cont` use linear interpolation, so the oracle is
-    value-exact). At 100 TB swap `percentile` for `approx_percentile` (one
-    line): the exact form shuffles every value of a group to one reducer;
-    the sketch form is a fixed-size mergeable summary. Group count here is
-    languages (tiny), so exact is fine at any corpus size."""
+    value-exact). ``approx=True`` is the 100 TB valve: the exact form
+    buffers every value of a group on one reducer, `approx_percentile` is a
+    fixed-size mergeable sketch with map-side partials (±0.1% accuracy
+    here)."""
     toks = token_count_col(text_col)
+    pct = (
+        "approx_percentile(n_tokens, {q}, 1000)" if approx else "percentile(n_tokens, {q})"
+    )
     return (
         docs.select(F.col(group_col).alias("grp"), toks.alias("n_tokens"))
         .groupBy("grp")
@@ -94,8 +97,8 @@ def corpus_profile(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
-            F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("median_tokens"),
-            F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95_tokens"),
+            F.round(F.expr(pct.format(q=0.5)), 6).alias("median_tokens"),
+            F.round(F.expr(pct.format(q=0.95)), 6).alias("p95_tokens"),
         )
     )
 

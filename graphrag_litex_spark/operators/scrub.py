@@ -87,6 +87,7 @@ def boilerplate_segments(
     text_col: str = "text",
     min_doc_frac: float = 0.1,
     min_docs: int = 2,
+    max_segment_chars: int | None = 1000,
 ) -> DataFrame:
     """Detect boilerplate: sentence-ish segments that occur in at least
     ``max(min_docs, min_doc_frac * n_docs)`` DISTINCT documents ->
@@ -96,14 +97,21 @@ def boilerplate_segments(
     Shape: split -> explode -> distinct(id, segment) -> count by segment.
     Two shuffles (distinct + count), both on the segment key; the distinct
     pass bounds any document's contribution to 1 per segment, so a doc that
-    repeats a template a million times cannot skew the count stage. The
+    repeats a template a million times cannot skew the count stage.
+    ``max_segment_chars`` is the shuffle-width valve: a pathological
+    megabyte "sentence" can't be boilerplate (it would never recur
+    verbatim) and is dropped before the shuffle rather than shipped. The
     total-docs threshold is a broadcast crossJoin of a 1-row aggregate, not
     a driver collect.
     """
     total = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    exploded = docs.select(
+        F.col(id_col).alias("__id"), F.explode(_segments_col(text_col)).alias("segment")
+    )
+    if max_segment_chars is not None:
+        exploded = exploded.where(F.length("segment") <= max_segment_chars)
     segs = (
-        docs.select(F.col(id_col).alias("__id"), F.explode(_segments_col(text_col)).alias("segment"))
-        .distinct()
+        exploded.distinct()
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

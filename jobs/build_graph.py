@@ -29,6 +29,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True, help="output directory for stage tables")
     p.add_argument("--min-strength", type=float, default=0.5)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--append",
+        default=None,
+        metavar="PATH",
+        help="incremental ingest: extract ONLY these new transcripts, append "
+        "to the existing extractions stage, then rebuild downstream (old "
+        "extraction is never recomputed)",
+    )
     p.add_argument("--until", default=None, help="stop after this stage")
     p.add_argument("--question", default=None, help="optionally answer a question after build")
     p.add_argument("--level", type=int, default=0)
@@ -51,14 +59,22 @@ def main(argv: list[str] | None = None) -> int:
     from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
 
     cfg = PipelineConfig(min_strength=args.min_strength)
-    res = run_pipeline(
-        spark,
-        args.transcripts,
-        args.output,
-        config=cfg,
-        resume=not args.no_resume,
-        until=args.until,
-    )
+    if args.append:
+        from graphrag_litex_spark.plans.pipeline import KGPipeline
+
+        pipe = KGPipeline(spark, args.transcripts, args.output, config=cfg)
+        n_new = pipe.append_transcripts(args.append)
+        print(f"appended {n_new} new turns; rebuilding downstream stages")
+        res = pipe.run(resume=True, until=args.until)
+    else:
+        res = run_pipeline(
+            spark,
+            args.transcripts,
+            args.output,
+            config=cfg,
+            resume=not args.no_resume,
+            until=args.until,
+        )
     for name, df in res.items():
         print(f"stage {name}: written")
 

@@ -178,6 +178,43 @@ def test_incremental_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_f
     assert got == want
 
 
+def test_append_cli_flag(spark, corpus_sf0001, tmp_path_factory):
+    """jobs/build_graph.py --append drives the same incremental path from
+    the CLI surface: build on half A, append half B, triples == golden."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from jobs import build_graph
+
+    d = tmp_path_factory.mktemp("incr_cli")
+    t = pq.read_table(corpus_sf0001["transcripts"])
+    half = t.num_rows // 2
+    a_dir, b_dir = str(d / "a"), str(d / "b")
+    os.makedirs(a_dir), os.makedirs(b_dir)
+    pq.write_table(t.slice(0, half), os.path.join(a_dir, "part-0.parquet"))
+    pq.write_table(t.slice(half), os.path.join(b_dir, "part-0.parquet"))
+    out = str(d / "kg")
+
+    rc = build_graph.main(
+        ["--transcripts", a_dir, "--output", out, "--until", "claims", "--no-resume"]
+    )
+    assert rc == 0
+    rc = build_graph.main(
+        ["--transcripts", a_dir, "--output", out, "--append", b_dir, "--until", "claims"]
+    )
+    assert rc == 0
+    got = {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(os.path.join(out, "triples")).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(corpus_sf0001["golden_triples"]).collect()
+    }
+    assert got == want
+
+
 def test_pipeline_survives_adversarial_transcripts(spark, tmp_path):
     """Robustness: null/empty text, duplicate (conv_id, turn_idx), unicode,
     a very long turn, and a null tool/ts column must not crash any stage;

@@ -90,3 +90,13 @@ def test_corpus_profile_values(spark):
     assert got["en"]["n_docs"] == 2 and got["en"]["total_tokens"] == 8
     assert got["en"]["median_tokens"] == pytest.approx(4.0)  # interpolated (3+5)/2
     assert got["de"]["median_tokens"] == pytest.approx(1.0)
+
+
+def test_corpus_profile_approx_valve(spark):
+    rows = [(i, "en", "w " * (i % 50 + 1)) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    exact = {r["grp"]: r for r in corpus_profile(docs).collect()}
+    approx = {r["grp"]: r for r in corpus_profile(docs, approx=True).collect()}
+    assert approx["en"]["n_docs"] == exact["en"]["n_docs"]
+    assert abs(approx["en"]["median_tokens"] - exact["en"]["median_tokens"]) <= 1.0
+    assert abs(approx["en"]["p95_tokens"] - exact["en"]["p95_tokens"]) <= 2.0

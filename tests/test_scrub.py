@@ -103,3 +103,19 @@ def test_null_text_contract(spark):
     assert r[2]["dup_segment_frac"] == 0.5
     b = boilerplate_segments(d, min_doc_frac=0.0, min_docs=1).collect()
     assert {x["segment"] for x in b} == {"ok"}
+
+
+def test_boilerplate_segment_length_valve(spark):
+    """A giant 'sentence' is dropped before the shuffle, shorter templates
+    still detected."""
+    big = "x" * 5000
+    rows = [(i, f"{big}. shared footer line here.") for i in range(4)]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    found = {r["segment"] for r in
+             boilerplate_segments(d, min_doc_frac=0.5, min_docs=2).collect()}
+    assert found == {"shared footer line here"}
+    # valve off: the giant segment counts too
+    found_all = {r["segment"] for r in
+                 boilerplate_segments(d, min_doc_frac=0.5, min_docs=2,
+                                      max_segment_chars=None).collect()}
+    assert found_all == {"shared footer line here", big}
