@@ -60,6 +60,7 @@ def curate(
     boilerplate_min_frac: float | None = None,
     pii_redact: bool = False,
     max_top_word_frac: float | None = None,
+    sample_rate: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     stage_dir: str | None = None,
@@ -178,10 +179,21 @@ def curate(
             kmap.where("is_keeper").select(F.col("doc_id").alias(id_col)), id_col
         )
         report["jaccard_threshold"] = jaccard_threshold
+    if sample_rate is not None and sample_rate < 1.0:
+        # Final deterministic downsample AFTER dedup (sampling duplicates
+        # would waste the kept budget). md5-threshold membership is
+        # reproducible across re-runs/partitionings and NESTED: raising the
+        # rate later only adds documents, keeping mixtures comparable.
+        from graphrag_litex_spark.operators.sampling import deterministic_sample
+
+        n_dedup = curated.count()
+        report["near_dups_removed"] = (n_exact - n_dedup) if near_dedup else 0
+        curated = deterministic_sample(curated, sample_rate, id_col=id_col)
+        report["sample_rate"] = sample_rate
     if out_path:
         curated = _materialize(curated, out_path)
     n_final = curated.count()
-    report["near_dups_removed"] = (n_exact - n_final) if near_dedup else 0
+    report.setdefault("near_dups_removed", (n_exact - n_final) if near_dedup else 0)
     report["docs_out"] = n_final
     if out_path:
         report["tokens_out"] = int(curated.agg(F.sum("n_tokens")).first()[0] or 0)
@@ -211,6 +223,12 @@ def main(argv: list[str] | None = None) -> int:
         type=float,
         default=None,
         help="drop docs whose most frequent word exceeds this fraction (Gopher repetition gate)",
+    )
+    p.add_argument(
+        "--sample-rate",
+        type=float,
+        default=None,
+        help="final deterministic downsample rate after dedup (md5-threshold, reproducible)",
     )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -242,6 +260,7 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_min_frac=args.strip_boilerplate,
         pii_redact=args.pii_redact,
         max_top_word_frac=args.max_top_word_frac,
+        sample_rate=args.sample_rate,
         id_col=args.id_col,
         text_col=args.text_col,
         stage_dir=os.path.join(args.out, "_stages"),
