@@ -556,6 +556,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return _rep(d)
 
+    def decontamination(spark, sf_dir):
+        """Train/test overlap audit: winnow-fingerprint contamination of a
+        held-out slice (doc_id < 50) against the remaining corpus as
+        training data. Oracle = the same join over the bit-exact
+        pure-Python winnow fingerprint golden."""
+        from graphrag_litex_spark.operators.scrub import decontaminate
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return decontaminate(d.where("doc_id < 50"), d.where("doc_id >= 50"))
+
     def sample_deterministic(spark, sf_dir):
         """Reproducible hash-threshold sampling: membership is a pure
         function of doc_id (md5-prefix compare), invariant to partitioning,
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_scrub,
         boilerplate_segments,
         repetition_stats,
+        decontamination,
         sample_deterministic,
         sample_stratified,
         corpus_profile,
@@ -1144,6 +1155,28 @@ def oracle_sql() -> dict[str, str]:
                               THEN (n_segs - n_ds) * 1.0 / n_segs ELSE 0 END, 6)
                        AS dup_segment_frac
             FROM f LEFT JOIN t USING (doc_id)
+        """,
+        "decontamination": f"""
+            WITH t AS (
+                SELECT doc_id, fp FROM read_parquet('{docops["golden_winnow_fps"]}')
+                WHERE doc_id < 50
+            ), r AS (
+                SELECT doc_id AS tid, fp FROM read_parquet('{docops["golden_winnow_fps"]}')
+                WHERE doc_id >= 50
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_fps FROM t GROUP BY doc_id
+            ), sh AS (
+                SELECT t.doc_id,
+                       count(DISTINCT t.fp) AS n_shared_fps,
+                       count(DISTINCT r.tid) AS n_train_docs
+                FROM t JOIN r USING (fp) GROUP BY t.doc_id
+            )
+            SELECT tot.doc_id AS test_id,
+                   cast(n_fps AS bigint) AS n_fps,
+                   cast(coalesce(n_shared_fps, 0) AS bigint) AS n_shared_fps,
+                   cast(coalesce(n_train_docs, 0) AS bigint) AS n_train_docs,
+                   round(coalesce(n_shared_fps, 0) * 1.0 / n_fps, 6) AS contamination
+            FROM tot LEFT JOIN sh USING (doc_id)
         """,
         "sample_deterministic": f"""
             SELECT doc_id, lang FROM documents

@@ -175,6 +175,65 @@ def strip_boilerplate(
     )
 
 
+def decontaminate(
+    test: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Train/test contamination check — the decontamination step every
+    benchmark-respecting training pipeline runs: winnowing fingerprints
+    (SIGMOD'03, the same relational operator as `doc_winnow_fp`) of both
+    corpora, joined on the 64-bit fingerprint, scored per test document.
+
+    -> (test_id, n_fps, n_shared_fps, n_train_docs, contamination) where
+    contamination = shared fingerprints / test fingerprints (1.0 = the test
+    doc's entire shingle profile appears in training data).
+
+    Shape: two winnow passes (each one doc-keyed shuffle, see
+    winnow_fingerprints) + ONE equi-join on the int64 fingerprint + a
+    per-test aggregate. ``max_fp_df`` is the skew valve: fingerprints
+    present in more than that many TRAIN docs are boilerplate shingles —
+    uninformative for contamination and exactly the hot join keys — and
+    are dropped before the shuffle (same family as n-gram `max_doc_freq`).
+    """
+    from graphrag_litex_spark.operators.text_analysis import winnow_fingerprints
+
+    tf = winnow_fingerprints(test, id_col, text_col, k, window)
+    rf = winnow_fingerprints(train, id_col, text_col, k, window).select(
+        F.col("id").alias("__tid"), "fp"
+    )
+    if max_fp_df is not None:
+        ok = rf.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).where(
+            F.col("__df") <= max_fp_df
+        )
+        rf = rf.join(ok.select("fp"), "fp")
+    totals = tf.groupBy("id").agg(F.count(F.lit(1)).alias("n_fps"))
+    shared = (
+        tf.join(rf, "fp")
+        .groupBy("id")
+        .agg(
+            F.count_distinct("fp").alias("n_shared_fps"),
+            F.count_distinct("__tid").alias("n_train_docs"),
+        )
+    )
+    return (
+        totals.join(shared, "id", "left")
+        .select(
+            F.col("id").alias("test_id"),
+            F.col("n_fps").cast("long").alias("n_fps"),
+            F.coalesce("n_shared_fps", F.lit(0)).cast("long").alias("n_shared_fps"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            F.round(
+                F.coalesce("n_shared_fps", F.lit(0)) / F.col("n_fps"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

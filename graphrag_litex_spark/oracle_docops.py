@@ -238,6 +238,17 @@ def winnow_fingerprint_set(text: str, k: int = 5, window: int = 4) -> set[int]:
     return {min(hashes[i : i + window]) for i in range(n_win)}
 
 
+def winnow_fps_golden(doc_ids: list, texts: list, k: int = 5, window: int = 4) -> pa.Table:
+    """-> raw (doc_id, fp) rows, one per distinct fingerprint (the exact
+    output shape of operators/text_analysis.winnow_fingerprints)."""
+    ids, fps = [], []
+    for d, t in zip(doc_ids, texts):
+        for fp in sorted(winnow_fingerprint_set(t, k, window)):
+            ids.append(d)
+            fps.append(fp)
+    return pa.table({"doc_id": pa.array(ids), "fp": pa.array(fps, pa.int64())})
+
+
 def winnow_golden(doc_ids: list, texts: list, k: int = 5, window: int = 4) -> pa.Table:
     """-> per-doc (doc_id, n_fps, min_fp) summary of the fingerprint set."""
     rows = []
@@ -364,7 +375,7 @@ def keeper_map_golden(doc_ids: list, pair_table: pa.Table) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 6  # v6: ann_lsh multi-probe (probe_bits=1)
+DOCOPS_VERSION = 7  # v7: raw winnow fp table for decontamination
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -381,6 +392,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_ann_ivf_topk": os.path.join(out_dir, "golden_ann_ivf_topk.parquet"),
         "golden_vector_rag": os.path.join(out_dir, "golden_vector_rag.parquet"),
         "golden_winnow": os.path.join(out_dir, "golden_winnow.parquet"),
+        "golden_winnow_fps": os.path.join(out_dir, "golden_winnow_fps.parquet"),
         "golden_keeper_map": os.path.join(out_dir, "golden_keeper_map.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
@@ -408,6 +420,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         paths["golden_vector_rag"],
     )
     pq.write_table(winnow_golden(doc_ids, texts), paths["golden_winnow"])
+    pq.write_table(winnow_fps_golden(doc_ids, texts), paths["golden_winnow_fps"])
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
     vids = emb.column("vec_id").to_pylist()

@@ -119,3 +119,42 @@ def test_boilerplate_segment_length_valve(spark):
                  boilerplate_segments(d, min_doc_frac=0.5, min_docs=2,
                                       max_segment_chars=None).collect()}
     assert found_all == {"shared footer line here", big}
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A test doc copied verbatim into training scores contamination 1.0;
+    a partially-copied doc scores in between; a fresh doc scores ~0."""
+    from graphrag_litex_spark.operators.scrub import decontaminate
+
+    leaked = "the secret benchmark answer is forty two and the question is unknown"
+    half = "the secret benchmark answer is forty two but this tail is entirely different here"
+    fresh = "completely unrelated content about distributed query engines and shuffles"
+    test = spark.createDataFrame(
+        [(1, leaked), (2, half), (3, fresh)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(100, leaked + " with some extra trailing words appended"),
+         (101, "another training document about cooking pasta at altitude")],
+        "doc_id long, text string",
+    )
+    got = {r["test_id"]: r for r in decontaminate(test, train).collect()}
+    assert got[1]["contamination"] == 1.0 and got[1]["n_train_docs"] == 1
+    assert 0.0 < got[2]["contamination"] < 1.0
+    assert got[3]["contamination"] < 0.2
+    assert got[3]["n_fps"] > 0  # denominator always populated
+
+
+def test_decontaminate_fp_df_valve(spark):
+    """Boilerplate fingerprints above the train doc-frequency cap are
+    dropped before the join."""
+    from graphrag_litex_spark.operators.scrub import decontaminate
+
+    boiler = "all rights reserved contact support for help"
+    test = spark.createDataFrame([(1, boiler)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = decontaminate(test, train).collect()[0]
+    valved = decontaminate(test, train, max_fp_df=2).collect()[0]
+    assert raw["contamination"] > valved["contamination"]
