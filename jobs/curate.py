@@ -6,6 +6,8 @@ analog — the reference stops at KG construction).
     raw docs -> [optional] boilerplate-segment strip (corpus-wide
                 sentence-frequency detection -> removal)
              -> [optional] PII redaction (map-only regex rewrite)
+             -> [optional] benchmark decontamination (drop docs whose
+                winnow fingerprints leak a held-out eval corpus)
              -> language-ID + quality annotation (one column pass)
              -> filter (lang / quality / token-count bounds
                 [+ Gopher top-word repetition gate])
@@ -61,6 +63,8 @@ def curate(
     pii_redact: bool = False,
     max_top_word_frac: float | None = None,
     sample_rate: float | None = None,
+    holdout=None,
+    max_contamination: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
     stage_dir: str | None = None,
@@ -104,6 +108,23 @@ def curate(
         docs = pii_redact_text(docs, text_col)
 
     ann = quality_features(language_id(docs, text_col), text_col)
+    if holdout is not None:
+        # Benchmark decontamination: drop candidate TRAINING docs whose
+        # winnow-fingerprint profile overlaps the held-out eval corpus
+        # beyond max_contamination (score each candidate as the "test" side
+        # against the holdout as the reference corpus).
+        from graphrag_litex_spark.operators.scrub import decontaminate
+
+        scores = decontaminate(
+            docs.select(id_col, text_col), holdout, id_col=id_col, text_col=text_col
+        )
+        leaked = scores.where(F.col("contamination") > max_contamination).select(
+            F.col("test_id").alias(id_col)
+        )
+        if stage_dir:
+            leaked = _materialize(leaked, os.path.join(stage_dir, "leaked"))
+        scrub_report["contaminated_removed"] = leaked.count()
+        ann = ann.join(leaked, id_col, "left_anti")
     if max_top_word_frac is not None:
         # Gopher-style repetition gate: drop docs dominated by one word.
         reps = repetition_stats(docs, id_col, text_col)
@@ -230,6 +251,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="final deterministic downsample rate after dedup (md5-threshold, reproducible)",
     )
+    p.add_argument(
+        "--holdout",
+        default=None,
+        metavar="PATH",
+        help="parquet of a held-out eval corpus: drop candidate docs whose "
+        "winnow-fingerprint contamination against it exceeds --max-contamination",
+    )
+    p.add_argument("--max-contamination", type=float, default=0.2)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -261,6 +290,8 @@ def main(argv: list[str] | None = None) -> int:
         pii_redact=args.pii_redact,
         max_top_word_frac=args.max_top_word_frac,
         sample_rate=args.sample_rate,
+        holdout=spark.read.parquet(args.holdout) if args.holdout else None,
+        max_contamination=args.max_contamination,
         id_col=args.id_col,
         text_col=args.text_col,
         stage_dir=os.path.join(args.out, "_stages"),

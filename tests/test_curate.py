@@ -122,3 +122,24 @@ def test_curate_cli(spark, raw_docs, tmp_path):
     assert 0 < report["tokens_out"] <= report["tokens_after_filter"]
     docs = spark.read.parquet(f"{out}/documents")
     assert docs.count() == 2
+
+
+def test_curate_holdout_decontamination(spark):
+    """--holdout: candidate docs that leak the eval corpus are dropped."""
+    from jobs.curate import curate
+
+    leaked = ("the held out benchmark question about distributed joins and "
+              "its exact answer text that must never be trained on")
+    rows = [
+        ("clean", "a perfectly ordinary training document with plenty of "
+                  "distinct words about data pipelines and storage formats"),
+        ("leak", leaked + " plus a tiny bit of extra text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    holdout = spark.createDataFrame([("h1", leaked)], ["doc_id", "text"])
+    curated, report = curate(
+        spark, docs, near_dedup=False, holdout=holdout, max_contamination=0.2
+    )
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert kept == {"clean"}
+    assert report["contaminated_removed"] == 1
