@@ -109,6 +109,7 @@ def pack_greedy(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count=None,
+    shard_hex_digits: int = 1,
 ) -> DataFrame:
     """Greedy sequence packing: assign whole documents, in deterministic id
     order, to bins of ~``budget`` tokens (the standard pretraining step
@@ -119,14 +120,15 @@ def pack_greedy(
     -> (doc_id, n_tokens, bin_id) with bin_id = "<shard>_<local bin>".
 
     Scale: a single global order-by would serialize the corpus through one
-    reducer, so packing is SHARDED — rows hash (md5 first hex digit, 16
-    shards, engine-portable for the oracle) into independent streams, each
-    packed by its own window. Shards pack in parallel and each emits
-    near-full bins; at 100 TB raise the shard count by taking more hex
-    digits (256/4096-way) — the window per shard is the only shuffle.
+    reducer, so packing is SHARDED — rows hash (md5 hex prefix,
+    16^shard_hex_digits shards, engine-portable for the oracle) into
+    independent streams, each packed by its own window. Shards pack in
+    parallel and each emits near-full bins; size ``shard_hex_digits`` to
+    the cluster (1 -> 16-way for tests, 3 -> 4096-way at 100 TB) — the
+    per-shard window is the only shuffle either way.
     """
     toks = token_count(text_col) if token_count else token_count_col(text_col)
-    shard = F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+    shard = F.substring(F.md5(F.col(id_col).cast("string")), 1, shard_hex_digits)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         toks.cast("long").alias("n_tokens"),

@@ -40,13 +40,15 @@ def export_shards(
     shard_files: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shard_hex_digits: int = 1,
 ):
     """Programmatic API: pack + assemble + write. Returns the report dict."""
     from pyspark.sql import functions as F
 
     from graphrag_litex_spark.operators.sampling import pack_greedy
 
-    packed = pack_greedy(docs, budget=budget, id_col=id_col, text_col=text_col)
+    packed = pack_greedy(docs, budget=budget, id_col=id_col, text_col=text_col,
+                         shard_hex_digits=shard_hex_digits)
     joined = packed.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")),
         "doc_id",
@@ -93,6 +95,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--budget", type=int, default=2048, help="tokens per packed sequence")
     p.add_argument("--separator", default="\n\n", help="end-of-document separator")
     p.add_argument("--shard-files", type=int, default=16)
+    p.add_argument("--shard-hex-digits", type=int, default=1,
+                   help="packing shard width: 16^N independent packing streams")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -119,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
         shard_files=args.shard_files,
         id_col=args.id_col,
         text_col=args.text_col,
+        shard_hex_digits=args.shard_hex_digits,
     )
     print(json.dumps(report))
     return 0

@@ -100,3 +100,16 @@ def test_corpus_profile_approx_valve(spark):
     assert approx["en"]["n_docs"] == exact["en"]["n_docs"]
     assert abs(approx["en"]["median_tokens"] - exact["en"]["median_tokens"]) <= 1.0
     assert abs(approx["en"]["p95_tokens"] - exact["en"]["p95_tokens"]) <= 2.0
+
+
+def test_pack_shard_width_parameter(spark):
+    """Raising shard_hex_digits widens parallelism without losing docs and
+    keeps the accounting invariant (no bin exceeds budget + one doc)."""
+    rows = [(i, "w " * 10) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_greedy(docs, budget=40, shard_hex_digits=2)  # 256-way
+    assert packed.count() == 200
+    shards = {r["bin_id"].split("_")[0] for r in packed.collect()}
+    assert all(len(s) == 2 for s in shards) and len(shards) > 50
+    for r in pack_stats(packed, budget=40).collect():
+        assert r["total_tokens"] < 40 + 10
