@@ -118,6 +118,7 @@ def main() -> None:
         "asof_purchase_click",
         "event_sessions",
         "pack_bins",
+        "decontamination",
         "kg_entity_rank",
     ):
         t0 = time.time()

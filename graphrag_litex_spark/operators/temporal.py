@@ -46,6 +46,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_us: int | None = None,
     suffix: str = "_r",
+    time_bucket_minutes: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the same ``on``
     key and the largest ``right_ts`` <= ``left_ts`` (direction="backward";
@@ -57,59 +58,108 @@ def asof_join(
     the key); they come back suffixed. ``tolerance_us``: if set, matches
     farther than this many microseconds are nulled out.
 
+    ``time_bucket_minutes`` is the HOT-KEY valve (backward only): by
+    default one window per key serializes a hot key within a single task;
+    with a bucket span the window partitions by (key, time-bucket) — a hot
+    key splits across as many tasks as it spans buckets — and correctness
+    across bucket boundaries is restored by injecting one CARRY row per
+    (key, bucket): the latest right row from any earlier bucket, computed
+    as a cumulative max over the per-bucket-latest aggregate (rows
+    proportional to buckets, not events). Results are asserted identical
+    to the unbucketed plan in tests.
+
     Determinism: if the right side has duplicate (key, ts) pairs the winner
     is unspecified (as in DuckDB) — dedupe first if exact reproducibility
     across engines is needed.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if time_bucket_minutes is not None and direction != "backward":
+        raise ValueError("time_bucket_minutes currently supports direction='backward'")
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on]
 
-    # One unified ts axis; tag orders right rows before left at equal ts so
+    # One unified ts axis (epoch micros, so synthetic carry rows can sit at
+    # exact bucket starts); tag orders right rows before left at equal ts so
     # equal-ts right rows are visible to the window frame of the left row.
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c).alias(c) for c in right_cols]
     )
+    null_lefts = [
+        F.lit(None).cast(t.dataType).alias(f"__l_{t.name}") for t in left.schema
+    ]
     r = right.select(
         F.col(on).alias("__k"),
-        F.col(right_ts).alias("__ts"),
+        ts_micros(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
         payload.alias("__r"),
-        *[F.lit(None).cast(t.dataType).alias(f"__l_{t.name}") for t in left.schema],
+        *null_lefts,
     )
     l = left.select(
         F.col(on).alias("__k"),
-        F.col(left_ts).alias("__ts"),
+        ts_micros(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    both = l.unionByName(r)
+
+    if time_bucket_minutes is None:
+        both = l.unionByName(r)
+        part = ["__k"]
+    else:
+        span = int(time_bucket_minutes * 60_000_000)
+        l = l.withColumn("__b", F.floor(F.col("__ts") / span))
+        r = r.withColumn("__b", F.floor(F.col("__ts") / span))
+        # Latest right per (key, bucket) -> cumulative max over STRICTLY
+        # earlier buckets along the (key, bucket) spine of BOTH sides (a
+        # left-only bucket still needs the carry from the nearest earlier
+        # right bucket). Rows here are O(#buckets), not O(#events).
+        last_rb = r.groupBy("__k", "__b").agg(
+            F.max(F.struct(F.col("__ts"), F.col("__r"))).alias("__lastr")
+        )
+        spine = l.select("__k", "__b").unionByName(r.select("__k", "__b")).distinct()
+        wk = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__b").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            spine.where(F.col("__b").isNotNull())
+            .join(last_rb, ["__k", "__b"], "left")
+            .withColumn("__carry", F.max("__lastr").over(wk))
+            .where(F.col("__carry").isNotNull())
+        )
+        carry_rows = carry.select(
+            F.col("__k"),
+            (F.col("__b") * span).alias("__ts"),  # bucket start: sorts first
+            F.lit(-1).alias("__tag"),  # ...and before an equal-ts right row
+            F.col("__carry.__r").alias("__r"),
+            *null_lefts,
+            F.col("__b"),
+        )
+        both = l.unionByName(r).unionByName(carry_rows)
+        part = ["__k", "__b"]
 
     if direction == "backward":
         w = (
-            Window.partitionBy("__k")
+            Window.partitionBy(*part)
             .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = F.last("__r", ignorenulls=True).over(w)
     else:
         # forward: right rows AFTER (or at) the left ts; tag desc puts the
         # right row after the left one at equal ts when scanning backward.
         w = (
-            Window.partitionBy("__k")
+            Window.partitionBy(*part)
             .orderBy(F.col("__ts").desc(), F.col("__tag").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        matched = F.last("__r", ignorenulls=True).over(w)
+    matched = F.last("__r", ignorenulls=True).over(w)
 
     out = both.withColumn("__m", matched).where(F.col("__tag") == 1)
 
     if tolerance_us is not None:
-        diff = F.abs(
-            ts_micros("__ts") - ts_micros(F.col("__m.__rts"))
-        )
+        diff = F.abs(F.col("__ts") - ts_micros(F.col("__m.__rts")))
         out = out.withColumn(
             "__m", F.when(diff <= F.lit(tolerance_us), F.col("__m"))
         )

@@ -179,3 +179,49 @@ def test_null_ts_contract(spark):
     assert out == {1: None, 2: 2}
     s = {r["eid"]: r["session_idx"] for r in sessionize(ev, "k", "ts", 30.0).collect()}
     assert s[1] == 1 and s[2] == 2
+
+
+def test_asof_bucketed_equals_unbucketed(spark):
+    """The hot-key valve (time-bucketed window + carry rows) returns the
+    EXACT same result as the single-window plan, including matches that
+    cross bucket boundaries and buckets with no right rows."""
+    import random
+
+    rnd = random.Random(7)
+    base = 1_700_000_000
+    left = [(i, f"k{rnd.randrange(3)}",
+             dt.datetime.fromtimestamp(base + rnd.randrange(0, 86400)))
+            for i in range(300)]
+    right = [(1000 + i, f"k{rnd.randrange(3)}",
+              dt.datetime.fromtimestamp(base + rnd.randrange(0, 86400)))
+             for i in range(80)]
+    ldf = spark.createDataFrame(left, "lid int, k string, ts timestamp")
+    rdf = spark.createDataFrame(right, "rid int, k string, ts timestamp")
+    plain = asof_join(ldf, rdf, on="k", right_cols=["rid"])
+    bucketed = asof_join(ldf, rdf, on="k", right_cols=["rid"], time_bucket_minutes=60)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b
+    # tolerance composes with the valve identically
+    pt = sorted(map(tuple, asof_join(ldf, rdf, on="k", right_cols=["rid"],
+                                     tolerance_us=3_600_000_000).collect()))
+    bt = sorted(map(tuple, asof_join(ldf, rdf, on="k", right_cols=["rid"],
+                                     tolerance_us=3_600_000_000,
+                                     time_bucket_minutes=60).collect()))
+    assert pt == bt
+
+
+def test_asof_bucketed_splits_hot_key(spark):
+    """A single hot key partitions by (key, bucket) instead of one window."""
+    rows = [(i, "hot", _ts(i % 60, i // 60)) for i in range(240)]
+    ldf = spark.createDataFrame(rows, "lid int, k string, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(9, "hot", _ts(0))], "rid int, k string, ts timestamp"
+    )
+    out = asof_join(ldf, rdf, on="k", right_cols=["rid"], time_bucket_minutes=10)
+    got = out.where("rid_r = 9").count()
+    assert got == 240  # every left row matched across ALL buckets via carry
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"hashpartitioning\(__k#\d+, __b#\d+", plan)

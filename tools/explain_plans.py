@@ -205,6 +205,21 @@ def main() -> int:
         ("Sequence packing", "sharded window: one hash exchange on the shard key, no global sort", p)
     )
 
+    # Decontamination: the train/test overlap must be an equi-join on the
+    # int64 fingerprint — never a text comparison or cross product.
+    from graphrag_litex_spark.operators.scrub import decontaminate
+
+    p = plan_of(decontaminate(d.where(F.col("doc_id") < 50), d.where(F.col("doc_id") >= 50)))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "fp" in p, "join key must be the fingerprint"
+    sections.append(
+        (
+            "Decontamination (winnow-fp overlap)",
+            "two winnow passes; ONE equi-join on the int64 fingerprint; per-test agg",
+            p,
+        )
+    )
+
     # PageRank iteration step: contribution join + re-aggregate, no
     # cartesian, no Python.
     from graphrag_litex_spark.operators.pagerank import pagerank
