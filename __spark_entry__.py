@@ -594,6 +594,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return _prof(d, group_col="lang")
 
+    def corpus_splits(spark, sf_dir):
+        """Deterministic train/val/test assignment (cumulative hex ranges
+        over the md5 sampling key); id-sum checksum makes the value compare
+        sensitive to any membership difference."""
+        from graphrag_litex_spark.operators.sampling import assign_splits
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return (
+            assign_splits(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("id_checksum"),
+            )
+        )
+
     def pack_bins(spark, sf_dir):
         """Greedy sequence packing into 256-token bins, sharded 16-way so
         no global sort serializes the corpus; per-bin fill accounting."""
@@ -694,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample_deterministic,
         sample_stratified,
         corpus_profile,
+        corpus_splits,
         pack_bins,
         kg_chunks_windowed,
         kg_chunks_bpe,
@@ -1194,6 +1211,18 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
                    round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens
             FROM t GROUP BY grp
+        """,
+        "corpus_splits": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN {samp_key} < '{_hex_threshold(0.8)}' THEN 'train'
+                            WHEN {samp_key} < '{_hex_threshold(0.9)}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT split, count(*) AS n_docs,
+                   cast(sum(doc_id) AS bigint) AS id_checksum
+            FROM s GROUP BY split
         """,
         "pack_bins": f"""
             WITH b AS (

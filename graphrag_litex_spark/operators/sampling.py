@@ -76,6 +76,30 @@ def stratified_sample(
     return docs.where(sample_key_col(id_col) < thr)
 
 
+def assign_splits(
+    docs: DataFrame, weights: dict[str, float], id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 key falls into
+    cumulative hex ranges sized by ``weights`` (which must sum to ~1).
+    Adds a ``split`` column; a document's split never changes when the
+    corpus grows or repartitions — the property that keeps eval sets stable
+    across corpus versions. Map-only."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    key = sample_key_col(id_col)
+    bounds = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, _hex_threshold(acc)))
+    expr = F.lit(names[-1])  # last split takes the remainder (incl. 'ffffff')
+    for name, thr in reversed(bounds):
+        expr = F.when(key < F.lit(thr), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
 def corpus_profile(
     docs: DataFrame, group_col: str = "lang", text_col: str = "text", approx: bool = False
 ) -> DataFrame:

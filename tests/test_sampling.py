@@ -113,3 +113,22 @@ def test_pack_shard_width_parameter(spark):
     assert all(len(s) == 2 for s in shards) and len(shards) > 50
     for r in pack_stats(packed, budget=40).collect():
         assert r["total_tokens"] < 40 + 10
+
+
+def test_assign_splits_stable_under_growth(spark):
+    from graphrag_litex_spark.operators.sampling import assign_splits
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    s_small = {r["doc_id"]: r["split"] for r in assign_splits(small, w).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in assign_splits(big, w).collect()}
+    # growing the corpus never reassigns an existing document
+    assert all(s_big[i] == s_small[i] for i in s_small)
+    counts = {}
+    for v in s_big.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert set(counts) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        assign_splits(small, {"a": 0.5, "b": 0.3})
