@@ -199,6 +199,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank(e.select("src", "dst"))
         return pr.select(F.col("vertex").alias("name"), F.round("rank", 6).alias("rank"))
 
+    def kg_local_search(spark, sf_dir):
+        """GraphRAG LOCAL search: question-seeded personalized PageRank over
+        the entity graph (vs the community-summary GLOBAL path of
+        kg_query_topk). Differential vs the pure-Python PPR golden."""
+        from graphrag_litex_spark.querying.answer import local_search
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        return local_search(kg, "who acquired acme corp", k=10)
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -680,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_summaries,
         kg_query_topk,
         kg_entity_rank,
+        kg_local_search,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -842,6 +852,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_entity_rank": f"""
             SELECT name, rank FROM read_parquet('{graph["golden_pagerank"]}')
+        """,
+        "kg_local_search": f"""
+            SELECT name, score FROM read_parquet('{graph["golden_local_search"]}')
         """,
         "kg_communities": f"""
             SELECT level, community_id, parent, entity_id

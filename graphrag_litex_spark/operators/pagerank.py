@@ -38,13 +38,20 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
+    seeds: list | None = None,
 ) -> DataFrame:
     """-> (vertex, rank) over the undirected simple graph of ``edges``.
 
     Fixed ``iters`` power iterations (deterministic runtime and output —
     parity with the pure-Python golden needs an iteration count, not an
     epsilon race).
-    """
+
+    ``seeds``: PERSONALIZED PageRank — the teleport mass (1-d) returns to a
+    uniform distribution over the seed vertices instead of all vertices
+    (seeds not present in the graph contribute nothing). This is GraphRAG
+    "local search" ranking: entities reachable from the question's entities
+    score by graph proximity. Same plan shape; the reset vector is a
+    broadcast-sized column."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     und = (
         edges.select(a.alias("a"), b.alias("b"))
@@ -65,8 +72,29 @@ def pagerank(
     if n == 0:
         return edges.sparkSession.createDataFrame([], "vertex string, rank double")
 
-    base = (1.0 - damping) / n
-    ranks = hard_checkpoint(deg.select("u", "deg", F.lit(1.0 / n).alias("rank")))
+    if seeds is None:
+        base_col = F.lit((1.0 - damping) / n)
+        init_col = F.lit(1.0 / n)
+        deg = deg.select("u", "deg", base_col.alias("__base"), init_col.alias("__init"))
+    else:
+        # Personalized reset: uniform over the seeds that exist in the
+        # graph. Seed membership is a tiny broadcast in-list.
+        seed_set = sorted(set(seeds))
+        is_seed = F.col("u").isin(seed_set) if seed_set else F.lit(False)
+        marked = deg.withColumn("__s", is_seed.cast("int"))
+        n_seed = marked.agg(F.sum("__s")).first()[0] or 0
+        if n_seed == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "vertex string, rank double"
+            )
+        deg = marked.select(
+            "u",
+            "deg",
+            (F.col("__s") * F.lit((1.0 - damping) / n_seed)).alias("__base"),
+            (F.col("__s") * F.lit(1.0 / n_seed)).alias("__init"),
+        )
+
+    ranks = hard_checkpoint(deg.select("u", "deg", F.col("__init").alias("rank")))
     for _ in range(iters):
         contrib = (
             adj.join(ranks, "u")
@@ -79,7 +107,7 @@ def pagerank(
             .select(
                 "u",
                 "deg",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
+                (F.col("__base") + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))).alias(
                     "rank"
                 ),
             )

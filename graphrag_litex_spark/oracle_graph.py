@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 3
+GRAPH_GOLDEN_VERSION = 4
 
 
 def _r(x: float, digits: int) -> float:
@@ -97,27 +97,52 @@ def _adj(und: set[tuple[str, str]]) -> dict[str, list[str]]:
 
 
 def pagerank_golden(
-    und: set[tuple[str, str]], damping: float = 0.85, iters: int = 10
+    und: set[tuple[str, str]],
+    damping: float = 0.85,
+    iters: int = 10,
+    seeds: list[str] | None = None,
 ) -> dict[str, float]:
     """Pure-Python replica of operators/pagerank.pagerank: damped power
     iteration on the undirected simple graph (no dangling vertices by
-    construction). FP sums differ from Spark's shuffle order only at the
-    ~1e-15 tail, far under the 1e-6 rounding both sides publish."""
+    construction); with ``seeds``, the personalized form (teleport mass
+    uniform over the seeds present in the graph). FP sums differ from
+    Spark's shuffle order only at the ~1e-15 tail, far under the 1e-6
+    rounding both sides publish."""
     adj = _adj(und)
     verts = sorted(adj)
     n = len(verts)
     if n == 0:
         return {}
-    base = (1.0 - damping) / n
-    r = dict.fromkeys(verts, 1.0 / n)
+    if seeds is None:
+        base = dict.fromkeys(verts, (1.0 - damping) / n)
+        r = dict.fromkeys(verts, 1.0 / n)
+    else:
+        present = sorted(set(seeds) & set(verts))
+        if not present:
+            return {}
+        base = {v: ((1.0 - damping) / len(present) if v in present else 0.0) for v in verts}
+        r = {v: (1.0 / len(present) if v in present else 0.0) for v in verts}
     for _ in range(iters):
         acc = dict.fromkeys(verts, 0.0)
         for v in verts:
             share = r[v] / len(adj[v])
             for u in adj[v]:
                 acc[u] += share
-        r = {v: base + damping * acc[v] for v in verts}
+        r = {v: base[v] + damping * acc[v] for v in verts}
     return r
+
+
+def local_search_seeds(question: str, canon_pairs: list[tuple[str, str]]) -> list[str]:
+    """Seed selection shared verbatim by the Spark query path and the
+    golden: canonical entities whose normalized surface form appears as a
+    whole-word substring of the normalized question (>= 3 chars).
+    ``canon_pairs`` = (norm_name, canonical)."""
+    from graphrag_litex_spark.functions.normalize import normalize_name
+
+    nq = f" {normalize_name(question)} "
+    return sorted(
+        {c for nn, c in canon_pairs if len(nn) >= 3 and f" {nn} " in nq}
+    )
 
 
 # ---- LPA + hierarchy (mirrors operators/communities.py) ----
@@ -392,6 +417,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_summaries": os.path.join(out_dir, "golden_summaries.parquet"),
         "golden_query_topk": os.path.join(out_dir, "golden_query_topk.parquet"),
         "golden_pagerank": os.path.join(out_dir, "golden_pagerank.parquet"),
+        "golden_local_search": os.path.join(out_dir, "golden_local_search.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -438,6 +464,19 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         if s_ != o_:
             und_names.add((s_, o_) if s_ < o_ else (o_, s_))
     pr = pagerank_golden(und_names)
+
+    # Local search: personalized PageRank seeded by the benchmark question's
+    # matched entities (same seed rule as querying.answer.local_search).
+    canon_pairs_tbl = pq.read_table(paths["golden_canon_map"], columns=["norm_name", "canonical"])
+    canon_pairs = list(
+        zip(
+            canon_pairs_tbl.column("norm_name").to_pylist(),
+            canon_pairs_tbl.column("canonical").to_pylist(),
+        )
+    )
+    ls_seeds = local_search_seeds("who acquired acme corp", canon_pairs)
+    ls = pagerank_golden(und_names, seeds=ls_seeds)
+    ls_top = sorted(ls.items(), key=lambda kv: (-_r(kv[1], 6), kv[0]))[:10]
 
     membership = detect_communities(vertices, und)
     stats = community_stats(membership, und)
@@ -489,6 +528,15 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_query_topk"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array([n_ for n_, _v in ls_top], pa.string()),
+                "score": pa.array([_r(v, 6) for _n, v in ls_top], pa.float64()),
+            }
+        ),
+        gpaths["golden_local_search"],
     )
     pr_names = sorted(pr)
     pq.write_table(

@@ -309,3 +309,45 @@ def answer_question(
         ],
         "used_communities": [r["community_id"] for r in rows],
     }
+
+
+def local_search(
+    kg: dict,
+    question: str,
+    k: int = 10,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """GraphRAG LOCAL search: rank entities by graph proximity to the
+    question's entities — the complement of the community-summary GLOBAL
+    path above. Seeds = canonical entities whose normalized surface form
+    occurs as a whole word in the normalized question (matched
+    RELATIONALLY against the canon map — only the matched seed list, a
+    handful of strings, ever reaches the driver); ranking = personalized
+    PageRank over the merged edge graph (operators/pagerank.py, the same
+    iterative hash-join loop). -> (name, score) top-k, score rounded so
+    ties break by name identically in every engine.
+
+    ``kg`` is the stage-frame dict from plans.pipeline.run_pipeline
+    (needs "canon_map" and "edges")."""
+    from graphrag_litex_spark.functions.normalize import normalize_name
+    from graphrag_litex_spark.operators.pagerank import pagerank
+
+    nq = f" {normalize_name(question)} "
+    seed_rows = (
+        kg["canon_map"]
+        .where(
+            (F.length("norm_name") >= 3)
+            & (F.instr(F.lit(nq), F.concat(F.lit(" "), F.col("norm_name"), F.lit(" "))) > 0)
+        )
+        .select("canonical")
+        .distinct()
+        .collect()
+    )
+    seeds = sorted(r["canonical"] for r in seed_rows)
+    pr = pagerank(kg["edges"].select("src", "dst"), seeds=seeds, damping=damping, iters=iters)
+    return (
+        pr.select(F.col("vertex").alias("name"), F.round("rank", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("name").asc())
+        .limit(k)
+    )

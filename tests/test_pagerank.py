@@ -60,3 +60,44 @@ def test_empty_graph(spark):
     assert pagerank(df).count() == 0
     df2 = spark.createDataFrame([("a", "a")], "src string, dst string")
     assert pagerank(df2).count() == 0  # only a self-loop -> empty simple graph
+
+
+def test_personalized_pagerank_matches_golden(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["vertex"]: r["rank"] for r in pagerank(df, seeds=["a"]).collect()}
+    want = pagerank_golden({tuple(p) for p in pairs}, seeds=["a"])
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # mass localizes around the seed; the disconnected component gets ~0
+    assert got["a"] > got["e"] and got["x"] == pytest.approx(0.0, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_no_seeds_in_graph(spark):
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert pagerank(df, seeds=["zzz"]).count() == 0
+    assert pagerank(df, seeds=[]).count() == 0
+
+
+def test_local_search_end_to_end(spark):
+    """Question entities seed the walk; neighbors of the seeds outrank the
+    rest of the graph."""
+    from graphrag_litex_spark.querying.answer import local_search
+
+    canon = spark.createDataFrame(
+        [("acme corp", "acme corp"), ("globex", "globex")],
+        "norm_name string, canonical string",
+    )
+    edges = spark.createDataFrame(
+        [("acme corp", "alice"), ("alice", "bob"), ("globex", "carol"), ("carol", "dave")],
+        "src string, dst string",
+    )
+    out = local_search({"canon_map": canon, "edges": edges}, "Who acquired ACME Corp?", k=3)
+    rows = out.collect()
+    names = [r["name"] for r in rows]
+    assert names[0] == "acme corp" and "alice" in names[:2]
+    # the seed's component outranks the disconnected one (score 0 there)
+    assert set(names) == {"acme corp", "alice", "bob"}
+    assert all(r["score"] > 0 for r in rows)
