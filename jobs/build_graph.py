@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--until", default=None, help="stop after this stage")
     p.add_argument("--question", default=None, help="optionally answer a question after build")
+    p.add_argument(
+        "--mode",
+        choices=["global", "local"],
+        default="global",
+        help="query mode: global = community-summary map/reduce; "
+        "local = question-seeded personalized-PageRank entity ranking",
+    )
     p.add_argument("--level", type=int, default=0)
     p.add_argument("--top-k", type=int, default=10)
     args = p.parse_args(argv)
@@ -78,7 +85,21 @@ def main(argv: list[str] | None = None) -> int:
     for name, df in res.items():
         print(f"stage {name}: written")
 
-    if args.question and "summaries" in res:
+    if args.question and args.mode == "local":
+        from graphrag_litex_spark.querying.answer import local_search
+
+        ranked = local_search(res, args.question, k=args.top_k).collect()
+        print(
+            json.dumps(
+                {
+                    "question": args.question,
+                    "mode": "local",
+                    "entities": [{"name": r["name"], "score": r["score"]} for r in ranked],
+                },
+                indent=2,
+            )
+        )
+    elif args.question and "summaries" in res:
         from graphrag_litex_spark.querying.answer import answer_question
 
         ans = answer_question(res["summaries"], args.question, level=args.level, k=args.top_k)
