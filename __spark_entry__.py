@@ -208,6 +208,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg = _kg(spark, _sf_from_dir(sf_dir))
         return local_search(kg, "who acquired acme corp", k=10)
 
+    def kg_local_context(spark, sf_dir):
+        """Local-search CONTEXT retrieval: top personalized-PageRank
+        entities vote for the chunks that mention them."""
+        from graphrag_litex_spark.querying.answer import local_search_context
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        return local_search_context(kg, "who acquired acme corp")
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -690,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_query_topk,
         kg_entity_rank,
         kg_local_search,
+        kg_local_context,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -855,6 +864,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_local_search": f"""
             SELECT name, score FROM read_parquet('{graph["golden_local_search"]}')
+        """,
+        "kg_local_context": f"""
+            SELECT chunk_id, chunk_score, n_entities
+            FROM read_parquet('{graph["golden_local_context"]}')
         """,
         "kg_communities": f"""
             SELECT level, community_id, parent, entity_id

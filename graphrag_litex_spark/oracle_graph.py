@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 4
+GRAPH_GOLDEN_VERSION = 5
 
 
 def _r(x: float, digits: int) -> float:
@@ -418,6 +418,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_query_topk": os.path.join(out_dir, "golden_query_topk.parquet"),
         "golden_pagerank": os.path.join(out_dir, "golden_pagerank.parquet"),
         "golden_local_search": os.path.join(out_dir, "golden_local_search.parquet"),
+        "golden_local_context": os.path.join(out_dir, "golden_local_context.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -478,6 +479,28 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
     ls = pagerank_golden(und_names, seeds=ls_seeds)
     ls_top = sorted(ls.items(), key=lambda kv: (-_r(kv[1], 6), kv[0]))[:10]
 
+    # Local-search context: top entities vote for the chunks mentioning them
+    # (distinct entity per chunk; sum of rounded entity scores).
+    ment_ctx = pq.read_table(
+        paths["golden_mentions"], columns=["conv_id", "turn_idx", "canonical"]
+    )
+    ent_score = {n_: _r(v, 6) for n_, v in ls_top}
+    chunk_ents: dict[str, set] = {}
+    for conv, turn, canon in zip(
+        ment_ctx.column("conv_id").to_pylist(),
+        ment_ctx.column("turn_idx").to_pylist(),
+        ment_ctx.column("canonical").to_pylist(),
+    ):
+        if canon in ent_score:
+            chunk_ents.setdefault(f"{conv}_{turn}", set()).add(canon)
+    ctx_rows = sorted(
+        (
+            (cid, _r(sum(ent_score[c] for c in ents), 6), len(ents))
+            for cid, ents in chunk_ents.items()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:5]
+
     membership = detect_communities(vertices, und)
     stats = community_stats(membership, und)
     summaries = summarize(membership, stats, und, edges, names)
@@ -537,6 +560,16 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_local_search"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "chunk_id": pa.array([r[0] for r in ctx_rows], pa.string()),
+                "chunk_score": pa.array([r[1] for r in ctx_rows], pa.float64()),
+                "n_entities": pa.array([r[2] for r in ctx_rows], pa.int64()),
+            }
+        ),
+        gpaths["golden_local_context"],
     )
     pr_names = sorted(pr)
     pq.write_table(

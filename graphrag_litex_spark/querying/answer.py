@@ -351,3 +351,37 @@ def local_search(
         .orderBy(F.col("score").desc(), F.col("name").asc())
         .limit(k)
     )
+
+
+def local_search_context(
+    kg: dict,
+    question: str,
+    k_entities: int = 10,
+    k_chunks: int = 5,
+) -> DataFrame:
+    """Context retrieval for local search: the top-k seeded-PageRank
+    entities vote for the chunks that mention them (distinct entity per
+    chunk; chunk score = sum of its entities' rounded scores). -> top
+    ``k_chunks`` (chunk_id, chunk_score, n_entities).
+
+    Shape: the ranked entity list is tiny (k rows) and broadcasts into the
+    mention->canonical resolution join; the only corpus-sized shuffle is
+    the per-chunk aggregate."""
+    ranked = local_search(kg, question, k=k_entities)
+    ment = (
+        kg["mentions"]
+        .select("chunk_id", "norm_name")
+        .join(kg["canon_map"].select("norm_name", "canonical"), "norm_name")
+        .select("chunk_id", F.col("canonical").alias("name"))
+        .distinct()
+    )
+    return (
+        ment.join(F.broadcast(ranked), "name")
+        .groupBy("chunk_id")
+        .agg(
+            F.round(F.sum("score"), 6).alias("chunk_score"),
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+        )
+        .orderBy(F.col("chunk_score").desc(), F.col("chunk_id").asc())
+        .limit(k_chunks)
+    )

@@ -101,3 +101,30 @@ def test_local_search_end_to_end(spark):
     # the seed's component outranks the disconnected one (score 0 there)
     assert set(names) == {"acme corp", "alice", "bob"}
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_local_search_context(spark):
+    """Chunks mentioning more / higher-ranked seed-proximate entities
+    outrank chunks mentioning fewer."""
+    from graphrag_litex_spark.querying.answer import local_search_context
+
+    canon = spark.createDataFrame(
+        [("acme corp", "acme corp"), ("alice", "alice"), ("bob", "bob")],
+        "norm_name string, canonical string",
+    )
+    edges = spark.createDataFrame(
+        [("acme corp", "alice"), ("alice", "bob")], "src string, dst string"
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "acme corp"), ("c1", "alice"),   # two top entities
+            ("c2", "bob"),                           # one, lower-ranked
+            ("c2", "bob"),                           # duplicate mention: counted once
+        ],
+        "chunk_id string, norm_name string",
+    )
+    kg = {"canon_map": canon, "edges": edges, "mentions": mentions}
+    rows = local_search_context(kg, "tell me about ACME corp", k_chunks=5).collect()
+    got = {r["chunk_id"]: (r["chunk_score"], r["n_entities"]) for r in rows}
+    assert got["c1"][1] == 2 and got["c2"][1] == 1
+    assert got["c1"][0] > got["c2"][0]
