@@ -216,6 +216,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg = _kg(spark, _sf_from_dir(sf_dir))
         return local_search_context(kg, "who acquired acme corp")
 
+    def kg_triangle_stats(spark, sf_dir):
+        """Per-entity triangle participation + local clustering coefficient
+        over the merged-edge graph (degree-ordered wedge enumeration —
+        operators/graph_analytics.triangle_counts). The nx.triangles /
+        nx.clustering a reference user runs on the NetworkX graph."""
+        from graphrag_litex_spark.operators.graph_analytics import triangle_counts
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return triangle_counts(e.select("src", "dst")).select(
+            F.col("vertex").alias("name"),
+            "degree",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            "clustering",
+        )
+
+    def kg_link_prediction(spark, sf_dir):
+        """Common-neighbor link prediction: top non-adjacent entity pairs by
+        shared-neighbor count (+ Jaccard), deterministic (common, a, b)
+        ranking — 'suggest missing edges' over the KG."""
+        from graphrag_litex_spark.operators.graph_analytics import link_prediction
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        lp = link_prediction(e.select("src", "dst"))
+        return lp.orderBy(F.col("common").desc(), F.col("a"), F.col("b")).limit(20)
+
+    def kg_kcore(spark, sf_dir):
+        """2-core of the entity graph (iterative distributed peeling),
+        differential vs the pure-Python sequential-peel golden."""
+        from graphrag_litex_spark.operators.graph_analytics import k_core
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return k_core(e.select("src", "dst"), 2).select(
+            F.col("vertex").alias("name"), "core_degree"
+        )
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -699,6 +734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_rank,
         kg_local_search,
         kg_local_context,
+        kg_triangle_stats,
+        kg_link_prediction,
+        kg_kcore,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -861,6 +899,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_entity_rank": f"""
             SELECT name, rank FROM read_parquet('{graph["golden_pagerank"]}')
+        """,
+        # Undirected simple graph of the merged edges, shared by the two
+        # graph-analytics oracles below (same graph pagerank uses).
+        "kg_triangle_stats": f"""
+            WITH und AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM read_parquet('{triples}') WHERE subj <> obj
+            ), deg AS (
+                SELECT v AS name, count(*) AS degree FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+                ) t GROUP BY v
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), cnt AS (
+                SELECT v AS name, count(*) AS n_triangles FROM (
+                    SELECT x AS v FROM tri
+                    UNION ALL SELECT y AS v FROM tri
+                    UNION ALL SELECT z AS v FROM tri
+                ) t GROUP BY v
+            )
+            SELECT d.name, d.degree,
+                   coalesce(c.n_triangles, 0) AS n_triangles,
+                   CASE WHEN d.degree >= 2 THEN
+                       round((2 * coalesce(c.n_triangles, 0))
+                             / (d.degree * (d.degree - 1)), 6)
+                   ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN cnt c USING (name)
+        """,
+        "kg_link_prediction": f"""
+            WITH und AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM read_parquet('{triples}') WHERE subj <> obj
+            ), adj AS (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b AS u, a AS v FROM und
+            ), deg AS (
+                SELECT u AS vertex, count(*) AS degree FROM adj GROUP BY u
+            ), pairs AS (
+                SELECT n1.v AS a, n2.v AS b, count(*) AS common
+                FROM adj n1 JOIN adj n2 ON n1.u = n2.u AND n1.v < n2.v
+                GROUP BY n1.v, n2.v
+            ), nonedges AS (
+                SELECT p.a, p.b, p.common FROM pairs p
+                ANTI JOIN und e ON p.a = e.a AND p.b = e.b
+            )
+            SELECT n.a, n.b, n.common,
+                   round(n.common / (da.degree + db.degree - n.common), 6)
+                       AS jaccard
+            FROM nonedges n
+            JOIN deg da ON da.vertex = n.a
+            JOIN deg db ON db.vertex = n.b
+            ORDER BY n.common DESC, n.a, n.b LIMIT 20
+        """,
+        "kg_kcore": f"""
+            SELECT name, core_degree FROM read_parquet('{graph["golden_kcore"]}')
         """,
         "kg_local_search": f"""
             SELECT name, score FROM read_parquet('{graph["golden_local_search"]}')

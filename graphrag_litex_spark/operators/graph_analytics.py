@@ -1,0 +1,234 @@
+"""Graph analytics over the merged KG edge table: triangle counting /
+clustering coefficients, common-neighbor link prediction, and k-core
+extraction — all as DataFrame joins (no GraphX/GraphFrames), the same
+execution discipline as CC (operators/cc.py) and PageRank
+(operators/pagerank.py).
+
+Reference parity: the reference keeps its graph in NetworkX and exposes
+degree/community structure (indexing/simple_graph_builder.py); these are the
+standard follow-on analytics a KG consumer runs on that structure
+(nx.triangles / nx.clustering / nx.k_core / common-neighbor link
+prediction), re-expressed relationally so they run at 10^12-turn scale.
+
+All operators share the undirected SIMPLE graph of the edge table
+(multi-edges collapse, self-loops drop — `undirected_simple`), matching the
+graph the community / PageRank stages use (oracle_graph._und_edges).
+
+Scale notes (100 TB):
+- `triangle_counts` uses DEGREE ORDERING (orient every edge from the
+  lower-(degree, name) endpoint to the higher) so every wedge is generated
+  at its lowest-degree vertex — out-degrees are bounded by O(sqrt(m)) and a
+  celebrity hub never fans out deg^2 wedge rows. Three hash joins total,
+  each on an edge-sized relation; no driver state.
+- `link_prediction` enumerates wedges at their CENTER, which is inherently
+  deg^2 per center — `max_center_degree` is the skew valve (drop hub
+  centers from candidate generation; standard LP practice since hub
+  co-citation carries little signal). Everything else is hash joins.
+- `k_core` is iterative peeling: each round one degree aggregation + two
+  anti joins, lineage reset via hard_checkpoint (O(1) plan across rounds),
+  convergence check folded into one cached-scan aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+
+def undirected_simple(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """-> (a, b) with a < b, distinct, self-loops dropped."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """-> (vertex, degree) over the undirected simple graph."""
+    return (
+        und.select(F.col("a").alias("vertex"))
+        .unionAll(und.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation + local clustering coefficient.
+
+    -> (vertex, degree, n_triangles, clustering); every vertex of the graph
+    appears (triangle-free vertices with n_triangles=0).
+
+    clustering = 2*T / (d*(d-1)) for d >= 2 else 0.0 — the integer inputs
+    make the division a single exactly-rounded FP op, so the value is
+    engine-deterministic (no FP-order-dependent sums).
+
+    Plan: orient edges by the (degree, name) total order, enumerate wedges
+    at the low end (out-degree bounded, hub-proof), close each wedge with a
+    third hash join on the oriented edge set. Counting a triangle once per
+    (u,v,w) and crediting all three corners reproduces nx.triangles.
+    """
+    und = undirected_simple(edges, src, dst)
+    deg = _degrees(und)
+    # A string key realizing the (degree, name) total order so orientation
+    # is decided by one comparison (12 digits holds any realistic degree).
+    key = F.format_string("%012d|%s", F.col("degree"), F.col("vertex"))
+    keyed = deg.select("vertex", key.alias("k"))
+    w = (
+        und.join(keyed.withColumnRenamed("vertex", "a").withColumnRenamed("k", "ka"), "a")
+        .join(keyed.withColumnRenamed("vertex", "b").withColumnRenamed("k", "kb"), "b")
+    )
+    lo_first = F.col("ka") < F.col("kb")
+    oriented = w.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("kv").alias("kx"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = o1.join(o2, "u").where(F.col("kx") < F.col("ky"))
+    closers = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closers, ["x", "y"]).select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("vertex"))
+        .unionAll(tri.select(F.col("x").alias("vertex")))
+        .unionAll(tri.select(F.col("y").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(corners, "vertex", "left").select(
+        "vertex",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over NON-adjacent vertex pairs.
+
+    -> (a, b, common, jaccard) with a < b: `common` = |N(a) ∩ N(b)|,
+    `jaccard` = common / |N(a) ∪ N(b)|, only pairs with common >= 1 that
+    are NOT already edges. Callers rank by (common, jaccard).
+
+    jaccard = common / (deg_a + deg_b - common) over integers — one exactly
+    rounded FP division, engine-deterministic.
+
+    `max_center_degree`: skew valve — wedge pairs are enumerated at their
+    shared neighbor (center), which is deg^2 per center; dropping hub
+    centers above the cap bounds the blowup (hub co-citation is weak LP
+    signal — standard practice). None = exact.
+    """
+    und = undirected_simple(edges, src, dst)
+    deg = _degrees(und)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if max_center_degree is not None:
+        centers_ok = deg.where(F.col("degree") <= max_center_degree).select(
+            F.col("vertex").alias("u")
+        )
+        adj = adj.join(centers_ok, "u", "left_semi")
+    n1 = adj.select("u", F.col("v").alias("a"))
+    n2 = adj.select("u", F.col("v").alias("b"))
+    pairs = (
+        n1.join(n2, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(und, ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("vertex").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("vertex").alias("b"), F.col("degree").alias("deg_b"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 200,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: iteratively peel vertices
+    of degree < k until none remain. -> (vertex, core_degree) for the
+    surviving vertices, core_degree = degree WITHIN the core.
+
+    Matches nx.k_core(G, k).degree(). Peeling is order-independent, so the
+    distributed rounds (remove ALL under-degree vertices at once) converge
+    to the same fixpoint as any sequential peel.
+
+    Per round: one degree agg + two anti joins against the (typically
+    small, AQE-broadcastable) removal set; hard_checkpoint keeps lineage
+    O(1); the convergence check is one aggregate over the cached degree
+    frame (no extra scan of the adjacency).
+    """
+    spark = edges.sparkSession
+    und = undirected_simple(edges, src, dst)
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    adj = hard_checkpoint(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition(n_part, "u")
+    )
+    empty = spark.createDataFrame([], "vertex string, core_degree long")
+    for _ in range(max_iters):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree")).cache()
+        row = deg.agg(
+            F.sum(F.when(F.col("degree") < k, 1).otherwise(0)).alias("n_bad"),
+            F.count(F.lit(1)).alias("n_all"),
+        ).first()
+        n_bad, n_all = (row["n_bad"] or 0), row["n_all"]
+        if n_all == 0:
+            deg.unpersist()
+            release(adj)
+            return empty
+        if n_bad == 0:
+            out = deg.select(F.col("u").alias("vertex"), F.col("degree").alias("core_degree"))
+            # Materialize before dropping the cache/checkpoint under it.
+            out = out.localCheckpoint(eager=True)
+            deg.unpersist()
+            release(adj)
+            return out
+        bad = deg.where(F.col("degree") < k).select("u")
+        new_adj = hard_checkpoint(
+            adj.join(bad, "u", "left_anti").join(
+                bad.withColumnRenamed("u", "v"), "v", "left_anti"
+            )
+        )
+        deg.unpersist()
+        release(adj)
+        adj = new_adj
+    raise RuntimeError(f"k_core did not converge in {max_iters} rounds")

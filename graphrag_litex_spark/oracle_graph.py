@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 5
+GRAPH_GOLDEN_VERSION = 6
 
 
 def _r(x: float, digits: int) -> float:
@@ -94,6 +94,22 @@ def _adj(und: set[tuple[str, str]]) -> dict[str, list[str]]:
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
     return adj
+
+
+def k_core_golden(und: set[tuple[str, str]], k: int) -> dict[str, int]:
+    """Sequential k-core peeling -> {vertex: core_degree}. Order of peeling
+    is irrelevant to the fixpoint, so this oracles the distributed
+    round-based peel in operators/graph_analytics.k_core."""
+    adj = {v: set(ns) for v, ns in _adj(und).items()}
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if v in adj and len(adj[v]) < k:
+                for n in adj.pop(v):
+                    adj[n].discard(v)
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
 
 
 def pagerank_golden(
@@ -419,6 +435,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_pagerank": os.path.join(out_dir, "golden_pagerank.parquet"),
         "golden_local_search": os.path.join(out_dir, "golden_local_search.parquet"),
         "golden_local_context": os.path.join(out_dir, "golden_local_context.parquet"),
+        "golden_kcore": os.path.join(out_dir, "golden_kcore.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -570,6 +587,17 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_local_context"],
+    )
+    core = k_core_golden(und_names, 2)
+    core_names = sorted(core)
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array(core_names, pa.string()),
+                "core_degree": pa.array([core[v] for v in core_names], pa.int64()),
+            }
+        ),
+        gpaths["golden_kcore"],
     )
     pr_names = sorted(pr)
     pq.write_table(
