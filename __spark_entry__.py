@@ -704,6 +704,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
 
+    def tfidf_similar_docs(spark, sf_dir):
+        """Sparse all-pairs TF-IDF document similarity: df-filtered tf
+        vectors, integer-exact dot/norms, one exactly-rounded cosine
+        (operators/tfidf.similar_docs; max_df is the quadratic-cost
+        valve)."""
+        from graphrag_litex_spark.operators.tfidf import similar_docs
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        out = similar_docs(d, min_df=2, max_df=250)
+        return out.orderBy(F.col("cosine").desc(), "doc_a", "doc_b").limit(20)
+
     def ann_lsh_topk(spark, sf_dir):
         from graphrag_litex_spark.operators.similarity import lsh_bucketed_topk
 
@@ -776,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_keeper_map,
         dedup_simhash,
         dedup_ngram_jaccard,
+        tfidf_similar_docs,
         ann_lsh_topk,
         ann_ivf_topk,
     ):
@@ -1454,5 +1466,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        # Integer-exact sparse cosine: tf counts stay integers through the
+        # dot and the norms, so the only FP ops are one cast-product, one
+        # sqrt, one division — all exactly rounded, engine-deterministic.
+        "tfidf_similar_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split({_DDB_TEXT_NORM}, ' ')) AS term
+                FROM documents WHERE {_DDB_TEXT_NORM} <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term FROM (
+                    SELECT term, count(*) AS df FROM tf GROUP BY term
+                ) t WHERE df BETWEEN 2 AND 250
+            ), kept AS (
+                SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN dfq USING (term)
+            ), norms AS (
+                SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY doc_id
+            ), dots AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       cast(sum(a.tf * b.tf) AS bigint) AS dot
+                FROM kept a JOIN kept b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT d.doc_a, d.doc_b, d.dot,
+                   round(d.dot / sqrt(cast(na.n2 AS double) * cast(nb.n2 AS double)), 6)
+                       AS cosine
+            FROM dots d
+            JOIN norms na ON na.doc_id = d.doc_a
+            JOIN norms nb ON nb.doc_id = d.doc_b
+            ORDER BY cosine DESC, d.doc_a, d.doc_b LIMIT 20
         """,
     }
