@@ -82,6 +82,54 @@ def stream_extract(
     return writer.start()
 
 
+def stream_kg_append(
+    spark: SparkSession,
+    input_dir: str,
+    pipeline,
+    trigger_once: bool = True,
+):
+    """Continuous KG construction: readStream over arriving transcript
+    parquet, each microbatch ingested through
+    ``KGPipeline.append_transcripts`` — so the KG's extraction stage grows
+    incrementally (exactly once per input file) while the arrival feed
+    stays a plain directory of parquet files. After the stream drains, one
+    ``pipeline.run(resume=True)`` rebuilds the (corpus-global) downstream
+    stages; extraction is never recomputed.
+
+    Exactly-once chain: the file source's checkpoint gives each file to one
+    microbatch; the microbatch is staged to a deterministic per-batch dir
+    (overwrite-idempotent on replay); ``append_transcripts`` is idempotent
+    per staged path (a replayed batch whose append already committed is a
+    no-op) and crash-safe via its write-ahead pending marker.
+
+    Returns the StreamingQuery. ``pipeline.run()`` must have completed once
+    (the appender requires an up-to-date extractions stage — an empty base
+    corpus is fine).
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        staging = os.path.join(
+            pipeline.out_dir, "stream_ingest", f"batch_{batch_id:08d}"
+        )
+        batch_df.write.mode("overwrite").parquet(staging)
+        pipeline.append_transcripts(staging)
+
+    writer = stream.writeStream.foreachBatch(ingest).option(
+        "checkpointLocation",
+        os.path.join(pipeline.out_dir, "_stream_kg_checkpoint"),
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 CONV_STATE_SCHEMA = "n_turns long, max_turn_idx int, n_chars long"
 CONV_OUT_SCHEMA = "conv_id string, n_turns long, max_turn_idx int, n_chars long"
 

@@ -153,3 +153,51 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path_factory):
     assert streamed <= batch
     assert closed <= streamed
     assert len(streamed) > 100
+
+
+def test_stream_kg_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_factory):
+    """Continuous KG construction: base third built in batch, two more
+    thirds ARRIVE as stream files and flow through append_transcripts via
+    foreachBatch; after the stream drains, resume-run downstream stages and
+    the triples equal the full-corpus golden. A drained re-run is a no-op."""
+    from graphrag_litex_spark.plans.pipeline import KGPipeline, run_pipeline
+    from graphrag_litex_spark.streaming.incremental import stream_kg_append
+
+    d = tmp_path_factory.mktemp("stream_kg")
+    t = pq.read_table(corpus_sf0001["transcripts"])
+    third = t.num_rows // 3
+    base_dir, arrivals = str(d / "base"), str(d / "arrivals")
+    os.makedirs(base_dir), os.makedirs(arrivals)
+    pq.write_table(t.slice(0, third), os.path.join(base_dir, "part-0.parquet"))
+    pq.write_table(t.slice(third, third), os.path.join(arrivals, "arrive_0.parquet"))
+
+    out = str(d / "kg")
+    run_pipeline(spark, base_dir, out, resume=False, until="claims")
+    pipe = KGPipeline(spark, base_dir, out)
+
+    q = stream_kg_append(spark, arrivals, pipe, trigger_once=True)
+    q.awaitTermination(180)
+    extras_after_first = pipe._load_manifest()["extra_inputs"]
+    assert len(extras_after_first) == 1
+
+    # Late arrival: only the new file is processed by the next drain.
+    pq.write_table(t.slice(2 * third), os.path.join(arrivals, "arrive_1.parquet"))
+    q2 = stream_kg_append(spark, arrivals, pipe, trigger_once=True)
+    q2.awaitTermination(180)
+    assert len(pipe._load_manifest()["extra_inputs"]) == 2
+
+    res = pipe.run(resume=True, until="claims")
+    got = {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in res["triples"].collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in spark.read.parquet(corpus_sf0001["golden_triples"]).collect()
+    }
+    assert got == want
+
+    # Drained stream re-run: no new files -> no new ingests.
+    q3 = stream_kg_append(spark, arrivals, pipe, trigger_once=True)
+    q3.awaitTermination(180)
+    assert len(pipe._load_manifest()["extra_inputs"]) == 2
