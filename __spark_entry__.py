@@ -704,6 +704,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
 
+    def trigram_novelty_scores(spark, sf_dir):
+        """CCNet-style LM quality signal in exact arithmetic: per-doc
+        fraction of char-trigram occurrences rare in the corpus model
+        (bounded-vocabulary broadcast model — text_analysis.trigram_novelty;
+        the ln-based trigram_logprob is its unoracled FP twin)."""
+        from graphrag_litex_spark.operators.text_analysis import trigram_novelty
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return trigram_novelty(d, rare_threshold=10)
+
     def tfidf_similar_docs(spark, sf_dir):
         """Sparse all-pairs TF-IDF document similarity: df-filtered tf
         vectors, integer-exact dot/norms, one exactly-rounded cosine
@@ -787,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_keeper_map,
         dedup_simhash,
         dedup_ngram_jaccard,
+        trigram_novelty_scores,
         tfidf_similar_docs,
         ann_lsh_topk,
         ann_ivf_topk,
@@ -1466,6 +1477,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        # Exact-integer LM novelty: trigram occurrence/model counts are
+        # integers; rare_frac is one exactly-rounded division.
+        "trigram_novelty_scores": f"""
+            WITH d AS (
+                SELECT doc_id, {_DDB_TEXT_NORM} AS t FROM documents
+                WHERE len({_DDB_TEXT_NORM}) >= 3
+            ), g AS (
+                SELECT doc_id, substr(t, cast(i AS int), 3) AS gram
+                FROM d, unnest(range(1, len(t) - 1)) AS u(i)
+            ), m AS (
+                SELECT gram, count(*) AS corpus_n FROM g GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   cast(count(*) AS bigint) AS n_grams,
+                   cast(sum(CASE WHEN m.corpus_n < 10 THEN 1 ELSE 0 END) AS bigint)
+                       AS n_rare,
+                   round(sum(CASE WHEN m.corpus_n < 10 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS rare_frac
+            FROM g JOIN m USING (gram)
+            GROUP BY g.doc_id
         """,
         # Integer-exact sparse cosine: tf counts stay integers through the
         # dot and the norms, so the only FP ops are one cast-product, one

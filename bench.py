@@ -120,6 +120,9 @@ def main() -> None:
         "pack_bins",
         "decontamination",
         "kg_entity_rank",
+        "kg_triangle_stats",
+        "kg_link_prediction",
+        "tfidf_similar_docs",
     ):
         t0 = time.time()
         try:

@@ -167,3 +167,101 @@ def winnow_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+def char_ngram_occurrences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """-> (doc_id, gram) — one row per character n-gram OCCURRENCE of the
+    normalized text (docs shorter than n grams excluded). Same explode ->
+    substring projection as winnowing: JVM-side, no UDF."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), norm_text_col(text_col).alias("t")
+    ).where(F.length("t") >= n)
+    return base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (n - 1))).alias("pos"),
+        F.expr(f"substring(t, pos, {n})").alias("gram"),
+    ).drop("pos")
+
+
+def ngram_model(occurrences: DataFrame) -> DataFrame:
+    """-> (gram, corpus_n) character-n-gram counts. The model's domain is
+    BOUNDED by the normalized charset ([a-z0-9 ] -> <= 37^n rows, ~50k for
+    trigrams) REGARDLESS of corpus size — so at 100 TB this is one
+    map-side-combined aggregation down to a table that always fits a
+    broadcast, the inverse of the canon-map situation (which is
+    corpus-proportional and must NOT be force-broadcast)."""
+    return occurrences.groupBy("gram").agg(F.count(F.lit(1)).alias("corpus_n"))
+
+
+def trigram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_threshold: int = 10,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality signal, exact-arithmetic form: the fraction
+    of a document's character-trigram occurrences that are RARE in the
+    model corpus (count < rare_threshold). High novelty = gibberish,
+    encoding damage, or genuinely out-of-domain text — the same triage the
+    CCNet/RefinedWeb LM-perplexity filter performs, realized with integer
+    counts so the score is one exactly-rounded division
+    (engine/partitioning-deterministic; the ln-based `trigram_logprob` is
+    the floating-point API outside the cross-engine contract).
+
+    ``model``: score against a DIFFERENT reference corpus's
+    `ngram_model` (the real CCNet shape — e.g. target-domain text);
+    default scores against the input corpus itself. Grams absent from the
+    model count as rare (count 0 < threshold).
+
+    -> (doc_id, n_grams, n_rare, rare_frac). One corpus aggregation for the
+    model (bounded output, see ngram_model) + one broadcast join back over
+    the occurrence stream + one per-doc aggregation.
+    """
+    occ = char_ngram_occurrences(docs, id_col, text_col, n=3)
+    m = ngram_model(occ) if model is None else model
+    joined = occ.join(F.broadcast(m), "gram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.coalesce("corpus_n", F.lit(0)) < rare_threshold, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_rare",
+            F.round(F.col("n_rare") / F.col("n_grams"), 6).alias("rare_frac"),
+        )
+    )
+
+
+def trigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc mean log-probability under the unigram-of-trigrams model:
+    mean over occurrences of ln(corpus_n / total_grams), add-one smoothed
+    for grams missing from the model. The conventional LM-filter score for
+    model consumers; ln() keeps it outside the cross-engine value contract
+    (libm last-bit divergence — `trigram_novelty` is the oracled twin).
+
+    -> (doc_id, n_grams, mean_logprob)."""
+    occ = char_ngram_occurrences(docs, id_col, text_col, n=3)
+    m = ngram_model(occ) if model is None else model
+    total = m.agg(F.sum("corpus_n")).first()[0] or 1
+    joined = occ.join(F.broadcast(m), "gram", "left")
+    lp = F.log((F.coalesce("corpus_n", F.lit(0)) + 1.0) / F.lit(float(total + 1)))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.avg(lp), 6).alias("mean_logprob"),
+        )
+    )
