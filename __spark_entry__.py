@@ -704,6 +704,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return ngram_jaccard_pairs(d, threshold=0.5, block_col="lang")
 
+    def source_reputation_profile(spark, sf_dir):
+        """Domain-level reputation: per-source doc counts + exact-integer
+        average quality + low-quality share (sampling.source_reputation) —
+        the RefinedWeb 'URL-level filtering' decision table."""
+        from graphrag_litex_spark.operators.sampling import source_reputation
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return source_reputation(d)
+
     def trigram_novelty_scores(spark, sf_dir):
         """CCNet-style LM quality signal in exact arithmetic: per-doc
         fraction of char-trigram occurrences rare in the corpus model
@@ -797,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_keeper_map,
         dedup_simhash,
         dedup_ngram_jaccard,
+        source_reputation_profile,
         trigram_novelty_scores,
         tfidf_similar_docs,
         ann_lsh_topk,
@@ -1477,6 +1487,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        """,
+        # Source reputation: per-doc quality_score (same expression as the
+        # text_quality oracle) quantized to integer micros so the per-source
+        # sum is exact; two exactly-rounded divisions at the end.
+        "source_reputation_profile": f"""
+            WITH g AS (
+                SELECT doc_id, source, text, {_DDB_TEXT_NORM} AS norm FROM documents
+            ), h AS (
+                SELECT doc_id, source,
+                       CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_c,
+                       len(list_filter(string_split(norm, ' '),
+                           x -> list_contains({_SW_EN}, x))) AS sw
+                FROM g
+            ), s AS (
+                SELECT doc_id, source,
+                       round(
+                           least(n_tokens / 100.0, 1.0) * 0.4
+                           + least(CASE WHEN n_tokens > 0 THEN sw * 1.0 / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3
+                           + (1.0 - least(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars ELSE 0 END * 10.0, 1.0)) * 0.2
+                           + (1.0 - least(CASE WHEN n_chars > 0 THEN upper_c * 1.0 / n_chars ELSE 0 END * 5.0, 1.0)) * 0.1,
+                           6) AS quality_score
+                FROM h
+            )
+            SELECT source,
+                   cast(count(*) AS bigint) AS n_docs,
+                   round(cast(sum(cast(floor(quality_score * 1e6 + 0.5) AS bigint))
+                              AS bigint)
+                         / count(*) / 1e6, 6) AS avg_quality,
+                   cast(sum(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END) AS bigint)
+                       AS n_low,
+                   round(sum(CASE WHEN quality_score < 0.5 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS low_frac
+            FROM s
+            GROUP BY source
         """,
         # Exact-integer LM novelty: trigram occurrence/model counts are
         # integers; rare_frac is one exactly-rounded division.

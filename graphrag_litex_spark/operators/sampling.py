@@ -180,3 +180,63 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.sum("n_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
     )
+
+
+def source_reputation(
+    docs: DataFrame,
+    group_col: str = "source",
+    low_cutoff: float = 0.5,
+) -> DataFrame:
+    """Domain/source-level reputation (the RefinedWeb/C4 'URL-level
+    filtering' unit of decision): aggregate the per-doc composite
+    quality_score by source.
+
+    -> (source, n_docs, avg_quality, n_low, low_frac) where n_low counts
+    docs with quality_score < low_cutoff.
+
+    Determinism: quality_score is an exactly-evaluated per-row double
+    (text_analysis.quality_features); it is quantized to integer
+    micro-units (floor(x*1e6 + 0.5), the engine-portable double->int) so
+    the per-source SUM is exact integer arithmetic — immune to FP
+    accumulation order across partitions/engines — and avg_quality is two
+    exactly-rounded divisions. ONE hash aggregation; scales as groupBy.
+    """
+    from graphrag_litex_spark.operators.text_analysis import quality_features
+
+    q = quality_features(docs)
+    micros = F.floor(F.col("quality_score") * 1e6 + 0.5)
+    return (
+        q.groupBy(F.col(group_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(micros).alias("_sum_micro"),
+            F.sum(
+                F.when(F.col("quality_score") < low_cutoff, 1).otherwise(0)
+            ).alias("n_low"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_sum_micro") / F.col("n_docs") / 1e6, 6).alias("avg_quality"),
+            "n_low",
+            F.round(F.col("n_low") / F.col("n_docs"), 6).alias("low_frac"),
+        )
+    )
+
+
+def filter_by_source_reputation(
+    docs: DataFrame,
+    group_col: str = "source",
+    min_avg_quality: float = 0.4,
+    low_cutoff: float = 0.5,
+) -> DataFrame:
+    """Keep only docs whose SOURCE clears the reputation bar — the
+    domain-level gate applied before (cheaper than) per-doc filtering at
+    web scale. Good-source set is source-cardinality-sized (weeks of crawl
+    have ~10^6-10^7 domains — broadcastable; left_semi lets AQE choose)."""
+    good = source_reputation(docs, group_col, low_cutoff).where(
+        F.col("avg_quality") >= min_avg_quality
+    ).select("source")
+    return docs.join(
+        good.withColumnRenamed("source", group_col), group_col, "left_semi"
+    )
