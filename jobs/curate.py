@@ -62,6 +62,10 @@ def curate(
     boilerplate_min_frac: float | None = None,
     pii_redact: bool = False,
     max_top_word_frac: float | None = None,
+    min_source_quality: float | None = None,
+    source_col: str = "source",
+    max_trigram_novelty: float | None = None,
+    trigram_rare_threshold: int = 10,
     sample_rate: float | None = None,
     holdout=None,
     max_contamination: float = 0.2,
@@ -108,6 +112,33 @@ def curate(
         docs = pii_redact_text(docs, text_col)
 
     ann = quality_features(language_id(docs, text_col), text_col)
+    if min_source_quality is not None:
+        # Domain-level gate (RefinedWeb URL filtering): drop every doc from
+        # sources whose exact-integer average quality misses the bar. The
+        # aggregate reuses ann's quality_score — no second annotation pass;
+        # the bad-source set is domain-cardinality-sized (AQE broadcasts).
+        micros = F.floor(F.col("quality_score") * 1e6 + 0.5)
+        bad_src = (
+            ann.groupBy(source_col)
+            .agg(F.round(F.sum(micros) / F.count(F.lit(1)) / 1e6, 6).alias("_avg"))
+            .where(F.col("_avg") < min_source_quality)
+            .select(source_col)
+        )
+        scrub_report["low_reputation_sources"] = bad_src.count()
+        ann = ann.join(bad_src, source_col, "left_anti")
+    if max_trigram_novelty is not None:
+        # CCNet-style LM gate: drop gibberish/encoding-damaged docs whose
+        # rare-trigram fraction exceeds the cap (self-corpus model).
+        from graphrag_litex_spark.operators.text_analysis import trigram_novelty
+
+        nov = trigram_novelty(
+            docs, id_col, text_col, rare_threshold=trigram_rare_threshold
+        )
+        bad_nov = nov.where(F.col("rare_frac") > max_trigram_novelty).select(
+            F.col("doc_id").alias(id_col)
+        )
+        scrub_report["novelty_removed"] = bad_nov.count()
+        ann = ann.join(bad_nov, id_col, "left_anti")
     if holdout is not None:
         # Benchmark decontamination: drop candidate TRAINING docs whose
         # winnow-fingerprint profile overlaps the held-out eval corpus
@@ -259,6 +290,25 @@ def main(argv: list[str] | None = None) -> int:
         "winnow-fingerprint contamination against it exceeds --max-contamination",
     )
     p.add_argument("--max-contamination", type=float, default=0.2)
+    p.add_argument(
+        "--min-source-quality",
+        type=float,
+        default=None,
+        help="drop ALL docs from sources whose average quality_score is below this",
+    )
+    p.add_argument("--source-col", default="source")
+    p.add_argument(
+        "--max-trigram-novelty",
+        type=float,
+        default=None,
+        help="drop docs whose rare-char-trigram fraction exceeds this (LM gibberish gate)",
+    )
+    p.add_argument(
+        "--trigram-rare-threshold",
+        type=int,
+        default=10,
+        help="corpus count below which a trigram counts as rare",
+    )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -289,6 +339,10 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_min_frac=args.strip_boilerplate,
         pii_redact=args.pii_redact,
         max_top_word_frac=args.max_top_word_frac,
+        min_source_quality=args.min_source_quality,
+        source_col=args.source_col,
+        max_trigram_novelty=args.max_trigram_novelty,
+        trigram_rare_threshold=args.trigram_rare_threshold,
         sample_rate=args.sample_rate,
         holdout=spark.read.parquet(args.holdout) if args.holdout else None,
         max_contamination=args.max_contamination,

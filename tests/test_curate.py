@@ -143,3 +143,36 @@ def test_curate_holdout_decontamination(spark):
     kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
     assert kept == {"clean"}
     assert report["contaminated_removed"] == 1
+
+
+def test_curate_source_and_novelty_gates(spark):
+    """Domain-reputation gate drops a whole junk source; the LM-novelty
+    gate drops a gibberish doc from a good source."""
+    from jobs.curate import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is the "
+        "whole story of the day with many common words in it"
+    )
+    rows = [
+        ("1", good + " one", "siteA"),
+        ("2", good + " two", "siteA"),
+        # gibberish: unique trigram soup, but from the good source
+        ("3", "qzv xkw jqp zzf vvq wqx kkz pzv qqw xxj zqk vpw", "siteA"),
+        # junk source: both docs score terribly -> whole source gated
+        ("4", "!!!???;;;", "siteB"),
+        ("5", "ZZZZ!!!! ????", "siteB"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    curated, report = curate(
+        spark,
+        docs,
+        near_dedup=False,
+        min_source_quality=0.3,
+        max_trigram_novelty=0.8,
+        trigram_rare_threshold=2,
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert kept == ["1", "2"]
+    assert report["low_reputation_sources"] == 1
+    assert report["novelty_removed"] == 1
