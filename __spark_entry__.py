@@ -216,6 +216,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg = _kg(spark, _sf_from_dir(sf_dir))
         return local_search_context(kg, "who acquired acme corp")
 
+    def kg_drift_search(spark, sf_dir):
+        """GraphRAG DRIFT-style hybrid query mode: global community
+        selection seeds a personalized-PageRank local ranking (the third
+        query mode beside kg_query_topk GLOBAL and kg_local_search LOCAL).
+        Differential vs the composed pure-Python golden."""
+        from graphrag_litex_spark.querying.answer import drift_search
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        return drift_search(kg, "who acquired acme corp", k=10)
+
     def kg_triangle_stats(spark, sf_dir):
         """Per-entity triangle participation + local clustering coefficient
         over the merged-edge graph (degree-ordered wedge enumeration —
@@ -764,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_rank,
         kg_local_search,
         kg_local_context,
+        kg_drift_search,
         kg_triangle_stats,
         kg_link_prediction,
         kg_kcore,
@@ -990,6 +1001,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore": f"""
             SELECT name, core_degree FROM read_parquet('{graph["golden_kcore"]}')
+        """,
+        "kg_drift_search": f"""
+            SELECT name, score FROM read_parquet('{graph["golden_drift_search"]}')
         """,
         "kg_local_search": f"""
             SELECT name, score FROM read_parquet('{graph["golden_local_search"]}')

@@ -38,7 +38,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 10,
-    seeds: list | None = None,
+    seeds: list | DataFrame | None = None,
 ) -> DataFrame:
     """-> (vertex, rank) over the undirected simple graph of ``edges``.
 
@@ -51,7 +51,10 @@ def pagerank(
     (seeds not present in the graph contribute nothing). This is GraphRAG
     "local search" ranking: entities reachable from the question's entities
     score by graph proximity. Same plan shape; the reset vector is a
-    broadcast-sized column."""
+    broadcast-sized column. Seeds may be a Python list (question-sized, a
+    handful of strings) OR a single-column DataFrame (community-sized seed
+    sets — e.g. DRIFT search — stay distributed: marked via a hash join,
+    nothing vertex-proportional ever reaches the driver)."""
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     und = (
         edges.select(a.alias("a"), b.alias("b"))
@@ -78,10 +81,21 @@ def pagerank(
         deg = deg.select("u", "deg", base_col.alias("__base"), init_col.alias("__init"))
     else:
         # Personalized reset: uniform over the seeds that exist in the
-        # graph. Seed membership is a tiny broadcast in-list.
-        seed_set = sorted(set(seeds))
-        is_seed = F.col("u").isin(seed_set) if seed_set else F.lit(False)
-        marked = deg.withColumn("__s", is_seed.cast("int"))
+        # graph. List seeds -> tiny broadcast in-list; DataFrame seeds ->
+        # hash join (AQE broadcasts when small).
+        if isinstance(seeds, DataFrame):
+            sdf = (
+                seeds.select(F.col(seeds.columns[0]).alias("u"))
+                .distinct()
+                .withColumn("__s", F.lit(1))
+            )
+            marked = deg.join(sdf, "u", "left").withColumn(
+                "__s", F.coalesce("__s", F.lit(0))
+            )
+        else:
+            seed_set = sorted(set(seeds))
+            is_seed = F.col("u").isin(seed_set) if seed_set else F.lit(False)
+            marked = deg.withColumn("__s", is_seed.cast("int"))
         n_seed = marked.agg(F.sum("__s")).first()[0] or 0
         if n_seed == 0:
             return edges.sparkSession.createDataFrame(

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 6
+GRAPH_GOLDEN_VERSION = 7
 
 
 def _r(x: float, digits: int) -> float:
@@ -436,6 +436,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_local_search": os.path.join(out_dir, "golden_local_search.parquet"),
         "golden_local_context": os.path.join(out_dir, "golden_local_context.parquet"),
         "golden_kcore": os.path.join(out_dir, "golden_kcore.parquet"),
+        "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -588,6 +589,29 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         ),
         gpaths["golden_local_context"],
     )
+    # DRIFT search: top-3 level-0 communities (global) + question entities
+    # seed a personalized PageRank (local). Mirrors querying.answer
+    # drift_search (same question/k as the kg_drift_search contract query).
+    eid_to_name = {_eid(c): c for _n2, c in canon_pairs}
+    drift_comm_ids = {r["community_id"] for r in topk[:3]}
+    member_names = {
+        eid_to_name[m[3]]
+        for m in membership
+        if m[0] == 0 and m[1] in drift_comm_ids and m[3] in eid_to_name
+    }
+    drift_seeds = sorted(member_names | set(ls_seeds))
+    drift = pagerank_golden(und_names, seeds=drift_seeds)
+    drift_top = sorted(drift.items(), key=lambda kv: (-_r(kv[1], 6), kv[0]))[:10]
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array([n_ for n_, _v in drift_top], pa.string()),
+                "score": pa.array([_r(v, 6) for _n, v in drift_top], pa.float64()),
+            }
+        ),
+        gpaths["golden_drift_search"],
+    )
+
     core = k_core_golden(und_names, 2)
     core_names = sorted(core)
     pq.write_table(

@@ -385,3 +385,53 @@ def local_search_context(
         .orderBy(F.col("chunk_score").desc(), F.col("chunk_id").asc())
         .limit(k_chunks)
     )
+
+
+def drift_search(
+    kg: dict,
+    question: str,
+    level: int = 0,
+    k_communities: int = 3,
+    k: int = 10,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """GraphRAG DRIFT-style hybrid search: GLOBAL first — the
+    ``k_communities`` community summaries most similar to the question —
+    then LOCAL: personalized PageRank seeded by those communities' member
+    entities UNION the question's own matched entities. Broad thematic
+    entry (communities catch paraphrased questions that match no entity
+    surface form) refined by graph proximity. -> (name, score) top-k.
+
+    Scale shape: only the community-id list (k_communities rows) reaches
+    the driver; the member seed set — node-proportional — stays a
+    DataFrame through the PPR reset join (operators/pagerank.py DataFrame
+    seeds)."""
+    from graphrag_litex_spark.functions.normalize import normalize_name
+    from graphrag_litex_spark.operators.pagerank import pagerank
+
+    top = select_top_k(
+        embed_summaries(kg["summaries"]), question, level=level, k=k_communities
+    )
+    comm_ids = [r["community_id"] for r in top.select("community_id").collect()]
+    members = (
+        kg["communities"]
+        .where((F.col("level") == level) & F.col("community_id").isin(comm_ids))
+        .select("entity_id")
+        .join(kg["canon_map"].select("entity_id", "canonical").distinct(), "entity_id")
+        .select(F.col("canonical").alias("vertex"))
+    )
+    nq = f" {normalize_name(question)} "
+    q_seeds = kg["canon_map"].where(
+        (F.length("norm_name") >= 3)
+        & (F.instr(F.lit(nq), F.concat(F.lit(" "), F.col("norm_name"), F.lit(" "))) > 0)
+    ).select(F.col("canonical").alias("vertex"))
+    seeds = members.unionByName(q_seeds).distinct()
+    pr = pagerank(
+        kg["edges"].select("src", "dst"), seeds=seeds, damping=damping, iters=iters
+    )
+    return (
+        pr.select(F.col("vertex").alias("name"), F.round("rank", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("name").asc())
+        .limit(k)
+    )

@@ -41,10 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--question", default=None, help="optionally answer a question after build")
     p.add_argument(
         "--mode",
-        choices=["global", "local"],
+        choices=["global", "local", "drift"],
         default="global",
         help="query mode: global = community-summary map/reduce; "
-        "local = question-seeded personalized-PageRank entity ranking",
+        "local = question-seeded personalized-PageRank entity ranking; "
+        "drift = global community selection seeding the local ranking",
     )
     p.add_argument("--level", type=int, default=0)
     p.add_argument("--top-k", type=int, default=10)
@@ -85,15 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     for name, df in res.items():
         print(f"stage {name}: written")
 
-    if args.question and args.mode == "local":
-        from graphrag_litex_spark.querying.answer import local_search
+    if args.question and args.mode in ("local", "drift"):
+        from graphrag_litex_spark.querying.answer import drift_search, local_search
 
-        ranked = local_search(res, args.question, k=args.top_k).collect()
+        search = local_search if args.mode == "local" else drift_search
+        ranked = search(res, args.question, k=args.top_k).collect()
         print(
             json.dumps(
                 {
                     "question": args.question,
-                    "mode": "local",
+                    "mode": args.mode,
                     "entities": [{"name": r["name"], "score": r["score"]} for r in ranked],
                 },
                 indent=2,

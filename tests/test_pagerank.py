@@ -128,3 +128,24 @@ def test_local_search_context(spark):
     got = {r["chunk_id"]: (r["chunk_score"], r["n_entities"]) for r in rows}
     assert got["c1"][1] == 2 and got["c2"][1] == 1
     assert got["c1"][0] > got["c2"][0]
+
+
+def test_pagerank_dataframe_seeds_identical_to_list(spark):
+    """DataFrame-supplied seeds (the DRIFT path) must produce bit-identical
+    ranks to the list path, including seeds absent from the graph."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "y")],
+            columns=["src", "dst"],
+        )
+    )
+    seeds = ["a", "c", "zz-not-in-graph"]
+    by_list = {r["vertex"]: r["rank"] for r in pagerank(edges, seeds=seeds).collect()}
+    sdf = spark.createDataFrame(pd.DataFrame({"vertex": seeds}))
+    by_df = {r["vertex"]: r["rank"] for r in pagerank(edges, seeds=sdf).collect()}
+    assert by_list == by_df
+    assert by_list  # non-empty: real seeds exist
