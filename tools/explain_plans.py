@@ -235,6 +235,22 @@ def main() -> int:
         )
     )
 
+    # Trigram LM novelty: the model side must BROADCAST (bounded domain,
+    # <=37^3 rows at any corpus size) — the occurrence stream never
+    # shuffles on the gram key.
+    from graphrag_litex_spark.operators.text_analysis import trigram_novelty
+
+    p = plan_of(trigram_novelty(d))
+    assert "BroadcastHashJoin" in p, "gram model join must broadcast"
+    assert "CartesianProduct" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "Trigram LM novelty",
+            "bounded-vocabulary model broadcast back over the occurrence stream; per-doc agg",
+            p,
+        )
+    )
+
     # Triangle counting: degree-ordered wedge join — pure hash joins, no
     # cartesian, no Python, and the wedge enumeration never ships text.
     from graphrag_litex_spark.operators.graph_analytics import (
