@@ -758,6 +758,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return ivf_topk(e.where(F.col("vec_id") != 0), list(qvec), k=10, n_centroids=8, nprobe=2)
 
+    def quality_classifier(spark, sf_dir):
+        """fastText-style hashed-ngram linear quality model (inference):
+        integer-quantized weights as a broadcast table, exact-ratio logit."""
+        from graphrag_litex_spark.operators.text_analysis import (
+            hash_weights,
+            quality_classifier_scores,
+        )
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        w = hash_weights(spark, 4096)
+        return quality_classifier_scores(d, w, n_buckets=4096).orderBy("doc_id")
+
+    def semantic_dedup(spark, sf_dir):
+        """SemDeDup: IVF-cluster embeddings, prune within-cluster near-dups
+        (keep the farthest-from-centroid member of each duplicate group)."""
+        from graphrag_litex_spark.operators.dedup import semantic_dedup as _semdedup
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        return _semdedup(e, n_clusters=8, threshold=0.3).orderBy("doc_id")
+
     for fn in (
         kg_triples_agg,
         kg_canon_map,
@@ -797,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity_topk,
         knn_join_sample,
         embedding_dup_pairs,
+        semantic_dedup,
+        quality_classifier,
         multimodal_features,
         windowed_activity,
         asof_purchase_click,
@@ -1480,6 +1502,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": f"""
             SELECT vec_id, cosine
             FROM read_parquet('{docops["golden_ann_ivf_topk"]}')
+        """,
+        "semantic_dedup": f"""
+            SELECT doc_id, cluster_id, cent_cos, max_dup_cos, kept
+            FROM read_parquet('{docops["golden_semantic_dedup"]}')
+        """,
+        "quality_classifier": f"""
+            SELECT doc_id, n_feats, logit_sum, logit, keep
+            FROM read_parquet('{docops["golden_quality_classifier"]}')
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS (

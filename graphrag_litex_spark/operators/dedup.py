@@ -420,3 +420,116 @@ def duplicate_keeper_map(
             (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic IVF coarse
+    quantizer, then prune WITHIN each cluster — a document is dropped when
+    it is >= ``threshold`` cosine-similar to a surviving document that sits
+    CLOSER IN RANK (rank = ascending cosine-to-centroid, ties by id), so the
+    farthest-from-centroid member of each duplicate group is the one kept,
+    matching the paper's keep-low-centroid-similarity rule that preserves
+    cluster diversity.
+
+    Returns one row per input document::
+
+        (doc_id, cluster_id, cent_cos, max_dup_cos, kept)
+
+    ``max_dup_cos`` is the max cosine to any earlier-ranked cluster-mate
+    (null when the document has no earlier mate); ``kept`` is the survival
+    verdict downstream curation filters on.
+
+    Plan shape / 100 TB scale: centroid assignment + cosine-to-own-centroid
+    is ONE whole-stage-codegen expression (centroid literals, no join, no
+    Python — `similarity.ivf_assign` machinery). The in-cluster rank is a
+    window over ``cluster_id`` (one hash shuffle); the pairwise check is a
+    self-join on ``cluster_id`` that REUSES that partitioning. The only
+    quadratic step is within a cluster — exactly the cost SemDeDup's
+    clustering exists to bound: scale ``n_clusters`` with the corpus
+    (paper uses ~100k clusters for LAION) so expected cluster size stays
+    O(corpus/n_clusters) and the pairwise stage stays flat. Hot clusters
+    degrade gracefully under AQE skew-join; a pathological giant cluster is
+    the signal to raise ``n_clusters`` (same valve as linking's
+    giant-block refinement).
+
+    Reference scope note: the reference has no semantic dedup; this is a
+    training-data-pipeline extension (build prompt). Deterministic seeds
+    mirror `similarity.ivf_centroids` so a pure-Python sequential oracle
+    reproduces the exact cluster assignment (oracle_docops.py).
+    """
+    from graphrag_litex_spark.operators.similarity import (
+        _query_lit,
+        cosine_col,
+        ivf_centroids,
+    )
+    from pyspark.sql import Window
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_clusters, id_col, vec_col)
+    )
+    if not cents:  # empty corpus
+        return embeddings.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0).alias("cluster_id"),
+            F.lit(0.0).alias("cent_cos"),
+            F.lit(None).cast("double").alias("max_dup_cos"),
+            F.lit(True).alias("kept"),
+        ).limit(0)
+
+    # argmax-cosine centroid + the winning score in one codegen expression
+    # (array_max over struct<score,cid>: best score, ties to larger cid).
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_col(F.col(vec_col).cast("array<double>"), _query_lit(c)).alias("s"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(cents)
+        ]
+    )
+    best = F.array_max(scored)
+    base = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        best["cid"].alias("cluster_id"),
+        best["s"].alias("_cent_cos"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.col("_cent_cos").asc(), F.col("doc_id").asc())
+    )
+    ranked = base.withColumn("_rn", rn)
+    a = ranked.select(
+        F.col("cluster_id"), F.col("_rn").alias("_rn_a"), F.col("_vec").alias("_vec_a")
+    )
+    b = ranked.select(
+        F.col("cluster_id"),
+        F.col("doc_id"),
+        F.col("_rn").alias("_rn_b"),
+        F.col("_vec").alias("_vec_b"),
+    )
+    dup_max = (
+        b.join(a, "cluster_id")
+        .where(F.col("_rn_a") < F.col("_rn_b"))
+        .groupBy("doc_id")
+        .agg(F.max(cosine_col(F.col("_vec_a"), F.col("_vec_b"))).alias("_max_dup"))
+    )
+    return (
+        ranked.join(dup_max, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.round("_cent_cos", 6).alias("cent_cos"),
+            F.round("_max_dup", 6).alias("max_dup_cos"),
+            (F.col("_max_dup").isNull() | (F.col("_max_dup") < F.lit(threshold))).alias("kept"),
+        )
+    )

@@ -265,3 +265,109 @@ def trigram_logprob(
             F.round(F.avg(lp), 6).alias("mean_logprob"),
         )
     )
+
+
+# ---- fastText-style hashed-ngram quality classifier (inference) ----------
+#
+# The model-based quality filter every modern curation pipeline runs after
+# the heuristic gates (fastText langid/quality in CCNet, the Wikipedia-ref
+# classifier in GPT-3/LLaMA): a LINEAR model over hashed bag-of-ngram
+# features. This is the INFERENCE operator — weights arrive as data (one
+# row per hash bucket), exactly how a model trained offline (fastText,
+# sklearn, torch) ships to the cluster. Weights are INTEGER-QUANTIZED
+# (standard int8/int16 deployment practice), which also makes the score an
+# exact integer ratio — one exactly-rounded division, engine- and
+# partitioning-deterministic like trigram_novelty above.
+#
+# Plan shape / 100 TB scale: featurization is pure codegen (normalize →
+# split → zip_with bigrams → explode); the model join is a BROADCAST by
+# construction — the weight table is bounded by n_buckets (2^18 default,
+# ~MBs) no matter how large the corpus — and the per-doc agg is one hash
+# shuffle on doc_id. Zero Python anywhere.
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+) -> DataFrame:
+    """-> (doc_id, bucket, n): hashed token-unigram (+bigram) counts.
+
+    Tokens = the shared cross-engine normalization (lower/punct-fold)
+    split on spaces; bigrams are built array-side with ``zip_with`` over
+    two slices (no posexplode/window pass); bucket =
+    ``pmod(xxhash64(feature), n_buckets)`` — reproducible bit-for-bit by
+    the pure-Python XXH64 and by any offline trainer that hashes the same
+    way (fastText's own hashing trick, different hash function).
+    """
+    toks = F.split(norm_text_col(text_col), " ")
+    feats = toks
+    if bigrams:
+        n = F.size(toks)
+        bi = F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        feats = F.concat(toks, bi)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(feats).alias("feature"))
+        .groupBy("doc_id", F.pmod(F.xxhash64("feature"), F.lit(n_buckets)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hash_weights(spark, n_buckets: int = 1 << 18, scale: int = 1000):
+    """Deterministic stand-in weight table (bucket, weight) — integer
+    weights in [-scale, scale] derived from xxhash64(bucket), the slot a
+    real trained+quantized model drops into (same schema, zero code
+    changes). Bounded by n_buckets ⇒ always broadcastable."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (F.pmod(F.xxhash64("id"), F.lit(2 * scale + 1)) - scale).alias("weight"),
+    )
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    bigrams: bool = True,
+    bias: int = 0,
+    cutoff: float = 0.0,
+) -> DataFrame:
+    """Linear-model document scoring -> (doc_id, n_feats, logit_sum, logit, keep).
+
+    ``logit_sum`` = bias + Σ count(feature)·weight(bucket(feature)) (exact
+    integer); ``logit`` = logit_sum / n_feats rounded to 6 places (the
+    mean-pooled linear score, fastText's hidden layer with 1-d bucket
+    embeddings); ``keep`` = logit >= cutoff. Apply sigmoid downstream if a
+    probability is needed — it is monotone, so the KEEP decision is
+    identical, and keeping exp() out keeps the contract engine-exact.
+
+    Missing buckets (feature hashed to a bucket absent from the weight
+    table) contribute 0 — a sparse quantized model can ship only its
+    non-zero rows.
+    """
+    feats = hashed_ngram_features(docs, id_col, text_col, n_buckets, bigrams)
+    joined = feats.join(F.broadcast(weights), "bucket", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            (
+                F.lit(bias) + F.sum(F.col("n") * F.coalesce("weight", F.lit(0)))
+            ).alias("logit_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logit_sum",
+            F.round(F.col("logit_sum") / F.col("n_feats"), 6).alias("logit"),
+            (F.col("logit_sum") / F.col("n_feats") >= F.lit(cutoff)).alias("keep"),
+        )
+    )

@@ -303,6 +303,108 @@ def ann_ivf_topk_golden(
     )
 
 
+def semantic_dedup_golden(
+    vec_ids: list,
+    vecs: list,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+) -> pa.Table:
+    """Sequential replica of operators/dedup.semantic_dedup: IVF seeds =
+    smallest (xxhash64(long id), id); assignment = argmax cosine (ties to
+    larger cid, array_max struct compare); in-cluster rank ascending by
+    (cosine-to-centroid, id); a doc's max_dup_cos = max cosine to any
+    earlier-ranked cluster-mate; kept iff that max is absent or below the
+    threshold (raw-double compare, rounding only at output)."""
+    order = sorted(zip(vec_ids, vecs), key=lambda r: (xxhash64_long(int(r[0])), r[0]))
+    cents = [[float(x) for x in v] for _, v in order[:n_clusters]]
+    by_cluster: dict[int, list] = {}
+    for vid, v in zip(vec_ids, vecs):
+        vd = [float(x) for x in v]
+        cid = max(range(len(cents)), key=lambda c: (_cosine_fold(vd, cents[c]), c))
+        by_cluster.setdefault(cid, []).append((vid, _cosine_fold(vd, cents[cid]), vd))
+    rows = []
+    for cid, members in by_cluster.items():
+        members.sort(key=lambda m: (m[1], m[0]))
+        for i, (vid, cent_cos, vd) in enumerate(members):
+            max_dup = None
+            for j in range(i):
+                c = _cosine_fold(members[j][2], vd)
+                if max_dup is None or c > max_dup:
+                    max_dup = c
+            rows.append(
+                (
+                    vid,
+                    cid,
+                    round_half_up(cent_cos, 6),
+                    None if max_dup is None else round_half_up(max_dup, 6),
+                    max_dup is None or max_dup < threshold,
+                )
+            )
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int32()),
+            "cent_cos": pa.array([r[2] for r in rows], pa.float64()),
+            "max_dup_cos": pa.array([r[3] for r in rows], pa.float64()),
+            "kept": pa.array([r[4] for r in rows], pa.bool_()),
+        }
+    )
+
+
+# ---- hashed-ngram quality classifier (text_analysis.quality_classifier_scores) ----
+
+
+def quality_classifier_golden(
+    doc_ids: list,
+    texts: list,
+    n_buckets: int = 4096,
+    scale: int = 1000,
+    bias: int = 0,
+    cutoff: float = 0.0,
+) -> pa.Table:
+    """Sequential replica of the fastText-style inference plan: normalized
+    unigram+bigram features, bucket = pmod(xxhash64(feature), n_buckets)
+    (Python % IS pmod for positive modulus), weight = the deterministic
+    stand-in table's pmod(xxhash64(long bucket), 2*scale+1) - scale;
+    logit = exactly-rounded integer ratio; keep compares the raw double."""
+    wmemo: dict[int, int] = {}
+
+    def weight(bucket: int) -> int:
+        w = wmemo.get(bucket)
+        if w is None:
+            w = wmemo[bucket] = xxhash64_long(bucket) % (2 * scale + 1) - scale
+        return w
+
+    rows = []
+    for d, t in zip(doc_ids, texts):
+        toks = norm_text(t).split(" ")  # norm=='' -> [''] like F.split
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        logit_sum = bias
+        for f in feats:
+            logit_sum += weight(xxhash64_str(f) % n_buckets)
+        n_feats = len(feats)
+        rows.append(
+            (
+                d,
+                n_feats,
+                logit_sum,
+                round_half_up(logit_sum / n_feats, 6),
+                logit_sum / n_feats >= cutoff,
+            )
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "n_feats": pa.array([r[1] for r in rows], pa.int64()),
+            "logit_sum": pa.array([r[2] for r in rows], pa.int64()),
+            "logit": pa.array([r[3] for r in rows], pa.float64()),
+            "keep": pa.array([r[4] for r in rows], pa.bool_()),
+        }
+    )
+
+
 # ---- VectorRAG baseline top-k (jobs/vector_rag_baseline.py) ----
 
 
@@ -375,7 +477,7 @@ def keeper_map_golden(doc_ids: list, pair_table: pa.Table) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 7  # v7: raw winnow fp table for decontamination
+DOCOPS_VERSION = 9  # v9: + hashed-ngram quality classifier golden
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -394,6 +496,8 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_winnow": os.path.join(out_dir, "golden_winnow.parquet"),
         "golden_winnow_fps": os.path.join(out_dir, "golden_winnow_fps.parquet"),
         "golden_keeper_map": os.path.join(out_dir, "golden_keeper_map.parquet"),
+        "golden_semantic_dedup": os.path.join(out_dir, "golden_semantic_dedup.parquet"),
+        "golden_quality_classifier": os.path.join(out_dir, "golden_quality_classifier.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -420,6 +524,10 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         paths["golden_vector_rag"],
     )
     pq.write_table(winnow_golden(doc_ids, texts), paths["golden_winnow"])
+    pq.write_table(
+        quality_classifier_golden(doc_ids, texts, n_buckets=4096),
+        paths["golden_quality_classifier"],
+    )
     pq.write_table(winnow_fps_golden(doc_ids, texts), paths["golden_winnow_fps"])
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
@@ -440,6 +548,10 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     pq.write_table(
         ann_ivf_topk_golden(rest_ids, rest_vecs, list(qvec), k=10, n_centroids=8, nprobe=2),
         paths["golden_ann_ivf_topk"],
+    )
+    pq.write_table(
+        semantic_dedup_golden(vids, vecs, n_clusters=8, threshold=0.3),
+        paths["golden_semantic_dedup"],
     )
     with open(manifest, "w") as f:
         json.dump(want, f)

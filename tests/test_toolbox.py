@@ -392,3 +392,114 @@ def test_duplicate_keeper_map_components(spark):
         10: (9, False),
         33: (9, False),
     }
+
+
+def test_semantic_dedup_golden_matches_spark(rand_vecs):
+    """Differential: pure-Python SemDeDup golden == the distributed plan
+    (cluster assignment, in-cluster ranks, pairwise maxima, verdicts)."""
+    from graphrag_litex_spark.operators.dedup import semantic_dedup
+    from graphrag_litex_spark.oracle_docops import semantic_dedup_golden
+
+    rows, df = rand_vecs
+    got = semantic_dedup(df, n_clusters=4, threshold=0.5).orderBy("doc_id").collect()
+    gold = semantic_dedup_golden(
+        [r[0] for r in rows], [r[1] for r in rows], n_clusters=4, threshold=0.5
+    )
+    assert [
+        (r["doc_id"], r["cluster_id"], r["cent_cos"], r["max_dup_cos"], r["kept"])
+        for r in got
+    ] == list(zip(*[gold.column(c).to_pylist() for c in gold.column_names]))
+    # Survival rule sanity: every non-kept doc has a recorded near-dup.
+    for r in got:
+        if not r["kept"]:
+            assert r["max_dup_cos"] is not None and r["max_dup_cos"] >= 0.5
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """Two exact duplicates in one cluster: the one ranked EARLIER
+    (lower cosine-to-centroid, ties by id) survives — i.e. with identical
+    vectors the smaller id is kept and the larger id is dropped."""
+    from graphrag_litex_spark.operators.dedup import semantic_dedup
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, v), (2, v), (3, w)], columns=["vec_id", "embedding"]
+        )
+    )
+    out = {r["doc_id"]: r for r in semantic_dedup(df, n_clusters=2, threshold=0.99).collect()}
+    dup_pair = [out[1], out[2]]
+    assert sum(1 for r in dup_pair if r["kept"]) == 1
+    kept_id = next(r["doc_id"] for r in dup_pair if r["kept"])
+    assert kept_id == min(1, 2)
+    assert out[3]["kept"]
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    from graphrag_litex_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(df).count() == 0
+
+
+def test_quality_classifier_golden_matches_spark(docs):
+    """Differential: pure-Python fastText-style inference == the broadcast
+    model join plan, value-for-value."""
+    from graphrag_litex_spark.operators.text_analysis import (
+        hash_weights,
+        quality_classifier_scores,
+    )
+    from graphrag_litex_spark.oracle_docops import quality_classifier_golden
+
+    spark = docs.sparkSession
+    w = hash_weights(spark, 512)
+    got = quality_classifier_scores(docs, w, n_buckets=512).orderBy("doc_id").collect()
+    rows = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    gold = quality_classifier_golden(
+        [r["doc_id"] for r in rows], [r["text"] for r in rows], n_buckets=512
+    )
+    assert [
+        (r["doc_id"], r["n_feats"], r["logit_sum"], r["logit"], r["keep"]) for r in got
+    ] == list(zip(*[gold.column(c).to_pylist() for c in gold.column_names]))
+
+
+def test_quality_classifier_sparse_model(docs):
+    """Zero-weight rows can be dropped from the model table (sparse
+    deployment): missing buckets contribute 0, scores are unchanged."""
+    from graphrag_litex_spark.operators.text_analysis import (
+        hash_weights,
+        quality_classifier_scores,
+    )
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    w = hash_weights(spark, 512)
+    dense = quality_classifier_scores(docs, w, n_buckets=512).orderBy("doc_id").collect()
+    sparse = (
+        quality_classifier_scores(docs, w.where(F.col("weight") != 0), n_buckets=512)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in dense] == [tuple(r) for r in sparse]
+
+
+def test_quality_classifier_bigram_features(spark):
+    """Feature count = 2*tokens - 1 (unigrams + bigrams); single-token and
+    empty docs degrade to 1 feature, never error."""
+    from graphrag_litex_spark.operators.text_analysis import hashed_ngram_features
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "alpha beta gamma"), (2, "solo"), (3, "")], columns=["doc_id", "text"]
+        )
+    )
+    n = {
+        r["doc_id"]: r["n"]
+        for r in hashed_ngram_features(df, n_buckets=1 << 18)
+        .groupBy("doc_id")
+        .sum("n")
+        .withColumnRenamed("sum(n)", "n")
+        .collect()
+    }
+    assert n == {1: 5, 2: 1, 3: 1}

@@ -251,6 +251,42 @@ def main() -> int:
         )
     )
 
+    # SemDeDup: centroid assignment must be a pure projection (literal
+    # centroids, no join); the within-cluster pairwise check is an
+    # EQUI-join on cluster_id — never a cartesian — and nothing runs in
+    # Python.
+    from graphrag_litex_spark.operators.dedup import semantic_dedup
+
+    p = plan_of(semantic_dedup(e, n_clusters=4, threshold=0.5))
+    assert "CartesianProduct" not in p and "ArrowEvalPython" not in p
+    assert "cluster_id" in p, "pairwise stage must join on cluster_id"
+    sections.append(
+        (
+            "Semantic dedup (SemDeDup)",
+            "codegen'd centroid assignment; window rank + self-equi-join confined to cluster_id",
+            p,
+        )
+    )
+
+    # Quality classifier: the model join must BROADCAST (weight table is
+    # bounded by n_buckets at any corpus size); featurization and scoring
+    # never touch Python.
+    from graphrag_litex_spark.operators.text_analysis import (
+        hash_weights,
+        quality_classifier_scores,
+    )
+
+    p = plan_of(quality_classifier_scores(d, hash_weights(spark, 4096), n_buckets=4096))
+    assert "BroadcastHashJoin" in p, "model join must broadcast"
+    assert "CartesianProduct" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "Quality classifier (hashed-ngram linear model)",
+            "codegen featurization; bounded model table broadcast; one per-doc agg",
+            p,
+        )
+    )
+
     # Triangle counting: degree-ordered wedge join — pure hash joins, no
     # cartesian, no Python, and the wedge enumeration never ships text.
     from graphrag_litex_spark.operators.graph_analytics import (
