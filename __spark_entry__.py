@@ -563,6 +563,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (ts_micros("ts") - ts_micros("ts_r")).alias("lag_us"),
         )
 
+    def interval_join_clicks(spark, sf_dir):
+        """Range join via time-granule equi-join (no nested-loop product):
+        every click inside the 30-minute window after a same-user purchase.
+        Oracle: DuckDB's native range-predicate join."""
+        from graphrag_litex_spark.operators.temporal import interval_join, ts_micros
+
+        ev = spark.read.parquet(_t(sf_dir, "events"))
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        purch = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+        j = interval_join(clicks, purch, on="user_id", bucket_minutes=30.0)
+        return j.select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            (ts_micros("ts") - ts_micros("start")).alias("delta_us"),
+        ).orderBy("click_id", "purchase_id")
+
     def event_sessions(spark, sf_dir):
         """Gap-based sessionization (6h gap) -> per-session stats. The
         money sums run in decimal so both engines are bit-exact; cents as
@@ -822,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_features,
         windowed_activity,
         asof_purchase_click,
+        interval_join_clicks,
         event_sessions,
         pii_scrub,
         boilerplate_segments,
@@ -1289,6 +1314,22 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "interval_join_clicks": """
+            WITH c AS (
+                SELECT event_id AS click_id, user_id, ts
+                FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT event_id AS purchase_id, user_id, ts AS start_ts
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.click_id, c.user_id, p.purchase_id,
+                   epoch_us(c.ts) - epoch_us(p.start_ts) AS delta_us
+            FROM c JOIN p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.start_ts
+             AND c.ts < p.start_ts + INTERVAL 30 MINUTE
+            ORDER BY click_id, purchase_id
         """,
         "event_sessions": """
             WITH o AS (

@@ -260,3 +260,99 @@ def session_stats(
     if value_col:
         aggs.append(F.round(F.sum(value_col), 6).alias("total_value"))
     return s.groupBy(key_col, "session_idx").agg(*aggs)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | None = None,
+    point_ts: str = "ts",
+    start_ts: str = "start",
+    end_ts: str = "end",
+    bucket_minutes: float = 60.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval-containment) join: each ``points`` row matched to
+    every ``intervals`` row with ``start <= ts < end`` (and, when ``on`` is
+    given, the same equi key) — the canonical Spark scale trap done right.
+
+    The naive predicate join compiles to BroadcastNestedLoopJoin (or a
+    per-key range PRODUCT filtered after the fact): O(|points| x
+    |intervals|) comparisons, dead at 100 TB. This operator instead
+    time-buckets both sides and joins on the bucket: a point lives in
+    exactly ONE ``bucket_minutes`` granule, an interval is EXPLODED to the
+    granules it overlaps (``F.sequence`` — JVM-side, no Python), so the
+    equi-join on (key?, bucket) touches only temporally-plausible pairs and
+    each true pair is produced exactly once (the point's single granule).
+    Cost: one hash shuffle per side + interval fan-out of
+    ceil(span/bucket) rows — pick ``bucket_minutes`` near the MEDIAN
+    interval span so fan-out stays O(1) per interval (the knob is the skew
+    valve; a pathological months-long interval fans out linearly and is the
+    signal to raise the bucket). This is the same granule trick Spark's own
+    range-join hints (Databricks) and Flink interval joins use internally.
+
+    ``how="left"`` keeps unmatched points with null interval payload.
+    Timestamps compare half-open [start, end) — DuckDB-parity:
+    ``p.ts >= i.start AND p.ts < i.end``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    bucket_us = int(bucket_minutes * 60_000_000)
+    p_us = ts_micros(F.col(point_ts))
+    s_us = ts_micros(F.col(start_ts))
+    e_us = ts_micros(F.col(end_ts))
+
+    p = points.withColumn("_bucket", F.floor(p_us / F.lit(bucket_us)))
+    # end is exclusive: a zero-length or bucket-aligned end never spills
+    # into the next granule ((end_us - 1) // bucket); empty intervals
+    # (end <= start) produce no granules and thus no matches.
+    iv = (
+        intervals.withColumn(
+            "_buckets",
+            F.when(
+                e_us > s_us,
+                F.sequence(
+                    F.floor(s_us / F.lit(bucket_us)),
+                    F.floor((e_us - F.lit(1)) / F.lit(bucket_us)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+        .withColumn("_bucket", F.explode("_buckets"))
+        .drop("_buckets")
+    )
+    keys = ["_bucket"] + ([on] if on else [])
+    joined = p.join(iv, keys, how)
+    # coalesce: a left-join row with NO bucket match has null interval
+    # timestamps — that row must read as "no hit", not null.
+    contain = F.coalesce(
+        (F.col(point_ts).cast("timestamp") >= F.col(start_ts).cast("timestamp"))
+        & (F.col(point_ts).cast("timestamp") < F.col(end_ts).cast("timestamp")),
+        F.lit(False),
+    )
+    if how == "inner":
+        return joined.where(contain).drop("_bucket")
+    # left: null out non-containing matches, keep exactly one row for
+    # points with no true match (dedupe the bucket-only hits).
+    iv_payload = [c for c in intervals.columns if c != on]
+    nulled = joined.select(
+        *[c for c in points.columns],
+        *[
+            F.when(contain, F.col(c)).alias(c)
+            for c in iv_payload
+        ],
+        contain.alias("_hit"),
+    )
+    pk = [c for c in points.columns]
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*pk)
+    return (
+        nulled.withColumn("_any", F.max(F.col("_hit").cast("int")).over(w))
+        .where(F.col("_hit") | (F.col("_any") == 0))
+        .withColumn(
+            "_rn",
+            F.row_number().over(w.orderBy(F.col("_hit").desc(), *[F.col(c) for c in iv_payload])),
+        )
+        .where(F.col("_hit") | (F.col("_rn") == 1))
+        .drop("_hit", "_any", "_rn")
+    )

@@ -225,3 +225,98 @@ def test_asof_bucketed_splits_hot_key(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"hashpartitioning\(__k#\d+, __b#\d+", plan)
+
+
+# ---- interval (range) join ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def iv_frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10)),      # inside iv A
+            (2, "u1", _ts(20)),      # == iv A end (half-open -> A excluded; B matches)
+            (3, "u1", _ts(15)),      # inside A and B (overlap -> 2 rows)
+            (4, "u2", _ts(10)),      # same time, other key -> iv C only
+            (5, "u3", _ts(10)),      # no intervals for u3
+            (6, "u1", _ts(5)),       # == iv A start (closed -> match)
+        ],
+        "pid int, k string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("A", "u1", _ts(5), _ts(20)),
+            ("B", "u1", _ts(12), _ts(40)),
+            ("C", "u2", _ts(0), _ts(11)),
+            ("D", "u1", _ts(30), _ts(30)),  # empty (end == start) -> never matches
+        ],
+        "iid string, k string, start timestamp, end timestamp",
+    )
+    return points, intervals
+
+
+def _pairs(df):
+    return sorted((r["pid"], r["iid"]) for r in df.collect())
+
+
+def test_interval_join_containment(iv_frames):
+    from graphrag_litex_spark.operators.temporal import interval_join
+
+    points, intervals = iv_frames
+    got = interval_join(points, intervals, on="k", bucket_minutes=7.0)
+    assert _pairs(got) == [(1, "A"), (2, "B"), (3, "A"), (3, "B"), (4, "C"), (6, "A")]
+
+
+def test_interval_join_bucket_size_invariance(iv_frames):
+    """The granule width is a cost knob, never a semantics knob."""
+    from graphrag_litex_spark.operators.temporal import interval_join
+
+    points, intervals = iv_frames
+    expect = _pairs(interval_join(points, intervals, on="k", bucket_minutes=7.0))
+    for m in (0.5, 1, 13, 60, 24 * 60):
+        assert _pairs(interval_join(points, intervals, on="k", bucket_minutes=m)) == expect
+
+
+def test_interval_join_left(iv_frames):
+    from graphrag_litex_spark.operators.temporal import interval_join
+
+    points, intervals = iv_frames
+    got = interval_join(points, intervals, on="k", bucket_minutes=7.0, how="left")
+    rows = sorted((r["pid"], r["iid"]) for r in got.collect())
+    # every point appears; unmatched ones exactly once with null interval
+    assert rows == [
+        (1, "A"),
+        (2, "B"),
+        (3, "A"),
+        (3, "B"),
+        (4, "C"),
+        (5, None),
+        (6, "A"),
+    ]
+
+
+def test_interval_join_no_key(spark):
+    """on=None: pure containment against a global interval set."""
+    from graphrag_litex_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame([(1, _ts(10)), (2, _ts(50))], "pid int, ts timestamp")
+    intervals = spark.createDataFrame(
+        [("A", _ts(0), _ts(30))], "iid string, start timestamp, end timestamp"
+    )
+    got = interval_join(points, intervals, bucket_minutes=60.0)
+    assert sorted((r["pid"], r["iid"]) for r in got.collect()) == [(1, "A")]
+
+
+def test_interval_join_no_nested_loop(iv_frames):
+    """The whole point: the plan must be a hash equi-join on the granule,
+    never BroadcastNestedLoopJoin / CartesianProduct."""
+    from graphrag_litex_spark.operators.temporal import interval_join
+
+    points, intervals = iv_frames
+    plan = (
+        interval_join(points, intervals, on="k", bucket_minutes=7.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

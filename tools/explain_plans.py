@@ -185,6 +185,29 @@ def main() -> int:
         )
     )
 
+    # Interval (range) join: the granule trick must compile to a hash
+    # equi-join on (bucket, key) — the naive range predicate would be a
+    # BroadcastNestedLoopJoin, dead at scale.
+    from graphrag_litex_spark.operators.temporal import interval_join
+
+    iv = purch.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    pts = clicks.select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    p = plan_of(interval_join(pts, iv, on="user_id", bucket_minutes=30.0))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "_bucket" in p, "join key must include the time granule"
+    sections.append(
+        (
+            "Interval join (time-granule equi-join)",
+            "intervals exploded to granules JVM-side; hash join on (granule, key); exact filter after",
+            p,
+        )
+    )
+
     # PII scrub: pure projection — zero exchanges, pruned read schema.
     from graphrag_litex_spark.operators.scrub import pii_scrub
 
