@@ -9,11 +9,15 @@ analog — the reference stops at KG construction).
              -> [optional] benchmark decontamination (drop docs whose
                 winnow fingerprints leak a held-out eval corpus)
              -> language-ID + quality annotation (one column pass)
+             -> [optional] model-based quality gate (hashed-ngram linear
+                classifier, fastText-style; trained weights via parquet)
              -> filter (lang / quality / token-count bounds
                 [+ Gopher top-word repetition gate])
              -> exact dedup (normalized-text hash, keep min doc_id)
              -> near dedup (MinHash+LSH banded candidates -> exact-Jaccard
                 verify -> connected components -> keeper map)
+             -> [optional] semantic dedup (SemDeDup: IVF-cluster embeddings,
+                prune within-cluster cosine near-dups lexical dedup misses)
              -> curated parquet + JSON report (per-stage counts + token
                 accounting, the numbers a data lead actually asks for)
 
@@ -66,6 +70,13 @@ def curate(
     source_col: str = "source",
     max_trigram_novelty: float | None = None,
     trigram_rare_threshold: int = 10,
+    min_model_logit: float | None = None,
+    model_weights=None,
+    model_buckets: int = 1 << 18,
+    semantic_dedup_threshold: float | None = None,
+    semantic_clusters: int = 64,
+    embedding_col: str | None = None,
+    embed_dim: int = 64,
     sample_rate: float | None = None,
     holdout=None,
     max_contamination: float = 0.2,
@@ -156,6 +167,28 @@ def curate(
             leaked = _materialize(leaked, os.path.join(stage_dir, "leaked"))
         scrub_report["contaminated_removed"] = leaked.count()
         ann = ann.join(leaked, id_col, "left_anti")
+    if min_model_logit is not None:
+        # Model-based quality gate (the fastText/classifier stage CCNet and
+        # GPT-3-style pipelines run after the heuristics): linear inference
+        # over hashed ngrams, model table broadcast by construction. A
+        # trained+quantized model arrives via ``model_weights``; default is
+        # the deterministic stand-in.
+        from graphrag_litex_spark.operators.text_analysis import (
+            hash_weights,
+            quality_classifier_scores,
+        )
+
+        w = model_weights if model_weights is not None else hash_weights(
+            spark, model_buckets
+        )
+        qc = quality_classifier_scores(
+            docs, w, id_col, text_col, n_buckets=model_buckets
+        )
+        bad_model = qc.where(F.col("logit") < min_model_logit).select(
+            F.col("doc_id").alias(id_col)
+        )
+        scrub_report["model_filtered"] = bad_model.count()
+        ann = ann.join(bad_model, id_col, "left_anti")
     if max_top_word_frac is not None:
         # Gopher-style repetition gate: drop docs dominated by one word.
         reps = repetition_stats(docs, id_col, text_col)
@@ -231,6 +264,42 @@ def curate(
             kmap.where("is_keeper").select(F.col("doc_id").alias(id_col)), id_col
         )
         report["jaccard_threshold"] = jaccard_threshold
+    if semantic_dedup_threshold is not None:
+        # SemDeDup pass AFTER the lexical dedups (it targets what they
+        # can't see: paraphrases/translations with disjoint surface forms).
+        # ``embedding_col`` uses precomputed embeddings when the corpus
+        # carries them (the realistic 100 TB path — embed once, reuse);
+        # otherwise the pluggable C7 embed UDF runs here.
+        from graphrag_litex_spark.operators.dedup import semantic_dedup as _semdedup
+
+        if embedding_col is not None:
+            emb = curated.select(id_col, F.col(embedding_col).alias("_emb"))
+        else:
+            from graphrag_litex_spark.querying.answer import make_embed_udf
+
+            emb = curated.select(
+                id_col, make_embed_udf(embed_dim)(F.col(text_col)).alias("_emb")
+            )
+        n_before_sem = curated.count()
+        # Pin the near-dedup accounting BEFORE semantic removals so the
+        # end-of-function fallback can't attribute them to LSH dedup.
+        report.setdefault(
+            "near_dups_removed", (n_exact - n_before_sem) if near_dedup else 0
+        )
+        sd = _semdedup(
+            emb,
+            id_col=id_col,
+            vec_col="_emb",
+            n_clusters=semantic_clusters,
+            threshold=semantic_dedup_threshold,
+        )
+        curated = curated.join(
+            sd.where("kept").select(F.col("doc_id").alias(id_col)), id_col
+        )
+        if stage_dir:
+            curated = _materialize(curated, os.path.join(stage_dir, "semantic"))
+        report["semantic_dups_removed"] = n_before_sem - curated.count()
+        report["semantic_dedup_threshold"] = semantic_dedup_threshold
     if sample_rate is not None and sample_rate < 1.0:
         # Final deterministic downsample AFTER dedup (sampling duplicates
         # would waste the kept budget). md5-threshold membership is
@@ -239,7 +308,9 @@ def curate(
         from graphrag_litex_spark.operators.sampling import deterministic_sample
 
         n_dedup = curated.count()
-        report["near_dups_removed"] = (n_exact - n_dedup) if near_dedup else 0
+        report.setdefault(
+            "near_dups_removed", (n_exact - n_dedup) if near_dedup else 0
+        )
         curated = deterministic_sample(curated, sample_rate, id_col=id_col)
         report["sample_rate"] = sample_rate
     if out_path:
@@ -309,6 +380,37 @@ def main(argv: list[str] | None = None) -> int:
         default=10,
         help="corpus count below which a trigram counts as rare",
     )
+    p.add_argument(
+        "--min-model-logit",
+        type=float,
+        default=None,
+        help="drop docs scoring below this under the hashed-ngram linear "
+        "quality model (fastText-style classifier gate)",
+    )
+    p.add_argument(
+        "--model-weights",
+        default=None,
+        metavar="PATH",
+        help="parquet (bucket, weight) table of a trained quantized model; "
+        "default is the deterministic stand-in weights",
+    )
+    p.add_argument("--model-buckets", type=int, default=1 << 18)
+    p.add_argument(
+        "--semantic-dedup",
+        type=float,
+        default=None,
+        metavar="COSINE",
+        help="SemDeDup pass after lexical dedup: drop docs >= COSINE "
+        "similar to an earlier-ranked cluster-mate",
+    )
+    p.add_argument("--semantic-clusters", type=int, default=64)
+    p.add_argument(
+        "--embedding-col",
+        default=None,
+        help="column of precomputed embeddings for --semantic-dedup "
+        "(default: embed with the pluggable hash embedder)",
+    )
+    p.add_argument("--embed-dim", type=int, default=64)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     args = p.parse_args(argv)
@@ -343,6 +445,15 @@ def main(argv: list[str] | None = None) -> int:
         source_col=args.source_col,
         max_trigram_novelty=args.max_trigram_novelty,
         trigram_rare_threshold=args.trigram_rare_threshold,
+        min_model_logit=args.min_model_logit,
+        model_weights=spark.read.parquet(args.model_weights)
+        if args.model_weights
+        else None,
+        model_buckets=args.model_buckets,
+        semantic_dedup_threshold=args.semantic_dedup,
+        semantic_clusters=args.semantic_clusters,
+        embedding_col=args.embedding_col,
+        embed_dim=args.embed_dim,
         sample_rate=args.sample_rate,
         holdout=spark.read.parquet(args.holdout) if args.holdout else None,
         max_contamination=args.max_contamination,

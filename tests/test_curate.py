@@ -176,3 +176,61 @@ def test_curate_source_and_novelty_gates(spark):
     assert kept == ["1", "2"]
     assert report["low_reputation_sources"] == 1
     assert report["novelty_removed"] == 1
+
+
+def test_curate_model_quality_gate(spark, raw_docs):
+    """The fastText-style classifier gate: with an adversarial weight table
+    that assigns every bucket -1, every doc scores logit -1 and a cutoff of
+    0 removes them all; with +1 weights nothing is removed — and the report
+    carries the per-stage count."""
+    from pyspark.sql import functions as F
+
+    from jobs.curate import curate
+
+    all_neg = spark.range(1 << 10).select(
+        F.col("id").alias("bucket"), F.lit(-1).cast("long").alias("weight")
+    )
+    curated, report = curate(
+        spark,
+        raw_docs,
+        min_model_logit=0.0,
+        model_weights=all_neg,
+        model_buckets=1 << 10,
+        near_dedup=False,
+    )
+    assert curated.count() == 0 and report["model_filtered"] == 6
+
+    all_pos = all_neg.withColumn("weight", F.lit(1).cast("long"))
+    curated, report = curate(
+        spark,
+        raw_docs,
+        min_model_logit=0.0,
+        model_weights=all_pos,
+        model_buckets=1 << 10,
+        near_dedup=False,
+    )
+    assert report["model_filtered"] == 0 and curated.count() > 0
+
+
+def test_curate_semantic_dedup_catches_paraphrases(spark):
+    """Two docs with DISJOINT surface forms (lexical dedup can't see them)
+    but identical precomputed embeddings: the SemDeDup stage removes one,
+    and near_dups_removed stays 0 (the accounting is not conflated)."""
+    from jobs.curate import curate
+
+    rows = [
+        ("p1", "the cat sat on the mat in the little red house", [1.0, 0.0, 0.0, 0.0]),
+        ("p2", "ein kleines rotes haus mit einer katze auf der matte", [1.0, 0.0, 0.0, 0.0]),
+        ("q", "completely unrelated text about distributed query engines", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "emb"])
+    curated, report = curate(
+        spark,
+        docs,
+        semantic_dedup_threshold=0.99,
+        semantic_clusters=2,
+        embedding_col="emb",
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert len(kept) == 2 and "q" in kept and report["semantic_dups_removed"] == 1
+    assert report["near_dups_removed"] == 0
