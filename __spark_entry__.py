@@ -782,6 +782,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return ivf_topk(e.where(F.col("vec_id") != 0), list(qvec), k=10, n_centroids=8, nprobe=2)
 
+    def ann_pq_topk(spark, sf_dir):
+        """Product-quantization ANN: deterministic PQ codebooks, codegen'd
+        encode, asymmetric-distance (ADC) top-k over the codes table."""
+        from graphrag_litex_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        qvec = [float(x) for x in e.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        corpus = e.where(F.col("vec_id") != 0)
+        books = pq_codebooks(corpus, m=8, ksub=16)
+        return pq_adc_topk(pq_encode(corpus, books), qvec, books, k=10)
+
     def quality_classifier(spark, sf_dir):
         """fastText-style hashed-ngram linear quality model (inference):
         integer-quantized weights as a broadcast table, exact-ratio logit."""
@@ -843,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embedding_dup_pairs,
         semantic_dedup,
         quality_classifier,
+        ann_pq_topk,
         multimodal_features,
         windowed_activity,
         asof_purchase_click,
@@ -1551,6 +1567,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": f"""
             SELECT doc_id, n_feats, logit_sum, logit, keep
             FROM read_parquet('{docops["golden_quality_classifier"]}')
+        """,
+        "ann_pq_topk": f"""
+            SELECT vec_id, adist
+            FROM read_parquet('{docops["golden_ann_pq_topk"]}')
         """,
         "dedup_ngram_jaccard": f"""
             WITH d AS (

@@ -389,3 +389,224 @@ def knn_join_lsh(
         .where(F.col("rank") <= k)
         .select("left_id", "right_id", "cosine", "rank")
     )
+
+
+# ---- product quantization (IVF-PQ, the 100 TB vector-index standard) -----
+#
+# Full-precision embeddings at web scale dwarf the text that produced them
+# (1B x 1024-dim float32 = 4 TB); every serious ANN deployment (FAISS
+# IVF-PQ, SCaNN, Milvus) stores PQ CODES instead: the vector is split into
+# ``m`` subvectors, each quantized to one of ``ksub`` per-subspace
+# centroids, so a vector becomes m small ints (m=8, ksub=16 -> 8 nibbles =
+# 64x compression of a 64-dim float64 vector). Queries score codes with
+# ASYMMETRIC DISTANCE (ADC): the query stays full-precision, a per-subspace
+# lookup table of query->centroid distances is built ONCE on the driver
+# (m x ksub doubles), and each candidate's approximate L2 distance is m
+# table lookups — pure codegen, no floating-point vector math per row.
+#
+# Determinism stance (same as ivf_centroids): codebook seeds are the ksub
+# rows with the smallest (xxhash64(id), id) — the SAME seed rows provide
+# all m subspaces — so an independent sequential implementation reproduces
+# codebooks, codes, and ADC scores bit-for-bit (oracle_docops.py).
+
+
+def _subspaces(dim: int, m: int) -> list[tuple[int, int]]:
+    """(1-based slice start, length) of each of the m contiguous subspaces."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return [(j * d + 1, d) for j in range(m)]
+
+
+def _l2sq_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks -> ``codebooks[j][c]`` = centroid ``c`` of
+    subspace ``j``. Seeds are deterministic (one TakeOrderedAndProject
+    collect of ksub rows); optional Lloyd rounds refine ALL subspaces in a
+    single DataFrame pass each: encode (codegen) -> posexplode the vector
+    -> groupBy (subspace, assigned centroid, within-subspace position) avg
+    — one shuffle of at most m*ksub*dsub groups per round, corpus never
+    collected. Driver state is m*ksub*dsub doubles (KBs)."""
+    seeds = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id").asc())
+        .limit(ksub)
+        .collect()
+    )
+    if not seeds:
+        return []
+    dim = len(seeds[0]["_v"])
+    d = dim // m
+    books = [
+        [[float(x) for x in r["_v"][j * d : (j + 1) * d]] for r in seeds]
+        for j in range(m)
+    ]
+    for _ in range(lloyd_iters):
+        coded = pq_encode(embeddings, books, id_col=id_col, vec_col=vec_col)
+        joined = coded.join(
+            embeddings.select(F.col(id_col), F.col(vec_col)), id_col
+        )
+        means = (
+            joined.select(
+                F.col("code"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+            )
+            .select(
+                F.floor(F.col("pos") / d).cast("int").alias("sub"),
+                (F.col("pos") % d).alias("within"),
+                F.element_at("code", (F.floor(F.col("pos") / d) + 1).cast("int")).alias("cid"),
+                "x",
+            )
+            .groupBy("sub", "cid", "within")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["sub"], r["cid"]), {})[r["within"]] = r["mval"]
+        books = [
+            [
+                [got[(j, c)][w] for w in range(d)] if (j, c) in got else books[j][c]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """-> (id, code array<int>): per subspace, the argmin-L2 centroid
+    (ties to the larger centroid id, array_max struct compare). One
+    whole-stage-codegen projection — m*ksub literal-centroid distance
+    expressions, no join, no Python; at 100 TB this runs once at ingest
+    and the codes table (m small ints per vector) replaces the corpus."""
+    m = len(codebooks)
+    dim = m * len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    code = F.array(
+        *[
+            F.array_max(
+                F.array(
+                    *[
+                        F.struct(
+                            (-_l2sq_col(F.slice(v, start, length), _query_lit(cent))).alias("s"),
+                            F.lit(c).alias("cid"),
+                        )
+                        for c, cent in enumerate(codebooks[j])
+                    ]
+                )
+            )["cid"]
+            for j, (start, length) in enumerate(_subspaces(dim, m))
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col), *(keep_cols or []), code.alias("code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ codes table -> (id, adist):
+    the k rows with the smallest approximate L2 distance to the
+    full-precision query. The m x ksub distance table is driver-side
+    arithmetic; scoring is m ``element_at`` lookups summed left-to-right
+    (codegen), and orderBy+limit compiles to TakeOrderedAndProject — no
+    global sort, no vector math, no Python on the corpus."""
+    m = len(codebooks)
+    q = [float(x) for x in query_vec]
+    d = len(codebooks[0][0])
+
+    def _l2sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    table = [
+        [_l2sq(q[j * d : (j + 1) * d], cent) for cent in codebooks[j]]
+        for j in range(m)
+    ]
+    adist = F.lit(0.0).cast("double")
+    for j in range(m):
+        adist = adist + F.element_at(
+            F.array(*[F.lit(x) for x in table[j]]),
+            F.element_at("code", j + 1) + F.lit(1),
+        )
+    return (
+        codes.select(F.col(id_col), F.round(adist, 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The composed FAISS-style index: IVF coarse probe (partition pruning
+    at scale — the assigned corpus is written partitioned by ``_cid``) +
+    PQ/ADC scoring within the probed lists. Both stages reuse the
+    deterministic machinery above; at 100 TB the scan touches
+    ~nprobe/n_centroids of a codes table that is itself ~64x smaller than
+    the raw embeddings."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    books = pq_codebooks(embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    if not cents or not books:
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).cast("double").alias("adist")
+        ).limit(0)
+    q = [float(x) for x in query_vec]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for x in b:
+            nb = nb + x * x
+        den = na**0.5 * nb**0.5
+        if den == 0:
+            return 0.0
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s / den
+
+    probes = sorted(range(len(cents)), key=lambda c: (-_cos(cents[c], q), c))[:nprobe]
+    assigned = ivf_assign(embeddings, cents, vec_col=vec_col).where(
+        F.col("_cid").isin([int(c) for c in probes])
+    )
+    codes = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
+    return pq_adc_topk(codes, q, books, k=k, id_col=id_col)

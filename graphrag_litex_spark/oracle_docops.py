@@ -352,6 +352,54 @@ def semantic_dedup_golden(
     )
 
 
+def _l2sq_fold(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def ann_pq_topk_golden(
+    vec_ids: list,
+    vecs: list,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+) -> pa.Table:
+    """Sequential replica of the PQ path (similarity.pq_codebooks/
+    pq_encode/pq_adc_topk): codebook seeds = smallest (xxhash64(long id),
+    id) rows sliced into m subspaces; encode = per-subspace argmin L2
+    (ties to larger centroid id); ADC = left-to-right sum of m lookups in
+    the query's distance table; top-k by (rounded adist asc, id asc)."""
+    order = sorted(zip(vec_ids, vecs), key=lambda r: (xxhash64_long(int(r[0])), r[0]))
+    seeds = [[float(x) for x in v] for _, v in order[:ksub]]
+    dim = len(seeds[0])
+    d = dim // m
+    books = [[s[j * d : (j + 1) * d] for s in seeds] for j in range(m)]
+    q = [float(x) for x in query_vec]
+    table = [
+        [_l2sq_fold(q[j * d : (j + 1) * d], cent) for cent in books[j]] for j in range(m)
+    ]
+    scored = []
+    for vid, v in zip(vec_ids, vecs):
+        vd = [float(x) for x in v]
+        adist = 0.0
+        for j in range(m):
+            sub = vd[j * d : (j + 1) * d]
+            cid = max(range(ksub), key=lambda c: (-_l2sq_fold(sub, books[j][c]), c))
+            adist = adist + table[j][cid]
+        scored.append((vid, round_half_up(adist, 6)))
+    scored.sort(key=lambda r: (r[1], r[0]))
+    scored = scored[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in scored]),
+            "adist": pa.array([r[1] for r in scored], pa.float64()),
+        }
+    )
+
+
 # ---- hashed-ngram quality classifier (text_analysis.quality_classifier_scores) ----
 
 
@@ -477,7 +525,7 @@ def keeper_map_golden(doc_ids: list, pair_table: pa.Table) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 9  # v9: + hashed-ngram quality classifier golden
+DOCOPS_VERSION = 10  # v10: + PQ/ADC ANN golden
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -498,6 +546,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_keeper_map": os.path.join(out_dir, "golden_keeper_map.parquet"),
         "golden_semantic_dedup": os.path.join(out_dir, "golden_semantic_dedup.parquet"),
         "golden_quality_classifier": os.path.join(out_dir, "golden_quality_classifier.parquet"),
+        "golden_ann_pq_topk": os.path.join(out_dir, "golden_ann_pq_topk.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -552,6 +601,10 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     pq.write_table(
         semantic_dedup_golden(vids, vecs, n_clusters=8, threshold=0.3),
         paths["golden_semantic_dedup"],
+    )
+    pq.write_table(
+        ann_pq_topk_golden(rest_ids, rest_vecs, list(qvec), k=10, m=8, ksub=16),
+        paths["golden_ann_pq_topk"],
     )
     with open(manifest, "w") as f:
         json.dump(want, f)

@@ -503,3 +503,75 @@ def test_quality_classifier_bigram_features(spark):
         .collect()
     }
     assert n == {1: 5, 2: 1, 3: 1}
+
+
+def test_pq_golden_matches_spark(rand_vecs):
+    """Differential: pure-Python PQ/ADC golden == the distributed plan."""
+    from graphrag_litex_spark.oracle_docops import ann_pq_topk_golden
+
+    rows, df = rand_vecs
+    q = rows[0][1]
+    books = S.pq_codebooks(df, m=4, ksub=8)
+    got = S.pq_adc_topk(S.pq_encode(df, books), q, books, k=10).collect()
+    gold = ann_pq_topk_golden([r[0] for r in rows], [r[1] for r in rows], q, k=10, m=4, ksub=8)
+    assert [(r["vec_id"], r["adist"]) for r in got] == list(
+        zip(gold.column("vec_id").to_pylist(), gold.column("adist").to_pylist())
+    )
+
+
+def test_pq_adc_recall_vs_exact_l2(rand_vecs):
+    """ADC is an approximation of L2: with m=4 subspaces over 16 dims the
+    top-10 by ADC must recover a healthy share of the true L2 top-10
+    (deterministic corpus, fixed bound)."""
+    import numpy as np
+
+    rows, df = rand_vecs
+    q = np.array(rows[0][1])
+    true = sorted(rows, key=lambda r: (float(((np.array(r[1]) - q) ** 2).sum()), r[0]))
+    top10 = {r[0] for r in true[:10]}
+    books = S.pq_codebooks(df, m=4, ksub=16)
+    got = {r["vec_id"] for r in S.pq_adc_topk(S.pq_encode(df, books), list(q), books, k=10).collect()}
+    assert len(got & top10) >= 4
+
+
+def test_pq_lloyd_refinement_improves_distortion(rand_vecs):
+    """Lloyd rounds must not increase total quantization distortion
+    (k-means monotonicity), and refined codebooks still round-trip the
+    encode/ADC plan."""
+    import numpy as np
+
+    rows, df = rand_vecs
+
+    def distortion(books):
+        m, d = len(books), len(books[0][0])
+        tot = 0.0
+        for _, v in rows:
+            for j in range(m):
+                sub = np.array(v[j * d : (j + 1) * d])
+                tot += min(((sub - np.array(c)) ** 2).sum() for c in books[j])
+        return tot
+
+    raw = S.pq_codebooks(df, m=4, ksub=8)
+    ref = S.pq_codebooks(df, m=4, ksub=8, lloyd_iters=2)
+    assert distortion(ref) <= distortion(raw) + 1e-9
+    q = rows[0][1]
+    out = S.pq_adc_topk(S.pq_encode(df, ref), q, ref, k=5).collect()
+    assert len(out) == 5
+
+
+def test_ivf_pq_composed(rand_vecs):
+    """IVF probe + PQ scoring: probing every list equals the flat PQ path."""
+    rows, df = rand_vecs
+    q = rows[0][1]
+    books = S.pq_codebooks(df, m=4, ksub=8)
+    flat = S.pq_adc_topk(S.pq_encode(df, books), q, books, k=10).collect()
+    comp = S.ivf_pq_topk(df, q, k=10, n_centroids=4, nprobe=4, m=4, ksub=8).collect()
+    assert [(r["vec_id"], r["adist"]) for r in comp] == [
+        (r["vec_id"], r["adist"]) for r in flat
+    ]
+
+
+def test_pq_empty_corpus(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.pq_codebooks(df, m=4, ksub=4) == []
+    assert S.ivf_pq_topk(df, [0.0] * 16, m=4, ksub=4).count() == 0

@@ -274,6 +274,24 @@ def main() -> int:
         )
     )
 
+    # PQ encode must be a pure projection (no exchange, no Python); ADC
+    # top-k must compile to TakeOrderedAndProject over element_at lookups.
+    from graphrag_litex_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(e, m=8, ksub=8)
+    p = plan_of(pq_encode(e, books))
+    assert "Exchange" not in p and "ArrowEvalPython" not in p, "encode must be map-only"
+    sections.append(("PQ encode", "m argmin-L2 picks in one codegen projection; no shuffle", p))
+    p = plan_of(pq_adc_topk(pq_encode(e, books), [0.0] * 64, books, k=10))
+    assert "TakeOrderedAndProject" in p and "ArrowEvalPython" not in p
+    sections.append(
+        ("PQ ADC top-k", "driver-built distance table; element_at lookups; k-heap, no global sort", p)
+    )
+
     # SemDeDup: centroid assignment must be a pure projection (literal
     # centroids, no join); the within-cluster pairwise check is an
     # EQUI-join on cluster_id — never a cartesian — and nothing runs in
