@@ -241,3 +241,73 @@ def windowed_turn_activity(
             "n_convs",
         )
     )
+
+
+DEDUP_STATE_SCHEMA = "seen boolean"
+DEDUP_OUT_SCHEMA = "text_hash string, doc_id string, text string"
+
+
+def streaming_dedup(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_minutes: float | None = None,
+) -> DataFrame:
+    """Exact-dedup GATE for a document stream: each distinct normalized
+    text is emitted exactly once — the first microbatch it appears in wins
+    (within that batch, the minimum id as string) and every later
+    re-arrival is suppressed by keyed state. This is the ingest-dedup
+    stage of a continuously-fed training-data pipeline (the streaming twin
+    of operators/dedup.exact/normalized dedup), as a custom stateful
+    operator via ``applyInPandasWithState``.
+
+    Scale: state is ONE boolean row per distinct text hash,
+    hash-partitioned across executors like any keyed state — corpus text
+    never lives in the state store. ``ttl_minutes`` bounds state on
+    unbounded streams via a processing-time timeout (re-arrivals cluster
+    in time in real feeds; after the TTL a duplicate would be re-admitted
+    — the standard memory/completeness trade, document per deployment).
+    Output rows: (text_hash, doc_id, text).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from graphrag_litex_spark.operators.dedup import norm_text_col
+
+    hashed = docs_stream.select(
+        F.md5(norm_text_col(text_col)).alias("text_hash"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes else None
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            # Known hash: swallow the re-arrivals, refresh the TTL clock.
+            for _ in pdfs:
+                pass
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        best = None
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                if best is None or (row["doc_id"] or "") < best[0]:
+                    best = ((row["doc_id"] or ""), row["text"])
+        state.update((True,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if best is not None:
+            yield pd.DataFrame(
+                {"text_hash": [key[0]], "doc_id": [best[0]], "text": [best[1]]}
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        update, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "append", timeout
+    )

@@ -201,3 +201,59 @@ def test_stream_kg_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_fac
     q3 = stream_kg_append(spark, arrivals, pipe, trigger_once=True)
     q3.awaitTermination(180)
     assert len(pipe._load_manifest()["extra_inputs"]) == 2
+
+
+def test_streaming_dedup_gate(spark, tmp_path_factory):
+    """streaming_dedup emits each distinct normalized text exactly once
+    across microbatches: within-batch dups pick the min id, cross-batch
+    re-arrivals are suppressed by keyed state; the admitted set equals the
+    batch normalized-dedup keepers."""
+    import pyarrow as pa
+
+    from graphrag_litex_spark.streaming.incremental import streaming_dedup
+
+    d = tmp_path_factory.mktemp("dedup_arrivals")
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "doc_id": ["a2", "a1", "b"],  # a2/a1 same text -> min id a1
+                "text": ["Hello,  WORLD!", "hello world", "something else"],
+            }
+        ),
+        str(d / "batch_0.parquet"),
+    )
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "doc_id": ["c", "d"],  # c re-arrives a's text -> suppressed
+                "text": ["HELLO world?!", "fresh new content"],
+            }
+        ),
+        str(d / "batch_1.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        ("a1", "hello world"),
+        ("b", "something else"),
+        ("d", "fresh new content"),
+    ]
