@@ -67,11 +67,12 @@ def _sym(und: DataFrame) -> DataFrame:
 # ---- pure-Python kernels (driver-local adaptive path) ---------------------
 
 
-def _lpa_py(ids: list, adj: dict, iters: int) -> dict:
+def _lpa_py(ids: list, adj: dict, iters: int, seed: dict | None = None) -> dict:
     """Synchronous LPA kernel: most-frequent neighbor label, tie -> smallest
     label, isolated vertices reset to their own id, early stop on fixpoint.
-    EXACTLY the distributed loop's semantics (identity-tested)."""
-    labels = {v: v for v in ids}
+    EXACTLY the distributed loop's semantics (identity-tested).
+    ``seed``: warm-start labels (vertices absent from it init to own id)."""
+    labels = {v: seed.get(v, v) for v in ids} if seed else {v: v for v in ids}
     for _ in range(iters):
         new = {}
         for u in ids:
@@ -107,16 +108,22 @@ def _enforce_min_size_py(labels: dict, min_size: int) -> dict:
 
 
 def _hierarchy_py(
-    ids: list, und_pairs: list, levels: int, min_size: int, iters: int
+    ids: list,
+    und_pairs: list,
+    levels: int,
+    min_size: int,
+    iters: int,
+    seed: dict | None = None,
 ) -> list[tuple]:
     """Full hierarchy driver-locally -> [(level, community_id, parent,
-    entity_id)] with the SAME ids/semantics as the distributed level loop."""
+    entity_id)] with the SAME ids/semantics as the distributed level loop.
+    ``seed`` warm-starts the level-0 LPA only (sub-levels re-cluster)."""
     adj: dict = {}
     for a, b in und_pairs:
         adj.setdefault(a, []).append(b)
         adj.setdefault(b, []).append(a)
 
-    l0 = _enforce_min_size_py(_lpa_py(ids, adj, iters), min_size)
+    l0 = _enforce_min_size_py(_lpa_py(ids, adj, iters, seed=seed), min_size)
     rows = [(0, "0_" + lbl, None, u) for u, lbl in l0.items()]
     prev: dict = {}
     for _lvl, cid, _par, u in rows:
@@ -171,14 +178,16 @@ def _local_df(spark, rows: list, columns: list[str], schema: str) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows, columns=columns), schema=schema)
 
 
-def _lpa_driver_local(spark, ids: list, sym_pairs: list, iters: int) -> DataFrame:
+def _lpa_driver_local(
+    spark, ids: list, sym_pairs: list, iters: int, seed: dict | None = None
+) -> DataFrame:
     """Small-graph physical strategy for a single LPA call."""
     adj: dict = {}
     for a, b in sym_pairs:
         adj.setdefault(a, []).append(b)
     return _local_df(
         spark,
-        list(_lpa_py(ids, adj, iters).items()),
+        list(_lpa_py(ids, adj, iters, seed=seed).items()),
         ["entity_id", "label"],
         "entity_id string, label string",
     )
@@ -188,7 +197,11 @@ def _lpa_driver_local(spark, ids: list, sym_pairs: list, iters: int) -> DataFram
 
 
 def label_propagation(
-    vertices: DataFrame, und_edges: DataFrame, iters: int = 8, driver_threshold: int = 100_000
+    vertices: DataFrame,
+    und_edges: DataFrame,
+    iters: int = 8,
+    driver_threshold: int = 100_000,
+    seed_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Synchronous LPA -> (entity_id, label); deterministic tie-breaking.
 
@@ -197,16 +210,37 @@ def label_propagation(
     distributed loop below. Each distributed round is ONE eager checkpoint
     job (the changed-count is folded into a scan of the cached result, not
     a separate join job).
+
+    ``seed_labels`` (entity_id, label) WARM-STARTS the loop: vertices
+    found there initialize to the seeded label instead of their own id
+    (absent/new vertices still self-init). Seeding with a converged
+    labeling of the same graph is a fixpoint — the loop exits after ONE
+    verification round (asserted in tests) — which is what makes
+    incremental community refresh on an appended graph cheap: only the
+    neighborhoods the new data touched move. The labeling an appended
+    graph converges to from a warm seed is a valid LPA fixpoint but not
+    necessarily the cold-start one (community assignment is not unique);
+    downstream quality is gated by the same modularity metric as the
+    cold path.
     """
     sym = hard_checkpoint(_sym(und_edges))
-    labels = hard_checkpoint(
-        vertices.select(F.col("entity_id").alias("u"), F.col("entity_id").alias("label"))
-    )
+    init = vertices.select(F.col("entity_id").alias("u"))
+    if seed_labels is not None:
+        init = init.join(
+            seed_labels.select(F.col("entity_id").alias("u"), F.col("label").alias("_seed")),
+            "u",
+            "left",
+        ).select("u", F.coalesce("_seed", F.col("u")).alias("label"))
+    else:
+        init = init.select("u", F.col("u").alias("label"))
+    labels = hard_checkpoint(init)
     n_state = labels.count() + sym.count()
     if n_state <= driver_threshold:
-        ids = [r[0] for r in labels.select("u").collect()]
+        rows = labels.select("u", "label").collect()
+        ids = [r[0] for r in rows]
+        seed = {r[0]: r[1] for r in rows if r[0] != r[1]} or None
         pairs = [(r[0], r[1]) for r in sym.select("u", "v").collect()]
-        out = _lpa_driver_local(vertices.sparkSession, ids, pairs, iters)
+        out = _lpa_driver_local(vertices.sparkSession, ids, pairs, iters, seed=seed)
         release(sym)
         release(labels)
         return out
@@ -286,6 +320,7 @@ def detect_communities(
     min_size: int = 3,
     lpa_iters: int = 8,
     driver_threshold: int = 100_000,
+    seed_labels: DataFrame | None = None,
 ) -> DataFrame:
     """-> long-form membership (level int, community_id string,
     parent string, entity_id string); SURVEY.md §1 communities table.
@@ -295,6 +330,13 @@ def detect_communities(
     (identical output, asserted in tests); larger graphs run the
     distributed per-level loop, with shuffle partitions sized to the
     graph's state for the duration.
+
+    ``seed_labels`` (entity_id, label) warm-starts the LEVEL-0 LPA (see
+    :func:`label_propagation`) — the incremental-refresh path when a
+    previous build's communities exist and the graph only grew: on the
+    unchanged subgraph the seed is already a fixpoint, so rounds touch
+    only the appended neighborhoods. Sub-levels re-cluster as usual
+    (they are bounded by their parent community, not the corpus).
     """
     spark = nodes.sparkSession
     und = hard_checkpoint(_und_edges(edges))
@@ -304,7 +346,15 @@ def detect_communities(
         ids = [r[0] for r in vertices.collect()]
         pairs = [(r[0], r[1]) for r in und.collect()]
         release(und)
-        rows = _hierarchy_py(ids, pairs, levels, min_size, lpa_iters)
+        seed = None
+        if seed_labels is not None:
+            idset = set(ids)
+            seed = {
+                r[0]: r[1]
+                for r in seed_labels.select("entity_id", "label").collect()
+                if r[0] in idset
+            } or None
+        rows = _hierarchy_py(ids, pairs, levels, min_size, lpa_iters, seed=seed)
         return _local_df(
             spark,
             rows,
@@ -314,7 +364,10 @@ def detect_communities(
 
     with loop_shuffle_partitions(spark, n_state):
         l0 = _enforce_min_size(
-            label_propagation(vertices, und, lpa_iters, driver_threshold), min_size
+            label_propagation(
+                vertices, und, lpa_iters, driver_threshold, seed_labels=seed_labels
+            ),
+            min_size,
         )
         membership = hard_checkpoint(
             l0.select(

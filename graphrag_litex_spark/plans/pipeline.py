@@ -173,6 +173,14 @@ class PipelineConfig:
     lpa_iters: int = 8
     min_community_size: int = 3  # config.py:41
     levels: int = 3  # community_detection.py:35
+    # Incremental community refresh: when True and a previous communities
+    # stage exists on disk (stale after an append invalidated it), its
+    # level-0 labels WARM-START the level-0 LPA — on a trillion-edge graph
+    # re-running LPA from scratch per append is the cost driver; from a
+    # warm seed only the appended neighborhoods move. The result is a
+    # valid LPA fixpoint but not necessarily the cold-start labeling
+    # (community detection is not unique), so this is opt-in.
+    community_warm_start: bool = False
 
 
 class KGPipeline:
@@ -659,12 +667,32 @@ class KGPipeline:
         graph_rows = manifest.get("nodes", {}).get("rows", 0) * cfg.levels
 
         def build_communities() -> DataFrame:
+            seed = None
+            if cfg.community_warm_start:
+                prev = self._stage_path("communities")
+                if os.path.exists(os.path.join(prev, "_SUCCESS")):
+                    # Stale (pre-append) stage -> level-0 labels as the warm
+                    # seed. Eager checkpoint BEFORE the overwrite of the
+                    # same path; community_id = "0_<label>".
+                    from graphrag_litex_spark.operators.iterutils import (
+                        hard_checkpoint as _hc,
+                    )
+
+                    seed = _hc(
+                        self.spark.read.parquet(prev)
+                        .where(F.col("level") == 0)
+                        .select(
+                            "entity_id",
+                            F.expr("substring(community_id, 3)").alias("label"),
+                        )
+                    )
             return comm_ops.detect_communities(
                 results["nodes"],
                 results["edges"],
                 levels=cfg.levels,
                 min_size=cfg.min_community_size,
                 lpa_iters=cfg.lpa_iters,
+                seed_labels=seed,
             )
 
         results["communities"] = mat("communities", build_communities, graph_rows)

@@ -330,3 +330,60 @@ def test_modularity_spark_matches_python(spark, clique_graph):
     q_spark = C.modularity(comms, edges, level=0)
     q_py = _modularity_py(part, list(und))
     assert abs(q_spark - q_py) < 1e-9
+
+
+# ---- warm-start (incremental community refresh) ---------------------------
+
+
+def test_lpa_warm_start_converged_seed_is_fixpoint(spark, ring_of_cliques):
+    """Seeding LPA with its own converged labels is a fixpoint: ONE
+    verification round (iters=1) reproduces the full cold-start output
+    exactly — the property that makes incremental refresh cheap."""
+    ids, pairs = ring_of_cliques
+    und = _edges_df(spark, pairs).selectExpr("src as u", "dst as v")
+    verts = _nodes_df(spark, ids).select("entity_id")
+    cold = C.label_propagation(verts, und, iters=8)
+    seed = cold
+    warm = C.label_propagation(verts, und, iters=1, seed_labels=seed)
+    assert sorted(map(tuple, warm.collect())) == sorted(map(tuple, cold.collect()))
+
+
+def test_lpa_warm_start_distributed_matches_driver_local(spark, ring_of_cliques):
+    """Seeded LPA: the distributed loop and the driver-local kernel stay
+    identity-equal (the cold-path identity test, extended to seeds)."""
+    ids, pairs = ring_of_cliques
+    und = _edges_df(spark, pairs).selectExpr("src as u", "dst as v")
+    verts = _nodes_df(spark, ids).select("entity_id")
+    # adversarial seed: everyone claims c0n0's label
+    seed = verts.selectExpr("entity_id", "'c0n0' as label")
+    local = C.label_propagation(verts, und, iters=4, seed_labels=seed)
+    dist = C.label_propagation(
+        verts, und, iters=4, seed_labels=seed, driver_threshold=0
+    )
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, dist.collect()))
+
+
+def test_detect_communities_warm_start_on_grown_graph(spark, ring_of_cliques):
+    """Incremental refresh: seed detect_communities on a GROWN graph with
+    the old graph's level-0 labels. All (old + new) entities are covered,
+    and the warm partition's modularity is not materially worse than the
+    cold rebuild's — the same quality gate the cold path answers to."""
+    ids, pairs = ring_of_cliques
+    old = C.detect_communities(
+        _nodes_df(spark, ids), _edges_df(spark, pairs), levels=1, min_size=3
+    )
+    seed = old.where("level = 0").selectExpr(
+        "entity_id", "substring(community_id, 3) as label"
+    )
+    # grow: a sixth clique bridged into the ring
+    new_ids = ids + [f"c5n{i}" for i in range(5)]
+    grp = [f"c5n{i}" for i in range(5)]
+    new_pairs = pairs + [(x, y) for i, x in enumerate(grp) for y in grp[i + 1 :]]
+    new_pairs.append(("c0n0", "c5n0"))
+    nodes2, edges2 = _nodes_df(spark, new_ids), _edges_df(spark, new_pairs)
+    warm = C.detect_communities(nodes2, edges2, levels=1, min_size=3, seed_labels=seed)
+    cold = C.detect_communities(nodes2, edges2, levels=1, min_size=3)
+    assert {r["entity_id"] for r in warm.collect()} == set(new_ids)
+    q_warm = C.modularity(warm, edges2, level=0)
+    q_cold = C.modularity(cold, edges2, level=0)
+    assert q_warm >= 0.8 * q_cold, f"warm Q={q_warm:.4f} vs cold Q={q_cold:.4f}"

@@ -384,3 +384,38 @@ def test_parquet_stats_lineage_truncation(tmp_path, monkeypatch):
     capped = P._parquet_stats(str(d))
     assert capped["rows"] == 9 and capped["max_part_rows"] == 5
     assert "partitions" not in capped and capped["partitions_truncated"] is True
+
+
+def test_community_warm_start_refresh(spark, corpus_sf0001, tmp_path):
+    """community_warm_start: invalidate the communities stage (what an
+    append does) and re-run with the flag on — the rebuild seeds level-0
+    LPA from the stale stage on disk and produces a full, valid membership
+    whose modularity matches the cold build's."""
+    import json
+    import os
+
+    from graphrag_litex_spark.operators.communities import modularity
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    out = str(tmp_path / "kg_warm")
+    cold = run_pipeline(spark, corpus_sf0001["transcripts"], out, resume=False)
+    q_cold = modularity(cold["communities"], cold["edges"], level=0)
+    n_members = cold["communities"].where("level = 0").count()
+
+    # Simulate the post-append state: stage parquet present, fingerprint
+    # stale -> the resumed run must rebuild communities (and only then).
+    mpath = os.path.join(out, "_manifest.json")
+    manifest = json.load(open(mpath))
+    manifest["communities"]["fingerprint"] = "stale"
+    json.dump(manifest, open(mpath, "w"))
+
+    warm = run_pipeline(
+        spark,
+        corpus_sf0001["transcripts"],
+        out,
+        config=PipelineConfig(community_warm_start=True),
+        resume=True,
+    )
+    assert warm["communities"].where("level = 0").count() == n_members
+    q_warm = modularity(warm["communities"], warm["edges"], level=0)
+    assert q_warm >= 0.8 * q_cold, f"warm Q={q_warm:.4f} vs cold Q={q_cold:.4f}"
