@@ -123,6 +123,10 @@ def main() -> None:
         "kg_triangle_stats",
         "kg_link_prediction",
         "tfidf_similar_docs",
+        "semantic_dedup",
+        "quality_classifier",
+        "interval_join_clicks",
+        "ann_pq_topk",
     ):
         t0 = time.time()
         try:
