@@ -502,26 +502,38 @@ def pq_encode(
     and the codes table (m small ints per vector) replaces the corpus."""
     m = len(codebooks)
     dim = m * len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    code = F.array(
-        *[
-            F.array_max(
-                F.array(
-                    *[
-                        F.struct(
-                            (-_l2sq_col(F.slice(v, start, length), _query_lit(cent))).alias("s"),
-                            F.lit(c).alias("cid"),
-                        )
-                        for c, cent in enumerate(codebooks[j])
-                    ]
-                )
-            )["cid"]
-            for j, (start, length) in enumerate(_subspaces(dim, m))
-        ]
-    )
-    return embeddings.select(
-        F.col(id_col), *(keep_cols or []), code.alias("code")
-    )
+    # The m*ksub distance expressions are generated as ONE SQL string and
+    # parsed JVM-side in a single call: building the same tree through the
+    # Column API costs one py4j round-trip per operator node (~8s of pure
+    # plan construction at m=8, ksub=16; far worse at the realistic
+    # ksub=256). Semantics are byte-identical to the Column form — same
+    # zip_with/aggregate fold, same array_max struct tie-break. Double
+    # literals use the D suffix (repr round-trips exactly; bare decimals
+    # would parse as DECIMAL).
+
+    def _score(start: int, length: int, cent: list[float], cid: int) -> str:
+        # The zip_with/aggregate fold, UNROLLED: + is left-associative, so
+        # 0.0 + t1 + t2 + ... evaluates in exactly the fold's order —
+        # bit-identical doubles — while plain arithmetic (no higher-order
+        # functions) parses/analyzes faster AND stays inside whole-stage
+        # codegen instead of interpreted lambda evaluation per row.
+        terms = "".join(
+            f" + (element_at(_v, {start + i}) - {y!r}D)"
+            f" * (element_at(_v, {start + i}) - {y!r}D)"
+            for i, y in enumerate(cent)
+        )
+        return f"named_struct('s', -(0.0D{terms}), 'cid', {cid})"
+
+    subs = [
+        "array_max(array("
+        + ",".join(_score(start, length, cent, c) for c, cent in enumerate(codebooks[j]))
+        + ")).cid"
+        for j, (start, length) in enumerate(_subspaces(dim, m))
+    ]
+    code = F.expr("array(" + ",".join(subs) + ")")
+    return embeddings.withColumn(
+        "_v", F.col(vec_col).cast("array<double>")
+    ).select(F.col(id_col), *(keep_cols or []), code.alias("code"))
 
 
 def pq_adc_topk(
