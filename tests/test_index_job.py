@@ -1,0 +1,109 @@
+"""Persisted IVF-PQ index job (jobs/index_embeddings.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(1, 201)]
+    return rows, spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, emb_df, tmp_path_factory):
+    from jobs.index_embeddings import build_index
+
+    rows, df = emb_df
+    out = str(tmp_path_factory.mktemp("ivfpq"))
+    meta = build_index(spark, df, out, n_centroids=4, m=4, ksub=8)
+    return out, meta, rows, df
+
+
+def test_index_layout_and_meta(spark, built_index):
+    out, meta, rows, df = built_index
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    assert codes.count() == len(rows)
+    assert set(codes.columns) == {"vec_id", "_cid", "code"}
+    assert len(meta["centroids"]) == 4 and len(meta["codebooks"]) == 4
+    # every vector's list id is within range; lists are non-trivial
+    cids = {r["_cid"] for r in codes.select("_cid").distinct().collect()}
+    assert cids <= {0, 1, 2, 3} and len(cids) >= 2
+
+
+def test_query_probe_all_equals_flat_pq(spark, built_index):
+    """nprobe == n_centroids touches every list -> identical to the flat
+    PQ/ADC path over the same codebooks."""
+    from jobs.index_embeddings import query_index
+
+    out, meta, rows, df = built_index
+    q = rows[0][1]
+    got = query_index(spark, out, q, k=10, nprobe=4).collect()
+    flat = S.pq_adc_topk(
+        S.pq_encode(df, meta["codebooks"]), q, meta["codebooks"], k=10
+    ).collect()
+    assert [(r["vec_id"], r["adist"]) for r in got] == [
+        (r["vec_id"], r["adist"]) for r in flat
+    ]
+
+
+def test_query_scan_is_partition_pruned(spark, built_index):
+    """The whole point of the layout: an nprobe query must prune the
+    non-probed lists at the SCAN (PartitionFilters), not filter after."""
+    from jobs.index_embeddings import query_index
+
+    out, meta, rows, df = built_index
+    q = rows[0][1]
+    plan = (
+        query_index(spark, out, q, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "_cid" in plan
+
+
+def test_rerank_restores_exact_order(spark, built_index):
+    """Two-stage refinement: with a wide-enough candidate pool the
+    re-ranked top-1 equals the exact brute-force top-1."""
+    from jobs.index_embeddings import query_index
+
+    out, meta, rows, df = built_index
+    q = rows[5][1]
+    got = query_index(spark, out, q, k=5, nprobe=4, rerank=50, embeddings=df).collect()
+    brute = S.brute_force_topk(df, q, k=1).collect()
+    assert got[0]["vec_id"] == brute[0]["vec_id"]
+    assert abs(got[0]["cosine"] - brute[0]["cosine"]) < 1e-9
+    # exact-cosine ordering, descending
+    cos = [r["cosine"] for r in got]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_index_cli_roundtrip(spark, emb_df, tmp_path, capsys):
+    from jobs.index_embeddings import main
+
+    rows, df = emb_df
+    src = str(tmp_path / "emb")
+    df.write.parquet(src)
+    out = str(tmp_path / "idx")
+    assert main(["build", "--embeddings", src, "--out", out,
+                 "--centroids", "4", "--m", "4", "--ksub", "8"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["indexed"] == len(rows)
+    assert main(["query", "--index", out, "--embeddings", src,
+                 "--vec-id", "1", "--k", "3", "--nprobe", "4"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res) == 3 and res[0]["vec_id"] == 1  # self is its own NN (adist 0 bucket)
