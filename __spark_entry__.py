@@ -261,6 +261,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vertex").alias("name"), "core_degree"
         )
 
+    def kg_closeness(spark, sf_dir):
+        """Approximate harmonic centrality (Eppstein-Wang pivot sampling):
+        shared multi-source BFS as a frontier hash-join loop; integer-exact
+        harmonic sums (60 = lcm(1..6) scaling). Differential vs the
+        pure-Python BFS golden."""
+        from graphrag_litex_spark.operators.graph_analytics import harmonic_closeness
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return harmonic_closeness(
+            e.select("src", "dst"), n_sources=8, max_hops=6
+        ).orderBy("name")
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -837,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_triangle_stats,
         kg_link_prediction,
         kg_kcore,
+        kg_closeness,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -1064,6 +1077,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore": f"""
             SELECT name, core_degree FROM read_parquet('{graph["golden_kcore"]}')
+        """,
+        "kg_closeness": f"""
+            SELECT name, n_reached, harmonic60, closeness
+            FROM read_parquet('{graph["golden_closeness"]}')
         """,
         "kg_drift_search": f"""
             SELECT name, score FROM read_parquet('{graph["golden_drift_search"]}')

@@ -232,3 +232,115 @@ def k_core(
         release(adj)
         adj = new_adj
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
+def hop_distances(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS over the undirected simple graph -> one row per
+    (vertex, source, dist) with dist <= ``max_hops`` (sources themselves at
+    dist 0) — the frontier-expansion iterative primitive (shortest paths,
+    reachability, closeness) as a hash-join loop, no GraphX.
+
+    Plan shape: adjacency symmetrized + checkpointed once; each hop is one
+    join of the CURRENT FRONTIER (not the full state) into the adjacency,
+    a (vertex, source) dedupe, and an anti-join against settled
+    distances — so per-hop work is frontier-proportional and total state
+    is O(V x |sources|), never edge-proportional. Early-exits when a
+    frontier empties. Same hard_checkpoint-per-round discipline as
+    PageRank/CC (iterutils.py).
+    """
+    und = undirected_simple(edges, src, dst)
+    sym = hard_checkpoint(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    spark = edges.sparkSession
+    import pandas as pd
+
+    dist = hard_checkpoint(
+        spark.createDataFrame(
+            pd.DataFrame({"vertex": [str(s) for s in sources]})
+        ).select(
+            F.col("vertex"), F.col("vertex").alias("source"), F.lit(0).alias("dist")
+        )
+    )
+    frontier = dist
+    try:
+        for hop in range(1, max_hops + 1):
+            cand = (
+                frontier.join(sym, frontier["vertex"] == sym["u"])
+                .select(F.col("v").alias("vertex"), "source", F.lit(hop).alias("dist"))
+                .distinct()
+            )
+            new = hard_checkpoint(cand.join(dist, ["vertex", "source"], "left_anti"))
+            if new.limit(1).count() == 0:
+                release(new)
+                break
+            nxt = hard_checkpoint(dist.union(new))
+            release(dist)
+            if frontier is not dist:
+                release(frontier)
+            dist, frontier = nxt, new
+    finally:
+        release(sym)
+    return dist
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Approximate harmonic centrality (Eppstein-Wang sampling): BFS from
+    ``n_sources`` deterministically-sampled pivots (smallest
+    (xxhash64(name), name) — reproducible by the pure-Python golden), then
+    per vertex sum 1/dist over the pivots that reach it.
+
+    Exact-arithmetic form: with max_hops <= 6, 60/dist is an INTEGER for
+    every reachable dist (60 = lcm(1..6)), so ``harmonic60`` = sum of
+    60/dist is an exact integer — engine- and partitioning-deterministic —
+    and ``closeness`` = harmonic60 / (60 * n_sources) is one
+    exactly-rounded division (the estimator's normalization; multiply by
+    (N-1) for the unbiased absolute estimate). Cost: n_sources
+    frontier-bounded BFS sweeps in ONE shared loop — the standard trade
+    against the O(V*E) exact computation, which does not exist at 100 TB.
+    """
+    if max_hops > 6:
+        raise ValueError("max_hops > 6 breaks the exact-60 arithmetic; raise the LCM")
+    und = undirected_simple(edges, src, dst)
+    verts = und.select(F.col("a").alias("vertex")).union(
+        und.select(F.col("b").alias("vertex"))
+    ).distinct()
+    pivots = [
+        r["vertex"]
+        for r in verts.orderBy(F.xxhash64("vertex").asc(), F.col("vertex").asc())
+        .limit(n_sources)
+        .collect()
+    ]
+    if not pivots:  # empty graph
+        return edges.sparkSession.createDataFrame(
+            [], "name string, n_reached bigint, harmonic60 bigint, closeness double"
+        )
+    d = hop_distances(edges, pivots, max_hops, src, dst)
+    return (
+        d.where(F.col("dist") > 0)
+        .groupBy("vertex")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum((F.lit(60) / F.col("dist")).cast("long")).alias("harmonic60"),
+        )
+        .select(
+            F.col("vertex").alias("name"),
+            "n_reached",
+            "harmonic60",
+            F.round(F.col("harmonic60") / F.lit(60 * len(pivots)), 6).alias("closeness"),
+        )
+    )

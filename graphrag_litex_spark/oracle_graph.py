@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 7
+GRAPH_GOLDEN_VERSION = 8  # v8: + harmonic closeness
 
 
 def _r(x: float, digits: int) -> float:
@@ -110,6 +110,45 @@ def k_core_golden(und: set[tuple[str, str]], k: int) -> dict[str, int]:
                     adj[n].discard(v)
                 changed = True
     return {v: len(ns) for v, ns in adj.items()}
+
+
+def harmonic_closeness_golden(
+    und: set[tuple[str, str]], n_sources: int = 8, max_hops: int = 6
+) -> dict[str, tuple[int, int, float]]:
+    """Sequential replica of operators/graph_analytics.harmonic_closeness:
+    pivots = smallest (xxhash64(name), name) vertices; plain BFS per pivot;
+    per vertex (n_reached, harmonic60 = sum 60//dist, closeness = exactly
+    rounded harmonic60 / (60*k)). Excludes dist-0 self rows like the
+    operator."""
+    from graphrag_litex_spark.functions.xxh64 import xxhash64_str
+
+    adj = _adj(und)
+    verts = sorted(adj)
+    pivots = sorted(verts, key=lambda v: (xxhash64_str(v), v))[:n_sources]
+    if not pivots:
+        return {}
+    acc: dict[str, list[int]] = {}
+    for s in pivots:
+        dist = {s: 0}
+        frontier = [s]
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                e = acc.setdefault(v, [0, 0])
+                e[0] += 1
+                e[1] += 60 // d
+    return {
+        v: (n, h, _r(h / (60 * len(pivots)), 6)) for v, (n, h) in acc.items()
+    }
 
 
 def pagerank_golden(
@@ -437,6 +476,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_local_context": os.path.join(out_dir, "golden_local_context.parquet"),
         "golden_kcore": os.path.join(out_dir, "golden_kcore.parquet"),
         "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
+        "golden_closeness": os.path.join(out_dir, "golden_closeness.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -610,6 +650,20 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_drift_search"],
+    )
+
+    clos = harmonic_closeness_golden(und_names, n_sources=8, max_hops=6)
+    cnames = sorted(clos)
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array(cnames, pa.string()),
+                "n_reached": pa.array([clos[v][0] for v in cnames], pa.int64()),
+                "harmonic60": pa.array([clos[v][1] for v in cnames], pa.int64()),
+                "closeness": pa.array([clos[v][2] for v in cnames], pa.float64()),
+            }
+        ),
+        gpaths["golden_closeness"],
     )
 
     core = k_core_golden(und_names, 2)

@@ -142,3 +142,67 @@ def test_kcore_random_graph_vs_bruteforce(spark):
 def test_undirected_simple_dedupes(spark):
     e = [("b", "a"), ("a", "b"), ("a", "a")]
     assert [tuple(r) for r in undirected_simple(_edges_df(spark, e)).collect()] == [("a", "b")]
+
+
+# ---- BFS hop distances + harmonic closeness --------------------------------
+
+
+def test_hop_distances_path_graph(spark):
+    """Hand-computed: path a-b-c-d-e, sources {a, d}."""
+    from graphrag_litex_spark.operators.graph_analytics import hop_distances
+
+    e = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {
+        (r["vertex"], r["source"]): r["dist"]
+        for r in hop_distances(e, ["a", "d"], max_hops=6).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 2, ("d", "a"): 3, ("e", "a"): 4,
+        ("d", "d"): 0, ("c", "d"): 1, ("e", "d"): 1, ("b", "d"): 2, ("a", "d"): 3,
+    }
+
+
+def test_hop_distances_max_hops_cutoff(spark):
+    from graphrag_litex_spark.operators.graph_analytics import hop_distances
+
+    e = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r["vertex"] for r in hop_distances(e, ["a"], max_hops=2).collect()}
+    assert got == {"a", "b", "c"}  # d is 3 hops out
+
+
+def test_harmonic_closeness_hand_computed(spark):
+    """Star graph center x with leaves p,q,r: with all 4 vertices as pivots,
+    center: 3 pivots at dist 1 -> harmonic60 = 180, closeness = 180/240;
+    each leaf: dist 1 to center + dist 2 to two leaves -> 60 + 30 + 30 = 120."""
+    from graphrag_litex_spark.operators.graph_analytics import harmonic_closeness
+
+    e = _edges_df(spark, [("x", "p"), ("x", "q"), ("x", "r")])
+    got = {r["name"]: (r["n_reached"], r["harmonic60"], r["closeness"])
+           for r in harmonic_closeness(e, n_sources=4).collect()}
+    assert got["x"] == (3, 180, 0.75)
+    for leaf in "pqr":
+        assert got[leaf] == (3, 120, 0.5)
+
+
+def test_harmonic_closeness_matches_golden(spark):
+    """Differential: the distributed frontier loop == the pure-Python BFS
+    golden on a random graph (pivot sampling reproduced via XXH64)."""
+    from graphrag_litex_spark.operators.graph_analytics import harmonic_closeness
+    from graphrag_litex_spark.oracle_graph import harmonic_closeness_golden
+
+    rng = random.Random(13)
+    verts = [f"v{i}" for i in range(40)]
+    pairs = sorted({tuple(sorted(rng.sample(verts, 2))) for _ in range(70)})
+    got = {
+        r["name"]: (r["n_reached"], r["harmonic60"], r["closeness"])
+        for r in harmonic_closeness(_edges_df(spark, pairs), n_sources=6).collect()
+    }
+    want = harmonic_closeness_golden(set(pairs), n_sources=6)
+    assert got == want
+
+
+def test_harmonic_closeness_empty_graph(spark):
+    from graphrag_litex_spark.operators.graph_analytics import harmonic_closeness
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert harmonic_closeness(e).count() == 0

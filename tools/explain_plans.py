@@ -258,6 +258,22 @@ def main() -> int:
         )
     )
 
+    # Harmonic closeness: the per-hop frontier expansion and the final
+    # harmonic aggregate must be pure hash joins/aggs — no cartesian, no
+    # Python (the BFS loop itself checkpoints per round; this audits the
+    # closing aggregate over the settled distances).
+    from graphrag_litex_spark.operators.graph_analytics import harmonic_closeness
+
+    p = plan_of(harmonic_closeness(kg["edges"].select("src", "dst"), n_sources=4))
+    assert "CartesianProduct" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "Harmonic closeness (multi-source BFS)",
+            "frontier-proportional hop joins (checkpointed); integer-exact harmonic agg",
+            p,
+        )
+    )
+
     # Trigram LM novelty: the model side must BROADCAST (bounded domain,
     # <=37^3 rows at any corpus size) — the occurrence stream never
     # shuffles on the gram key.
