@@ -809,6 +809,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         books = pq_codebooks(corpus, m=8, ksub=16)
         return pq_adc_topk(pq_encode(corpus, books), qvec, books, k=10)
 
+    def sample_mixture(spark, sf_dir):
+        """Token-budgeted mixture sampling (data mixing): per-source greedy
+        prefix under a deterministic md5 ordering, cumulative-token gated.
+        Oracle: the same window cumsum in SQL."""
+        from graphrag_litex_spark.operators.sampling import sample_mixture_by_tokens
+        from graphrag_litex_spark.operators.text_analysis import token_count_col
+
+        d = spark.read.parquet(_t(sf_dir, "documents")).withColumn(
+            "n_tokens", token_count_col("text").cast("long")
+        )
+        out = sample_mixture_by_tokens(
+            d, {"src0": 300, "src1": 120, "src2": 0, "src3": 10_000_000}
+        )
+        return out.select(
+            "doc_id", "source", "n_tokens", "cum_tokens"
+        ).orderBy("doc_id")
+
     def quality_classifier(spark, sf_dir):
         """fastText-style hashed-ngram linear quality model (inference):
         integer-quantized weights as a broadcast table, exact-ratio logit."""
@@ -872,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         semantic_dedup,
         quality_classifier,
         ann_pq_topk,
+        sample_mixture,
         multimodal_features,
         windowed_activity,
         asof_purchase_click,
@@ -1584,6 +1602,34 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": f"""
             SELECT doc_id, n_feats, logit_sum, logit, keep
             FROM read_parquet('{docops["golden_quality_classifier"]}')
+        """,
+        "sample_mixture": f"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CASE WHEN {_DDB_TEXT_NORM} = '' THEN 0
+                            ELSE len(string_split({_DDB_TEXT_NORM}, ' '))
+                       END AS n_tokens
+                FROM documents
+            ), budgeted AS (
+                SELECT *,
+                       CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 120
+                                   WHEN 'src2' THEN 0 WHEN 'src3' THEN 10000000
+                       END AS budget
+                FROM toks WHERE source IN ('src0', 'src1', 'src2', 'src3')
+            ), cum AS (
+                SELECT *,
+                       sum(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY substring(md5(cast(doc_id AS varchar)), 1, 6),
+                                    doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS cum_tokens
+                FROM budgeted
+            )
+            SELECT doc_id, source, cast(n_tokens AS bigint) AS n_tokens,
+                   cast(cum_tokens AS bigint) AS cum_tokens
+            FROM cum WHERE cum_tokens <= budget
+            ORDER BY doc_id
         """,
         "ann_pq_topk": f"""
             SELECT vec_id, adist

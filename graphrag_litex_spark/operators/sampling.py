@@ -240,3 +240,49 @@ def filter_by_source_reputation(
     return docs.join(
         good.withColumnRenamed("source", group_col), group_col, "left_semi"
     )
+
+
+def sample_mixture_by_tokens(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budgeted mixture sampling — the "data mixing" step of a
+    pretraining pipeline (Pile/LLaMA-style source weighting realized as
+    absolute per-source token budgets): for each source in ``budgets``,
+    keep the deterministic-random prefix of its documents whose CUMULATIVE
+    ``token_col`` stays within the budget; sources not in ``budgets`` are
+    dropped (an explicit mixture is a whitelist).
+
+    Order within a source is (md5-key, id) — the same key as
+    `deterministic_sample` — so the kept set is a pure function of the ids:
+    re-runs, repartitionings, and engines agree, and RAISING a budget only
+    ADDS documents (nested mixtures, comparable ablations). A document is
+    kept iff the running total INCLUDING it is <= budget (greedy prefix; a
+    first document larger than the whole budget is dropped).
+
+    Plan: one window (partitionBy source, orderBy key) carrying an integer
+    running sum — a single hash shuffle on the source key. Skew note: one
+    giant source serializes through one task's window; at that scale apply
+    the time-bucket carry trick from `temporal.asof_join` (bucket by key
+    prefix, one boundary row per bucket) — budgets are per-source, so the
+    prefix-sum composes. Adds ``cum_tokens`` for audit.
+    """
+    spark = docs.sparkSession
+    budget_rows = [(str(k), int(v)) for k, v in sorted(budgets.items())]
+    bdf = F.broadcast(
+        spark.createDataFrame(budget_rows, f"{source_col} string, _budget long")
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(sample_key_col(id_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.join(bdf, source_col)
+        .withColumn("cum_tokens", F.sum(token_col).over(w))
+        .where(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_budget")
+    )

@@ -132,3 +132,39 @@ def test_assign_splits_stable_under_growth(spark):
     assert set(counts) == {"train", "val", "test"}
     with pytest.raises(ValueError):
         assign_splits(small, {"a": 0.5, "b": 0.3})
+
+
+def test_sample_mixture_budget_semantics(spark):
+    """Per-source greedy prefix: cumulative tokens never exceed the budget,
+    zero-budget sources vanish, unlisted sources vanish, and the kept set
+    is NESTED as budgets grow."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.sampling import sample_mixture_by_tokens
+
+    rows = [(i, f"s{i % 3}", 10) for i in range(30)]  # 3 sources x 10 docs x 10 tokens
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens"])
+    )
+    out = sample_mixture_by_tokens(docs, {"s0": 35, "s1": 0}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0"}  # s1 budget 0, s2 unlisted
+    assert len(by_src["s0"]) == 3  # 3 docs x 10 tokens = 30 <= 35; a 4th would hit 40
+    assert max(r["cum_tokens"] for r in by_src["s0"]) == 30
+
+    small = {r["doc_id"] for r in sample_mixture_by_tokens(docs, {"s0": 35}).collect()}
+    big = {r["doc_id"] for r in sample_mixture_by_tokens(docs, {"s0": 75}).collect()}
+    assert small < big  # nested: raising the budget only adds documents
+
+
+def test_sample_mixture_first_doc_over_budget(spark):
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.sampling import sample_mixture_by_tokens
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(1, "s", 100)], columns=["doc_id", "source", "n_tokens"])
+    )
+    assert sample_mixture_by_tokens(docs, {"s": 50}).count() == 0
