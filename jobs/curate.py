@@ -78,6 +78,7 @@ def curate(
     embedding_col: str | None = None,
     embed_dim: int = 64,
     sample_rate: float | None = None,
+    mixture_budgets: dict[str, int] | None = None,
     holdout=None,
     max_contamination: float = 0.2,
     id_col: str = "doc_id",
@@ -300,6 +301,20 @@ def curate(
             curated = _materialize(curated, os.path.join(stage_dir, "semantic"))
         report["semantic_dups_removed"] = n_before_sem - curated.count()
         report["semantic_dedup_threshold"] = semantic_dedup_threshold
+    if mixture_budgets:
+        # Data mixing: per-source token budgets applied AFTER dedup (mixing
+        # duplicates would waste budget) on the annotation pass's n_tokens.
+        from graphrag_litex_spark.operators.sampling import sample_mixture_by_tokens
+
+        n_before_mix = curated.count()
+        report.setdefault(
+            "near_dups_removed", (n_exact - n_before_mix) if near_dedup else 0
+        )
+        curated = sample_mixture_by_tokens(
+            curated, mixture_budgets, source_col=source_col, id_col=id_col
+        )
+        report["mixture_budgets"] = {k: int(v) for k, v in mixture_budgets.items()}
+        report["mixture_removed"] = n_before_mix - curated.count()
     if sample_rate is not None and sample_rate < 1.0:
         # Final deterministic downsample AFTER dedup (sampling duplicates
         # would waste the kept budget). md5-threshold membership is
@@ -381,6 +396,13 @@ def main(argv: list[str] | None = None) -> int:
         help="corpus count below which a trigram counts as rare",
     )
     p.add_argument(
+        "--mixture",
+        default=None,
+        metavar="SRC=TOKENS,...",
+        help="per-source token budgets applied after dedup (data mixing), "
+        "e.g. 'web=2000000,code=500000'; sources not listed are dropped",
+    )
+    p.add_argument(
         "--min-model-logit",
         type=float,
         default=None,
@@ -455,6 +477,14 @@ def main(argv: list[str] | None = None) -> int:
         embedding_col=args.embedding_col,
         embed_dim=args.embed_dim,
         sample_rate=args.sample_rate,
+        mixture_budgets=(
+            {
+                kv.split("=", 1)[0]: int(float(kv.split("=", 1)[1]))
+                for kv in args.mixture.split(",")
+            }
+            if args.mixture
+            else None
+        ),
         holdout=spark.read.parquet(args.holdout) if args.holdout else None,
         max_contamination=args.max_contamination,
         id_col=args.id_col,

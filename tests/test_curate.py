@@ -234,3 +234,26 @@ def test_curate_semantic_dedup_catches_paraphrases(spark):
     kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
     assert len(kept) == 2 and "q" in kept and report["semantic_dups_removed"] == 1
     assert report["near_dups_removed"] == 0
+
+
+def test_curate_mixture_budgets(spark):
+    """--mixture: per-source token budgets after dedup; unlisted sources
+    dropped, report carries the accounting."""
+    import pandas as pd
+
+    from jobs.curate import curate
+
+    rows = []
+    for i in range(6):
+        rows.append((f"w{i}", "web", f"unique web document number {i} with plenty of words here"))
+    for i in range(6):
+        rows.append((f"c{i}", "code", f"unique code document number {i} with plenty of words here"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    curated, report = curate(
+        spark, docs, near_dedup=False, mixture_budgets={"web": 20}
+    )
+    out = curated.select("doc_id", "source", "n_tokens").collect()
+    assert all(r["source"] == "web" for r in out)
+    assert sum(r["n_tokens"] for r in out) <= 20
+    assert report["mixture_removed"] == 12 - len(out)
+    assert report["mixture_budgets"] == {"web": 20}
