@@ -127,6 +127,8 @@ def main() -> None:
         "quality_classifier",
         "interval_join_clicks",
         "ann_pq_topk",
+        "kg_closeness",
+        "sample_mixture",
     ):
         t0 = time.time()
         try:
