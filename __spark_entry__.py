@@ -732,6 +732,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return duplicate_keeper_map(d, jaccard_threshold=0.5)
 
+    def dedup_keeper_map_altcc(spark, sf_dir):
+        """Same keeper map computed through the distributed large-star/
+        small-star CC loop (Kiveris et al. 2014; driver_threshold=0 forces
+        the distributed path, so the driver's gate hash-checks the O(log n)
+        algorithm — the scale path for chained near-dup graphs — against
+        the identical union-find golden."""
+        from graphrag_litex_spark.operators.dedup import duplicate_keeper_map
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return duplicate_keeper_map(
+            d,
+            jaccard_threshold=0.5,
+            cc_algorithm="alternating",
+            cc_driver_threshold=0,
+        )
+
     def dedup_simhash(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import simhash_duplicates
 
@@ -909,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vector_rag_topk,
         dedup_minhash_lsh,
         dedup_keeper_map,
+        dedup_keeper_map_altcc,
         dedup_simhash,
         dedup_ngram_jaccard,
         source_reputation_profile,
@@ -1584,6 +1601,10 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{docops["golden_minhash_lsh"]}')
         """,
         "dedup_keeper_map": f"""
+            SELECT doc_id, keeper_id, is_keeper
+            FROM read_parquet('{docops["golden_keeper_map"]}')
+        """,
+        "dedup_keeper_map_altcc": f"""
             SELECT doc_id, keeper_id, is_keeper
             FROM read_parquet('{docops["golden_keeper_map"]}')
         """,

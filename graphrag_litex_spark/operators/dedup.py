@@ -377,6 +377,8 @@ def duplicate_keeper_map(
     text_col: str = "text",
     pairs: DataFrame | None = None,
     jaccard_threshold: float = 0.6,
+    cc_algorithm: str = "minlabel",
+    cc_driver_threshold: int = 100_000,
     **lsh_kwargs,
 ) -> DataFrame:
     """Component-level keeper assignment — the artifact a 100 TB dedup
@@ -409,6 +411,11 @@ def duplicate_keeper_map(
             F.col("id_b").cast("string").alias("dst"),
         ),
         id_col="_id",
+        # Near-dup graphs CHAIN (doc_i ~ doc_{i+1} without doc_0 ~ doc_n),
+        # so the O(log n)-round alternating-star loop is the safe choice
+        # here at corpus scale even though entity linking keeps "minlabel".
+        algorithm=cc_algorithm,
+        driver_threshold=cc_driver_threshold,
     )
     lab = labels.join(orig, "_id").select(F.col(id_col), F.col("label"))
     keepers = lab.groupBy("label").agg(F.min(id_col).alias("keeper_id"))

@@ -157,6 +157,12 @@ class PipelineConfig:
     salt_buckets: int = 16
     max_instances: int | None = 10_000  # provenance-array cap per node/edge
     cc_max_iter: int = 25
+    # CC physical strategy (operators/cc.py): "minlabel" (rounds = component
+    # diameter — right for name-variant clusters, diameter 2-3) or
+    # "alternating" (large-star/small-star, O(log n) rounds on any
+    # topology — the safe choice when the similarity graph can chain, e.g.
+    # near-dup corpora). Identical output either way.
+    cc_algorithm: str = "minlabel"
     # Submit the mutually independent nodes/triples/claims stage builds as
     # concurrent Spark jobs (separate driver threads): overlaps one stage's
     # under-parallelized final reduce + write with the next one's scan,
@@ -517,7 +523,11 @@ class KGPipeline:
                     names, cfg.sim_threshold, max_block_size=max_block
                 )
             labels = connected_components(
-                names, pairs, id_col="norm_name", max_iter=cfg.cc_max_iter
+                names,
+                pairs,
+                id_col="norm_name",
+                max_iter=cfg.cc_max_iter,
+                algorithm=cfg.cc_algorithm,
             )
             # CC's output is itself checkpointed (or driver-built), so the
             # names cache can be dropped before the stage write.

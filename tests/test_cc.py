@@ -301,3 +301,96 @@ def test_registered_custom_embedder_drop_in(spark, corpus_sf0001, tmp_path):
 
     with pytest.raises(ValueError, match="unknown link_embedder"):
         resolve_link_embedder("never_registered")
+
+
+def _cc_map(spark, verts, edges, **kw):
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": verts}))
+    edf = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]),
+        schema="src string, dst string",
+    )
+    out = connected_components(vdf, edf, **kw)
+    return {r["norm_name"]: r["label"] for r in out.collect()}, out
+
+
+def test_alternating_matches_union_find_random_graphs(spark):
+    """Large-star/small-star output is byte-identical to the union-find on
+    seeded random graphs (several densities, including forests and a
+    near-complete blob)."""
+    import random
+
+    for seed, n, m in [(3, 60, 20), (5, 60, 80), (7, 40, 300)]:
+        rng = random.Random(seed)
+        verts = [f"n{i:03d}" for i in range(n)]
+        edges = [
+            (verts[rng.randrange(n)], verts[rng.randrange(n)]) for _ in range(m)
+        ]
+        ref, _ = _cc_map(spark, verts, edges, driver_threshold=100_000)
+        alt, _ = _cc_map(
+            spark, verts, edges, driver_threshold=0, algorithm="alternating"
+        )
+        assert alt == ref, f"seed={seed}"
+
+
+def test_alternating_logarithmic_rounds_on_chain(spark):
+    """The scale property that motivates the algorithm: a 256-hop chain
+    (the adversarial near-dup topology) converges in O(log n) rounds —
+    the min-label loop would need 255."""
+    verts = [f"c{i:04d}" for i in range(256)]
+    edges = [(verts[i], verts[i + 1]) for i in range(255)]
+    ref, _ = _cc_map(spark, verts, edges, driver_threshold=100_000)
+    alt, out = _cc_map(
+        spark,
+        verts,
+        edges,
+        driver_threshold=0,
+        algorithm="alternating",
+        max_iter=20,
+    )
+    assert alt == ref
+    assert set(alt.values()) == {"c0000"}
+    rounds = out._graft_cc_rounds
+    assert rounds <= 12, rounds  # ~log2(256)+terminal check, not 255
+
+
+def test_alternating_edge_only_and_isolated(spark):
+    """Edge-only intermediates propagate (and can be the min) but emit no
+    rows; isolated vertices label themselves — same contract as the other
+    two paths."""
+    verts = ["b", "c", "z"]
+    edges = [("b", "x"), ("x", "c"), ("a", "b")]
+    alt, _ = _cc_map(
+        spark, verts, edges, driver_threshold=0, algorithm="alternating"
+    )
+    assert alt == {"b": "a", "c": "a", "z": "z"}
+
+
+def test_alternating_no_edges(spark):
+    alt, _ = _cc_map(
+        spark, ["x", "y"], [], driver_threshold=0, algorithm="alternating"
+    )
+    assert alt == {"x": "x", "y": "y"}
+
+
+def test_pipeline_cc_algorithm_knob(spark, corpus_sf0001, tmp_path):
+    """cc_algorithm='alternating' produces the identical canon_map stage
+    (CC output equality end-to-end through the linking graph)."""
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    r1 = run_pipeline(
+        spark,
+        corpus_sf0001["transcripts"],
+        str(tmp_path / "ml"),
+        config=PipelineConfig(),
+        until="canon_map",
+    )
+    r2 = run_pipeline(
+        spark,
+        corpus_sf0001["transcripts"],
+        str(tmp_path / "alt"),
+        config=PipelineConfig(cc_algorithm="alternating"),
+        until="canon_map",
+    )
+    m1 = {r["norm_name"]: r["entity_id"] for r in r1["canon_map"].collect()}
+    m2 = {r["norm_name"]: r["entity_id"] for r in r2["canon_map"].collect()}
+    assert m1 == m2
