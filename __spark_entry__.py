@@ -732,6 +732,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return duplicate_keeper_map(d, jaccard_threshold=0.5)
 
+    def dedup_incremental(spark, sf_dir):
+        """Incremental near-dup dedup against a persisted MinHash index:
+        the index is built over old docs (doc_id %% 5 != 0), the increment
+        (doc_id %% 5 == 0) probes the band table and is verified with the
+        signature estimator — old documents' text is never re-shingled.
+        Golden vs bit-exact pure-Python replica."""
+        import tempfile
+
+        from graphrag_litex_spark.operators.dedup import (
+            build_dedup_index,
+            incremental_dedup_pairs,
+        )
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        idx = tempfile.mkdtemp(prefix="graft_dedup_idx_")
+        build_dedup_index(d.where(F.col("doc_id") % 5 != 0), idx)
+        return incremental_dedup_pairs(
+            d.where(F.col("doc_id") % 5 == 0), idx, est_threshold=0.5
+        )
+
     def dedup_keeper_map_altcc(spark, sf_dir):
         """Same keeper map computed through the distributed large-star/
         small-star CC loop (Kiveris et al. 2014; driver_threshold=0 forces
@@ -926,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_minhash_lsh,
         dedup_keeper_map,
         dedup_keeper_map_altcc,
+        dedup_incremental,
         dedup_simhash,
         dedup_ngram_jaccard,
         source_reputation_profile,
@@ -1607,6 +1628,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keeper_map_altcc": f"""
             SELECT doc_id, keeper_id, is_keeper
             FROM read_parquet('{docops["golden_keeper_map"]}')
+        """,
+        "dedup_incremental": f"""
+            SELECT id_a, id_b, est_jaccard
+            FROM read_parquet('{docops["golden_incr_dedup"]}')
         """,
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine

@@ -165,31 +165,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    jaccard_threshold: float = 0.6,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash+LSH, verified by exact Jaccard.
-
-    -> (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    """
-    from graphrag_litex_spark.operators.iterutils import hard_checkpoint
-
+def _band_rows(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) -> one (id, band, bucket) row per band: the LSH bucket key
+    is xxhash64 of the band's signature slice. Shared by the batch
+    candidate join and the persisted incremental index so a batch-built
+    index and an incrementally-probed one can never disagree on bucketing."""
     rows_per_band = num_hashes // bands
-    # Materialize the signature stage: without a barrier, CollapseProject
-    # would inline the signature expression into every downstream band
-    # reference (num_hashes× recomputation per row). At cluster scale this
-    # would be a persisted stage table anyway.
-    base = hard_checkpoint(
-        minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
-    )
-
-    banded = base.select(
+    return base.select(
         "id",
         F.explode(
             F.array(
@@ -212,6 +194,39 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.6,
+    verify: str = "exact",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH, verified by exact Jaccard.
+
+    -> (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``verify``: "exact" re-checks candidates with exact shingle-set Jaccard
+    (the oracle-matched default); "estimate" scores them with the MinHash
+    estimator (fraction of equal signature components) — O(num_hashes) per
+    pair instead of O(|shingles|), and the mode a persisted signature index
+    supports (``incremental_dedup_pairs`` verifies the same way, so a batch
+    "estimate" run is the equivalence baseline for incremental runs).
+    """
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint
+
+    # Materialize the signature stage: without a barrier, CollapseProject
+    # would inline the signature expression into every downstream band
+    # reference (num_hashes× recomputation per row). At cluster scale this
+    # would be a persisted stage table anyway.
+    base = hard_checkpoint(
+        minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
+    )
+    banded = _band_rows(base, num_hashes, bands)
+
     # Candidate ids only through the join+dedup shuffle (no array payloads);
     # shingles re-attached once per UNIQUE pair for verification.
     a = banded.alias("a")
@@ -226,6 +241,13 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if verify == "estimate":
+        sigs = base.select("id", "sig")
+        return _estimate_verified_pairs(
+            cand, sigs, num_hashes, jaccard_threshold
+        ).withColumnRenamed("est_jaccard", "jaccard")
+    if verify != "exact":
+        raise ValueError(f"unknown verify mode: {verify!r}")
     sh_a = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
@@ -235,6 +257,212 @@ def minhash_lsh_candidates(
         pairs.withColumn("jaccard", F.when(union == 0, F.lit(1.0)).otherwise(inter / union))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _estimate_verified_pairs(
+    cand: DataFrame, sigs: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Score candidate (id_a, id_b) pairs with the MinHash Jaccard
+    estimator: fraction of equal signature components. One codegen'd
+    zip_with+aggregate per pair over fixed-width arrays — no shingle
+    payloads through any shuffle."""
+    s_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.aggregate(
+        F.zip_with(
+            "sig_a",
+            "sig_b",
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .withColumn("est_jaccard", eq / F.lit(float(num_hashes)))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> dict:
+    """Persist a MinHash-LSH dedup index: ``bands/`` (id, band, bucket —
+    partitioned by band) + ``signatures/`` (id, sig) + ``_meta.json``.
+
+    The index is O(1) per document (num_hashes longs + bands bucket rows)
+    — NOT the shingle sets — so at 100 TB of text the index is ~100k×
+    smaller than the corpus and re-shingling old documents is never needed
+    again: a daily increment probes the band table (ids-only equi-join,
+    AQE broadcasts the small increment side) and verifies with the
+    signature estimator.
+    """
+    import json
+    import os
+
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+    base = hard_checkpoint(
+        minhash_signatures(docs, id_col, text_col, shingle_k, num_hashes)
+    )
+    sigs = base.select("id", "sig")
+    sigs.write.mode("overwrite").parquet(os.path.join(index_dir, "signatures"))
+    _band_rows(base, num_hashes, bands).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(os.path.join(index_dir, "bands"))
+    release(base)
+    meta = {
+        "version": 1,
+        "shingle_k": shingle_k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "id_col": id_col,
+    }
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _read_index_meta(index_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        return json.load(f)
+
+
+def append_dedup_index(docs: DataFrame, index_dir: str, text_col: str = "text") -> dict:
+    """Append new documents' signatures + band rows to an existing index
+    (hash params come from ``_meta.json`` so bucketing can never drift).
+
+    Crash behavior: parquet appends are per-file atomic; a partial append
+    can leave band rows without a matching signature row (those candidates
+    drop out of the inner verify join — as if the doc was never indexed,
+    so a retried append simply restores them) or duplicate rows (the
+    candidate-pair ``distinct`` absorbs them). No compensation log needed.
+    """
+    import os
+
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+    meta = _read_index_meta(index_dir)
+    base = hard_checkpoint(
+        minhash_signatures(
+            docs, meta["id_col"], text_col, meta["shingle_k"], meta["num_hashes"]
+        )
+    )
+    base.select("id", "sig").write.mode("append").parquet(
+        os.path.join(index_dir, "signatures")
+    )
+    _band_rows(base, meta["num_hashes"], meta["bands"]).write.mode(
+        "append"
+    ).partitionBy("band").parquet(os.path.join(index_dir, "bands"))
+    release(base)
+    return meta
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    est_threshold: float = 0.6,
+    include_new_new: bool = True,
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENT against a persisted index, without
+    touching old documents' text: new docs are shingled/signed once, their
+    band rows probe the index's band table (plus each other when
+    ``include_new_new``), and candidates are verified with the MinHash
+    estimator over signatures from the index — the only scan of old data
+    is the ids-only band join and a semi-joined signature fetch.
+
+    -> (id_a, id_b, est_jaccard), id_a < id_b, est >= ``est_threshold``.
+    Equivalence contract (tested): old-batch pairs ∪ incremental pairs ==
+    ``minhash_lsh_candidates(all, verify="estimate")`` at the same
+    threshold.
+    """
+    import os
+
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+    spark = new_docs.sparkSession
+    meta = _read_index_meta(index_dir)
+    base = hard_checkpoint(
+        minhash_signatures(
+            new_docs, meta["id_col"], text_col, meta["shingle_k"], meta["num_hashes"]
+        )
+    )
+    banded_new = _band_rows(base, meta["num_hashes"], meta["bands"])
+    bands_old = spark.read.parquet(os.path.join(index_dir, "bands")).select(
+        "id", "band", "bucket"
+    )
+    a = banded_new.alias("a")
+    # new × indexed (either orientation — the increment's ids need not all
+    # sort above the index's).
+    cand_old = (
+        a.join(
+            bands_old.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    cands = [cand_old]
+    if include_new_new:
+        cands.append(
+            a.join(
+                banded_new.alias("c"),
+                (F.col("a.band") == F.col("c.band"))
+                & (F.col("a.bucket") == F.col("c.bucket"))
+                & (F.col("a.id") < F.col("c.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+            .distinct()
+        )
+    cand = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1]).distinct()
+    sig_old = spark.read.parquet(os.path.join(index_dir, "signatures"))
+    sigs = sig_old.unionByName(base.select("id", "sig")).groupBy("id").agg(
+        F.first("sig").alias("sig")
+    )
+    out = _estimate_verified_pairs(cand, sigs, meta["num_hashes"], est_threshold)
+    release(base)
+    return out
+
+
+def merge_keeper_map(
+    all_ids: DataFrame,
+    old_map: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold an increment's near-dup pairs into an existing keeper map
+    without re-running CC over the old pair graph: the old map's
+    (doc_id → keeper_id) rows are a spanning star of every old component,
+    so CC over {old stars} ∪ {new pairs} yields exactly the components of
+    {old pairs} ∪ {new pairs} (tested against a from-scratch rebuild) at
+    the cost of one edge per OLD DOC rather than one per old pair.
+    Alternating-star CC keeps rounds O(log n) even when increments chain
+    components together.
+    """
+    star = old_map.where(F.col("doc_id") != F.col("keeper_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("keeper_id").alias("id_b")
+    )
+    edges = star.unionByName(new_pairs.select("id_a", "id_b"))
+    return duplicate_keeper_map(
+        all_ids, id_col=id_col, pairs=edges, cc_algorithm="alternating"
     )
 
 

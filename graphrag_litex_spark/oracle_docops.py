@@ -525,7 +525,68 @@ def keeper_map_golden(doc_ids: list, pair_table: pa.Table) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 10  # v10: + PQ/ADC ANN golden
+def incremental_dedup_golden(
+    doc_ids: list,
+    texts: list,
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+) -> pa.Table:
+    """Bit-exact replica of operators/dedup.incremental_dedup_pairs with
+    the index built over old docs (doc_id % 5 != 0) and the increment
+    probed for docs where doc_id % 5 == 0: band buckets from xxhash64 of
+    the signature slice, verification = MinHash estimator (fraction of
+    equal signature lanes — exact multiples of 1/num_hashes, so rounding
+    is trivially stable)."""
+    rows_per_band = num_hashes // bands
+    sigs: dict = {}
+    for d, t in zip(doc_ids, texts):
+        sh = word_shingle_set(t, shingle_k)
+        sigs[d] = [min(xxhash64_str_int(s, i) for s in sh) for i in range(num_hashes)]
+
+    def band_keys(d):
+        return [
+            (b, xxhash64_str(
+                ",".join(str(sigs[d][b * rows_per_band + r]) for r in range(rows_per_band))
+            ))
+            for b in range(bands)
+        ]
+
+    old_ids = [d for d in doc_ids if d % 5 != 0]
+    new_ids = [d for d in doc_ids if d % 5 == 0]
+    buckets: dict[tuple, list] = {}
+    for d in old_ids:
+        for key in band_keys(d):
+            buckets.setdefault(key, []).append(d)
+    new_buckets: dict[tuple, list] = {}
+    for d in new_ids:
+        for key in band_keys(d):
+            new_buckets.setdefault(key, []).append(d)
+    cand: set[tuple] = set()
+    for d in new_ids:
+        for key in band_keys(d):
+            for p in buckets.get(key, []):
+                cand.add((min(d, p), max(d, p)))
+            for p in new_buckets.get(key, []):
+                if p != d:
+                    cand.add((min(d, p), max(d, p)))
+    out = []
+    for a, b in sorted(cand):
+        eq = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        est = eq / num_hashes
+        if est >= est_threshold:
+            out.append((a, b, round_half_up(est, 6)))
+    return pa.table(
+        {
+            "id_a": pa.array([r[0] for r in out]),
+            "id_b": pa.array([r[1] for r in out]),
+            "est_jaccard": pa.array([r[2] for r in out], pa.float64()),
+        }
+    )
+
+
+DOCOPS_VERSION = 11  # v11: + incremental-dedup golden
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -547,6 +608,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_semantic_dedup": os.path.join(out_dir, "golden_semantic_dedup.parquet"),
         "golden_quality_classifier": os.path.join(out_dir, "golden_quality_classifier.parquet"),
         "golden_ann_pq_topk": os.path.join(out_dir, "golden_ann_pq_topk.parquet"),
+        "golden_incr_dedup": os.path.join(out_dir, "golden_incr_dedup.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -568,6 +630,9 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     lsh_pairs = minhash_lsh_golden(doc_ids, texts, jaccard_threshold=0.5)
     pq.write_table(lsh_pairs, paths["golden_minhash_lsh"])
     pq.write_table(keeper_map_golden(doc_ids, lsh_pairs), paths["golden_keeper_map"])
+    pq.write_table(
+        incremental_dedup_golden(doc_ids, texts), paths["golden_incr_dedup"]
+    )
     pq.write_table(
         vector_rag_topk_golden(doc_ids, texts, "what is this corpus about", k=5),
         paths["golden_vector_rag"],
