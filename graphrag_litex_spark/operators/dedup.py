@@ -395,10 +395,13 @@ def incremental_dedup_pairs(
 
     spark = new_docs.sparkSession
     meta = _read_index_meta(index_dir)
+    # The estimator verify needs only signatures — drop the shingle arrays
+    # BEFORE the checkpoint so neither the checkpoint write nor any probe
+    # join ships them (the batch path keeps shingles for exact-Jaccard).
     base = hard_checkpoint(
         minhash_signatures(
             new_docs, meta["id_col"], text_col, meta["shingle_k"], meta["num_hashes"]
-        )
+        ).select("id", "sig")
     )
     banded_new = _band_rows(base, meta["num_hashes"], meta["bands"])
     bands_old = spark.read.parquet(os.path.join(index_dir, "bands")).select(
@@ -433,10 +436,13 @@ def incremental_dedup_pairs(
             .distinct()
         )
     cand = cands[0] if len(cands) == 1 else cands[0].unionByName(cands[1]).distinct()
+    # Increment signatures win over (identical) indexed ones for ids present
+    # in both; the anti join is map-side (small increment id set broadcasts)
+    # vs. a groupBy-dedup that would re-shuffle EVERY indexed signature.
     sig_old = spark.read.parquet(os.path.join(index_dir, "signatures"))
-    sigs = sig_old.unionByName(base.select("id", "sig")).groupBy("id").agg(
-        F.first("sig").alias("sig")
-    )
+    sigs = sig_old.join(
+        base.select("id"), "id", "left_anti"
+    ).unionByName(base.select("id", "sig"))
     out = _estimate_verified_pairs(cand, sigs, meta["num_hashes"], est_threshold)
     release(base)
     return out

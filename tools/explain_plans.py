@@ -388,6 +388,51 @@ def main() -> int:
         )
     )
 
+    # Incremental dedup: the probe against a persisted index must move no
+    # shingle payloads (signatures only) and never cross-product.
+    import tempfile
+
+    from graphrag_litex_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup_pairs,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="plans_dedup_idx_")
+    build_dedup_index(d.where(F.col("doc_id") % 5 != 0), idx_dir)
+    p = plan_of(
+        incremental_dedup_pairs(d.where(F.col("doc_id") % 5 == 0), idx_dir, est_threshold=0.5)
+    )
+    assert "CartesianProduct" not in p and "PythonEval" not in p.replace("ArrowEval", "PythonEval")
+    assert "shingles" not in p, "incremental probe must not ship shingle arrays"
+    sections.append(
+        (
+            "Incremental dedup probe (persisted index)",
+            "band-table equi-join (ids only) + signature-estimator verify; "
+            "index reads column-pruned to (id,bucket)/(id,sig); no shingle "
+            "payload anywhere in the plan",
+            p,
+        )
+    )
+
+    # Alternating-star CC: one large-star round — groupBy min + self join,
+    # all JVM-side.
+    from graphrag_litex_spark.operators.cc import _canon_edges, _large_star
+
+    edges_df = d.select(
+        (F.col("doc_id") % 97).cast("string").alias("a"),
+        (F.col("doc_id") % 89).cast("string").alias("b"),
+    )
+    p = plan_of(_large_star(_canon_edges(edges_df)))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    sections.append(
+        (
+            "Alternating-star CC round (large-star)",
+            "neighborhood-min aggregate + hash join per round; O(log n) rounds "
+            "on any topology (vs diameter for min-label)",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
