@@ -716,6 +716,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return pack_stats(pack_greedy(d, budget=256), budget=256)
 
+    def dup_span_stats(spark, sf_dir):
+        """ExactSubstr-style exposure: per-doc fraction of tokens inside
+        corpus-repeated 8-token windows; golden vs bit-exact pure-Python
+        replica (oracle_docops.span_stats_golden)."""
+        from graphrag_litex_spark.operators.span_dedup import duplicate_span_stats
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        s = duplicate_span_stats(d, k=8)
+        return s.select(
+            "doc_id",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            "n_dup_windows",
+            "dup_tokens",
+            "dup_token_frac",
+        )
+
+    def dup_span_removal(spark, sf_dir):
+        """ExactSubstr span excision (Lee et al. 2022): every non-keeper
+        occurrence of a corpus-repeated 8-token window removed, keeper =
+        globally-first occurrence; golden vs pure-Python replica."""
+        from graphrag_litex_spark.operators.span_dedup import remove_duplicate_spans
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        r = remove_duplicate_spans(d, k=8)
+        return r.select(
+            "doc_id", "text", F.col("n_tok").cast("long").alias("n_tok"), "removed_tokens"
+        )
+
     # Rows-only scale paths (LSH internals aren't ANSI-SQL expressible):
     def dedup_minhash_lsh(spark, sf_dir):
         from graphrag_litex_spark.operators.dedup import minhash_lsh_candidates
@@ -940,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_profile,
         corpus_splits,
         pack_bins,
+        dup_span_stats,
+        dup_span_removal,
         kg_chunks_windowed,
         kg_chunks_bpe,
         vector_rag_topk,
@@ -1632,6 +1663,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": f"""
             SELECT id_a, id_b, est_jaccard
             FROM read_parquet('{docops["golden_incr_dedup"]}')
+        """,
+        "dup_span_stats": f"""
+            SELECT doc_id, n_tok, n_windows, n_dup_windows, dup_tokens, dup_token_frac
+            FROM read_parquet('{docops["golden_span_stats"]}')
+        """,
+        "dup_span_removal": f"""
+            SELECT doc_id, text, n_tok, removed_tokens
+            FROM read_parquet('{docops["golden_span_removed"]}')
         """,
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine

@@ -129,6 +129,7 @@ def main() -> None:
         "ann_pq_topk",
         "kg_closeness",
         "sample_mixture",
+        "dup_span_removal",
     ):
         t0 = time.time()
         try:

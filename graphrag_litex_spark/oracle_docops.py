@@ -586,7 +586,116 @@ def incremental_dedup_golden(
     )
 
 
-DOCOPS_VERSION = 11  # v11: + incremental-dedup golden
+_SPAN_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java default (non-UNICODE) \s
+
+
+def _span_toks(text) -> list:
+    """Python twin of span_dedup._tokenized: Java ``\\s+`` split, empty
+    fragments dropped (Java's ASCII whitespace class, NOT Python's
+    unicode-aware ``\\s``)."""
+    if text is None:
+        return []
+    return [t for t in _SPAN_WS.split(text) if t != ""]
+
+
+def _span_occurrences(doc_ids: list, texts: list, k: int):
+    """-> (toks_by_doc, occurrences [(h, doc_id, pos)]) — window hash is
+    xxhash64 over the chr(31)-joined k-token slice, matching the fused
+    Spark projection bit-for-bit."""
+    toks_by = {}
+    occ = []
+    for d, t in zip(doc_ids, texts):
+        toks = _span_toks(t)
+        toks_by[d] = toks
+        for pos in range(1, len(toks) - k + 2):
+            occ.append((xxhash64_str("\x1f".join(toks[pos - 1 : pos - 1 + k])), d, pos))
+    return toks_by, occ
+
+
+def _merged_intervals(spans: list, adjacency: int) -> list:
+    """Union of [s, e] intervals; ``adjacency``=1 also merges touching
+    intervals (the removal sweep), 0 merges only true overlaps (coverage
+    counting — identical totals either way)."""
+    out = []
+    for s, e in sorted(spans):
+        if out and s <= out[-1][1] + adjacency:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return out
+
+
+def span_stats_golden(doc_ids: list, texts: list, k: int = 8) -> pa.Table:
+    """Sequential twin of span_dedup.duplicate_span_stats."""
+    from collections import Counter, defaultdict
+
+    toks_by, occ = _span_occurrences(doc_ids, texts, k)
+    counts = Counter(h for h, _, _ in occ)
+    dup_spans = defaultdict(list)
+    for h, d, pos in occ:
+        if counts[h] > 1:
+            dup_spans[d].append((pos, pos + k - 1))
+    rows = []
+    for d in doc_ids:
+        n_tok = len(toks_by[d])
+        spans = dup_spans.get(d, [])
+        dup_tokens = sum(e - s + 1 for s, e in _merged_intervals(spans, 0))
+        rows.append(
+            (
+                d,
+                n_tok,
+                max(n_tok - k + 1, 0),
+                len(spans),
+                dup_tokens,
+                dup_tokens / n_tok if n_tok else 0.0,
+            )
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_tok": pa.array([r[1] for r in rows], pa.int64()),
+            "n_windows": pa.array([r[2] for r in rows], pa.int64()),
+            "n_dup_windows": pa.array([r[3] for r in rows], pa.int64()),
+            "dup_tokens": pa.array([r[4] for r in rows], pa.int64()),
+            "dup_token_frac": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+def span_removal_golden(doc_ids: list, texts: list, k: int = 8) -> pa.Table:
+    """Sequential twin of span_dedup.remove_duplicate_spans (no cap):
+    keeper = global min (doc_id, pos) per repeated hash; non-keeper
+    occurrences excised after adjacency-merging."""
+    from collections import Counter, defaultdict
+
+    toks_by, occ = _span_occurrences(doc_ids, texts, k)
+    counts = Counter(h for h, _, _ in occ)
+    keeper = {}
+    for h, d, pos in occ:
+        if counts[h] > 1 and (h not in keeper or (d, pos) < keeper[h]):
+            keeper[h] = (d, pos)
+    rm = defaultdict(list)
+    for h, d, pos in occ:
+        if counts[h] > 1 and keeper[h] != (d, pos):
+            rm[d].append((pos, pos + k - 1))
+    rows = []
+    for d in doc_ids:
+        toks = toks_by[d]
+        kept = list(toks)
+        for s, e in reversed(_merged_intervals(rm.get(d, []), 1)):
+            del kept[s - 1 : e]
+        rows.append((d, " ".join(kept), len(kept), len(toks) - len(kept)))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "n_tok": pa.array([r[2] for r in rows], pa.int64()),
+            "removed_tokens": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+DOCOPS_VERSION = 12  # v12: + duplicate-span stats/removal goldens
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -609,6 +718,8 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_quality_classifier": os.path.join(out_dir, "golden_quality_classifier.parquet"),
         "golden_ann_pq_topk": os.path.join(out_dir, "golden_ann_pq_topk.parquet"),
         "golden_incr_dedup": os.path.join(out_dir, "golden_incr_dedup.parquet"),
+        "golden_span_stats": os.path.join(out_dir, "golden_span_stats.parquet"),
+        "golden_span_removed": os.path.join(out_dir, "golden_span_removed.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -643,6 +754,8 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         paths["golden_quality_classifier"],
     )
     pq.write_table(winnow_fps_golden(doc_ids, texts), paths["golden_winnow_fps"])
+    pq.write_table(span_stats_golden(doc_ids, texts), paths["golden_span_stats"])
+    pq.write_table(span_removal_golden(doc_ids, texts), paths["golden_span_removed"])
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
     vids = emb.column("vec_id").to_pylist()

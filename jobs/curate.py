@@ -73,6 +73,8 @@ def curate(
     min_model_logit: float | None = None,
     model_weights=None,
     model_buckets: int = 1 << 18,
+    remove_dup_spans_k: int | None = None,
+    dup_span_max_occurrences: int | None = None,
     semantic_dedup_threshold: float | None = None,
     semantic_clusters: int = 64,
     embedding_col: str | None = None,
@@ -265,6 +267,46 @@ def curate(
             kmap.where("is_keeper").select(F.col("doc_id").alias(id_col)), id_col
         )
         report["jaccard_threshold"] = jaccard_threshold
+    if remove_dup_spans_k is not None:
+        # ExactSubstr-style span excision AFTER doc-level dedup (whole-doc
+        # dups are cheaper to drop than to excise): repeated k-token
+        # passages keep their globally-first occurrence only. Rewrites
+        # text, so n_tokens is recomputed; docs excised to below
+        # min_tokens are dropped (they are all-boilerplate shells).
+        from graphrag_litex_spark.operators.span_dedup import remove_duplicate_spans
+        from graphrag_litex_spark.operators.text_analysis import token_count_col
+
+        n_before_span = curated.count()
+        report.setdefault(
+            "near_dups_removed", (n_exact - n_before_span) if near_dedup else 0
+        )
+        cleaned = remove_duplicate_spans(
+            curated.select(id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            k=remove_dup_spans_k,
+            max_occurrences=dup_span_max_occurrences,
+        )
+        curated = (
+            curated.drop(text_col)
+            .join(
+                cleaned.select(
+                    F.col("doc_id").alias(id_col),
+                    F.col("text").alias(text_col),
+                    "removed_tokens",
+                ),
+                id_col,
+            )
+            .withColumn("n_tokens", token_count_col(text_col))
+        )
+        if stage_dir:
+            curated = _materialize(curated, os.path.join(stage_dir, "span_dedup"))
+        report["span_tokens_removed"] = int(
+            curated.agg(F.sum("removed_tokens")).first()[0] or 0
+        )
+        curated = curated.drop("removed_tokens").where(F.col("n_tokens") >= min_tokens)
+        report["span_emptied_docs"] = n_before_span - curated.count()
+        report["dup_span_k"] = remove_dup_spans_k
     if semantic_dedup_threshold is not None:
         # SemDeDup pass AFTER the lexical dedups (it targets what they
         # can't see: paraphrases/translations with disjoint surface forms).
@@ -403,6 +445,21 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. 'web=2000000,code=500000'; sources not listed are dropped",
     )
     p.add_argument(
+        "--remove-dup-spans",
+        type=int,
+        default=None,
+        metavar="K",
+        help="excise corpus-repeated K-token spans after dedup, keeping the "
+        "globally-first occurrence (ExactSubstr; typical K=50 for web text)",
+    )
+    p.add_argument(
+        "--dup-span-max-occurrences",
+        type=int,
+        default=10000,
+        help="spans repeated more than this many times are left to the "
+        "boilerplate filter instead of excised (skew valve)",
+    )
+    p.add_argument(
         "--min-model-logit",
         type=float,
         default=None,
@@ -472,6 +529,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.model_weights
         else None,
         model_buckets=args.model_buckets,
+        remove_dup_spans_k=args.remove_dup_spans,
+        dup_span_max_occurrences=args.dup_span_max_occurrences,
         semantic_dedup_threshold=args.semantic_dedup,
         semantic_clusters=args.semantic_clusters,
         embedding_col=args.embedding_col,

@@ -257,3 +257,38 @@ def test_curate_mixture_budgets(spark):
     assert sum(r["n_tokens"] for r in out) <= 20
     assert report["mixture_removed"] == 12 - len(out)
     assert report["mixture_budgets"] == {"web": 20}
+
+
+def test_curate_span_dedup_stage(spark):
+    """--remove-dup-spans: a verbatim passage shared by two otherwise-
+    distinct docs is excised from the non-keeper; token accounting and the
+    emptied-doc gate hold."""
+    from jobs.curate import curate
+
+    passage = "the shared boilerplate passage that appears verbatim in two documents here"
+    rows = [
+        ("p1", f"unique intro alpha beta gamma delta. {passage}"),
+        ("p2", f"{passage} entirely different tail words epsilon zeta eta theta"),
+        ("p3", "independent document content with no duplicated spans anywhere "
+               "at all in the corpus to be found"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    curated, report = curate(
+        spark,
+        docs,
+        min_quality=0.0,
+        min_tokens=1,
+        near_dedup=False,
+        remove_dup_spans_k=6,
+    )
+    out = {r["doc_id"]: r["text"] for r in curated.select("doc_id", "text").collect()}
+    assert passage in out["p1"]  # keeper: global min (doc_id, pos) lands in p1
+    assert passage not in out["p2"]
+    assert "epsilon zeta eta theta" in out["p2"]
+    assert out["p3"].startswith("independent document")
+    assert report["span_tokens_removed"] >= 11
+    assert report["span_emptied_docs"] == 0
+    assert report["dup_span_k"] == 6
+    # n_tokens recomputed from the rewritten text
+    toks = {r["doc_id"]: r["n_tokens"] for r in curated.select("doc_id", "n_tokens").collect()}
+    assert toks["p2"] == 8

@@ -433,6 +433,26 @@ def main() -> int:
         )
     )
 
+    # Duplicate-span removal (ExactSubstr): everything codegen — the window
+    # hashing is one fused projection, keeper election one map-side-combined
+    # hash agg, the sweeps partition-local windows; never a cartesian, never
+    # Python.
+    from graphrag_litex_spark.operators.span_dedup import remove_duplicate_spans
+
+    p = plan_of(remove_duplicate_spans(d, k=8))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "xxhash64" in p
+    sections.append(
+        (
+            "Duplicate-span removal (ExactSubstr-style)",
+            "fused slice+array_join+xxhash64 window projection -> one "
+            "count+min-keeper hash agg on h -> equi-join back -> per-doc "
+            "sweep windows (partition-local after repartition(id)); all "
+            "whole-stage codegen",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
