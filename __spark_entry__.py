@@ -273,6 +273,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.select("src", "dst"), n_sources=8, max_hops=6
         ).orderBy("name")
 
+    def kg_edge_history(spark, sf_dir):
+        """Temporal KG provenance: per merged (subj, pred, obj) triple, the
+        first/last transcript timestamp it was observed at and the sighting
+        count — the edge-validity-interval view a temporally-aware consumer
+        reads. One (conv_id, turn_idx) equi-join + one hash agg; epoch
+        seconds because timestamp stringification differs across engines."""
+        sf = _sf_from_dir(sf_dir)
+        t = _kg(spark, sf)["triples"]
+        tr = spark.read.parquet(_gold(sf, "transcripts")).select("conv_id", "turn_idx", "ts")
+        return (
+            t.join(tr, ["conv_id", "turn_idx"])
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.unix_timestamp(F.min("ts")).cast("long").alias("first_seen"),
+                F.unix_timestamp(F.max("ts")).cast("long").alias("last_seen"),
+                F.count(F.lit(1)).alias("n_sightings"),
+            )
+        )
+
+    def kg_two_hop(spark, sf_dir):
+        """Two-hop reachability over the merged edges (a -> b -> c, a != c):
+        path count + strongest path (product of 6dp-rounded edge strengths,
+        re-rounded — both engines multiply identical doubles). The self-join
+        shuffles on the hop key; in the published warehouse edges are
+        bucketed on src_id so this join is Exchange-free there. Top-100 by
+        (n_paths desc, src, dst) keeps the contract output bounded."""
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select(
+            "src", "dst", F.round("strength", 6).alias("s")
+        )
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(b, (F.col("a.dst") == F.col("b.src")) & (F.col("a.src") != F.col("b.dst")))
+            .groupBy(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .agg(
+                F.count(F.lit(1)).alias("n_paths"),
+                F.round(F.max(F.col("a.s") * F.col("b.s")), 6).alias("best_strength"),
+            )
+            .orderBy(F.desc("n_paths"), "src", "dst")
+            .limit(100)
+        )
+
+    def kg_mention_skew_profile(spark, sf_dir):
+        """Skew measurement for the KG's hottest aggregation key (the
+        mention norm_name stream that merge/linking salt against): heaviest
+        keys, row share, and the integer-exact salt-bucket suggestion
+        (operators/profiling.key_skew_profile)."""
+        from graphrag_litex_spark.operators.profiling import key_skew_profile
+
+        m = _kg(spark, _sf_from_dir(sf_dir))["mentions"]
+        return key_skew_profile(m, "norm_name", top_n=20, target_partitions=64)
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -932,6 +983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_link_prediction,
         kg_kcore,
         kg_closeness,
+        kg_edge_history,
+        kg_two_hop,
+        kg_mention_skew_profile,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -1072,6 +1126,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT conv_id || '_' || cast(turn_idx AS varchar)) AS n_instances
             FROM read_parquet('{mentions}')
             GROUP BY canonical
+        """,
+        "kg_edge_history": f"""
+            SELECT t.subj, t.pred, t.obj,
+                   cast(epoch(min(tr.ts)) AS bigint) AS first_seen,
+                   cast(epoch(max(tr.ts)) AS bigint) AS last_seen,
+                   count(*) AS n_sightings
+            FROM read_parquet('{triples}') t
+            JOIN read_parquet('{transcripts}') tr
+              USING (conv_id, turn_idx)
+            GROUP BY t.subj, t.pred, t.obj
+        """,
+        "kg_two_hop": f"""
+            WITH e AS (
+                SELECT subj AS src, obj AS dst, round(avg(strength), 6) AS s
+                FROM read_parquet('{triples}')
+                GROUP BY subj, obj
+            )
+            SELECT a.src AS src, b.dst AS dst, count(*) AS n_paths,
+                   round(max(a.s * b.s), 6) AS best_strength
+            FROM e a JOIN e b ON a.dst = b.src AND a.src <> b.dst
+            GROUP BY a.src, b.dst
+            ORDER BY n_paths DESC, a.src, b.dst
+            LIMIT 100
+        """,
+        "kg_mention_skew_profile": f"""
+            WITH c AS (
+                SELECT norm_name AS key, count(*) AS n
+                FROM read_parquet('{mentions}')
+                GROUP BY norm_name
+            ), t AS (SELECT sum(n) AS total FROM c)
+            SELECT key, n, round(n / total, 6) AS share,
+                   cast(greatest(1, (n * 64 + total - 1) // total) AS int)
+                     AS suggested_salt
+            FROM c, t
+            ORDER BY n DESC, key
+            LIMIT 20
         """,
         "kg_edges_merged": f"""
             SELECT subj AS src, obj AS dst,

@@ -130,6 +130,7 @@ def main() -> None:
         "kg_closeness",
         "sample_mixture",
         "dup_span_removal",
+        "kg_two_hop",
     ):
         t0 = time.time()
         try:
