@@ -767,6 +767,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return pack_stats(pack_greedy(d, budget=256), budget=256)
 
+    def image_dup_pairs(spark, sf_dir):
+        """Perceptual image near-dup: deterministic fixture renders (PPM +
+        BMP containers, planted single-pixel edits) -> real decode -> dHash
+        -> pigeonhole-banded Hamming join. Golden is a brute-force
+        pure-Python dHash over the same pixels — banding must equal brute
+        exactly (zero false negatives by construction)."""
+        from graphrag_litex_spark.operators.multimodal import (
+            dhash_near_dup_pairs,
+            image_dhash,
+            media_fixture_from_docs,
+        )
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        pairs = dhash_near_dup_pairs(
+            image_dhash(media_fixture_from_docs(d)), max_hamming=4
+        )
+        return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
     def dup_span_stats(spark, sf_dir):
         """ExactSubstr-style exposure: per-doc fraction of tokens inside
         corpus-repeated 8-token windows; golden vs bit-exact pure-Python
@@ -1025,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pack_bins,
         dup_span_stats,
         dup_span_removal,
+        image_dup_pairs,
         kg_chunks_windowed,
         kg_chunks_bpe,
         vector_rag_topk,
@@ -1761,6 +1780,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": f"""
             SELECT doc_id, text, n_tok, removed_tokens
             FROM read_parquet('{docops["golden_span_removed"]}')
+        """,
+        "image_dup_pairs": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{docops["golden_image_dups"]}')
         """,
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine

@@ -403,3 +403,164 @@ def sample_audio_windows(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---- perceptual near-duplicate detection ----------------------------------
+
+DHASH_SCHEMA = "media_id string, format string, decoded boolean, dhash long"
+
+
+def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit difference hash (dHash) per image -> (media_id, format,
+    decoded, dhash).
+
+    The standard perceptual fingerprint for image near-dup detection:
+    decode -> luma -> nearest-neighbor downsample to (hash_size,
+    hash_size+1) -> one bit per horizontal gradient sign. Re-encodes,
+    resizes, format conversions, and small pixel edits perturb few bits, so
+    near-duplicate images land within a small Hamming distance — the image
+    analog of SimHash on text. Decode failures / undecodable codecs come
+    back ``decoded=False, dhash=NULL`` (the C2 envelope stance), never a
+    task failure.
+
+    Arrow-batched ``mapInPandas``; the per-image work is a numpy index
+    gather + comparison, so throughput is decode-bound. At 100 TB the
+    output is 16 bytes/image — the table that ships to
+    :func:`dhash_near_dup_pairs` — while payload bytes never shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphrag_litex_spark.functions import media_codecs as mc
+
+        img_fmts = mc.decodable_image_formats()
+        for pdf in it:
+            mid, fmts, dec, hs = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = mc.detect_format(payload)
+                mid.append(media_id)
+                fmts.append(fmt)
+                h = None
+                if fmt in img_fmts:
+                    try:
+                        img = mc.decode_image(payload)
+                        luma = img.astype(np.float64).mean(axis=2)
+                        g = mc.resize_nearest(luma, hash_size + 1, hash_size)
+                        bits = (g[:, :-1] > g[:, 1:]).flatten()
+                        acc = 0
+                        for b in bits:
+                            acc = (acc << 1) | int(b)
+                        if acc >= 1 << 63:  # wrap to signed int64
+                            acc -= 1 << 64
+                        h = acc
+                    except Exception:
+                        h = None
+                dec.append(h is not None)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"media_id": mid, "format": fmts, "decoded": dec, "dhash": hs}
+            )
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs -> (id_a, id_b, hamming), hamming <=
+    ``max_hamming``, id_a < id_b.
+
+    Hamming-LSH by pigeonhole: the 64-bit hash splits into
+    ``max_hamming + 1`` bands, so any pair within ``max_hamming`` bit flips
+    agrees EXACTLY on at least one band — candidate generation is a hash
+    equi-join on (band, value) with ZERO false negatives (this is exact
+    search, not probabilistic LSH), then one codegen'd
+    ``bit_count(a ^ b)`` verify. Never an all-pairs product; band values
+    for mega-clusters (icons repeated corpus-wide) are the skew keys —
+    AQE skew-join splits them, and the verify input is ids+hashes only
+    (16 bytes/row)."""
+    bands = max_hamming + 1
+    base_w, extra = divmod(64, bands)
+    rows, start = [], 0
+    for i in range(bands):
+        w = base_w + (1 if i < extra else 0)
+        rows.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned("dhash", start)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("value"),
+            )
+        )
+        start += w
+    banded = (
+        hashes.where(F.col("dhash").isNotNull())
+        .select("media_id", "dhash", F.explode(F.array(*rows)).alias("b"))
+        .select("media_id", "dhash", "b.band", "b.value")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def fixture_image(doc_id: int):
+    """Deterministic 32x32 RGB image for integer ``doc_id`` — the shared
+    pixel source for the image-dedup contract query and its pure-Python
+    golden (the testdata ships no real media; pixels being a pure function
+    of the id keeps the two sides trivially in agreement while the codec
+    round-trip, dHash, banding, and verify join stay differentially
+    tested). Ids with ``doc_id % 10 == 7`` replicate the previous id's
+    image with a single-pixel edit: planted near-duplicates."""
+    import numpy as np
+
+    base_id = doc_id - 1 if doc_id % 10 == 7 and doc_id > 0 else doc_id
+    # Per-id uniform noise: distinct ids land ~32 bits apart (random
+    # gradients), so ONLY the planted pairs are near — the dedup output is
+    # exactly the planted set plus rare random collisions.
+    rng = np.random.RandomState(base_id % 100003)
+    img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    if base_id != doc_id:
+        img = img.copy()
+        img[doc_id % 32, (3 * doc_id) % 32] = (255, 0, 255)
+    return img
+
+
+def media_fixture_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, kind, payload) frame of :func:`fixture_image` renders —
+    PPM for most ids, BMP for ``doc_id % 3 == 0`` (two containers so the
+    dedup path proves container-invariance)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_litex_spark.functions import media_codecs as mc
+
+        for pdf in it:
+            mid, kind, pay = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                img = fixture_image(d)
+                enc = mc.encode_bmp if d % 3 == 0 else mc.encode_ppm
+                mid.append(str(d))
+                kind.append("image")
+                pay.append(enc(img))
+            yield pd.DataFrame({"media_id": mid, "kind": kind, "payload": pay})
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        batches, "media_id string, kind string, payload binary"
+    )

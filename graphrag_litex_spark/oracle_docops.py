@@ -695,7 +695,53 @@ def span_removal_golden(doc_ids: list, texts: list, k: int = 8) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 12  # v12: + duplicate-span stats/removal goldens
+def _dhash_py(img, hash_size: int = 8) -> int:
+    """Sequential dHash twin of multimodal.image_dhash: luma -> the same
+    integer-index nearest-neighbor downsample -> row-major gradient bits
+    (signed int64). Pixel source is shared (fixture_image); the codec
+    round-trip, resize, hashing, banding, and verify join are what this
+    golden checks differentially."""
+    h, w = img.shape[:2]
+    # int() per channel: builtin sum over np.uint8 would wrap at 256 under
+    # NEP-50 promotion; the exact integer sum then divides in float64 just
+    # like numpy's mean(axis=2).
+    luma = [[sum(int(v) for v in img[y][x]) / 3.0 for x in range(w)] for y in range(h)]
+    yy = [(i * h) // hash_size for i in range(hash_size)]
+    xx = [(j * w) // (hash_size + 1) for j in range(hash_size + 1)]
+    acc = 0
+    for y in yy:
+        row = [luma[y][x] for x in xx]
+        for c in range(hash_size):
+            acc = (acc << 1) | (1 if row[c] > row[c + 1] else 0)
+    return acc - (1 << 64) if acc >= 1 << 63 else acc
+
+
+def image_dup_pairs_golden(doc_ids: list, max_hamming: int = 4) -> pa.Table:
+    """Brute-force near-dup image pairs over the deterministic fixture
+    renders — the SPECIFICATION the banded join must match exactly (the
+    pigeonhole banding has zero false negatives, so banded == brute)."""
+    from graphrag_litex_spark.operators.multimodal import fixture_image
+
+    hashes = [(str(d), _dhash_py(fixture_image(int(d)))) for d in sorted(doc_ids)]
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            (ia, ha), (ib, hb) = hashes[i], hashes[j]
+            d = bin((ha ^ hb) & mask).count("1")
+            if d <= max_hamming:
+                out.append((min(ia, ib), max(ia, ib), d))
+    out.sort()
+    return pa.table(
+        {
+            "id_a": pa.array([r[0] for r in out], pa.string()),
+            "id_b": pa.array([r[1] for r in out], pa.string()),
+            "hamming": pa.array([r[2] for r in out], pa.int32()),
+        }
+    )
+
+
+DOCOPS_VERSION = 14  # v14: + image-dup-pairs golden (noise fixtures)
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -720,6 +766,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_incr_dedup": os.path.join(out_dir, "golden_incr_dedup.parquet"),
         "golden_span_stats": os.path.join(out_dir, "golden_span_stats.parquet"),
         "golden_span_removed": os.path.join(out_dir, "golden_span_removed.parquet"),
+        "golden_image_dups": os.path.join(out_dir, "golden_image_dups.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -756,6 +803,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     pq.write_table(winnow_fps_golden(doc_ids, texts), paths["golden_winnow_fps"])
     pq.write_table(span_stats_golden(doc_ids, texts), paths["golden_span_stats"])
     pq.write_table(span_removal_golden(doc_ids, texts), paths["golden_span_removed"])
+    pq.write_table(image_dup_pairs_golden(doc_ids), paths["golden_image_dups"])
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
     vids = emb.column("vec_id").to_pylist()
