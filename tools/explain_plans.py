@@ -453,6 +453,27 @@ def main() -> int:
         )
     )
 
+    # Perceptual image dedup: candidate generation must be a hash equi-join
+    # on (band, value) — never a cartesian — and the only Python in the
+    # plan is the Arrow-batched decode/hash stage.
+    from graphrag_litex_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+        media_fixture_from_docs,
+    )
+
+    p = plan_of(dhash_near_dup_pairs(image_dhash(media_fixture_from_docs(d.limit(200)))))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    sections.append(
+        (
+            "Perceptual image near-dup (dHash + pigeonhole bands)",
+            "Arrow decode/hash -> banded explode -> hash equi-join on "
+            "(band, value) -> codegen bit_count verify; 16 bytes/image "
+            "shuffle, payload bytes never leave the scan stage",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
