@@ -785,6 +785,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
+    def audio_dup_pairs(spark, sf_dir):
+        """Perceptual audio near-dup: fixture WAV signals (planted edits)
+        -> real PCM decode -> integer energy-gradient fingerprint -> the
+        same pigeonhole Hamming banding as images. Golden is brute-force
+        pure-Python fingerprinting over the same signals."""
+        from graphrag_litex_spark.operators.multimodal import (
+            audio_fingerprint,
+            audio_fixture_from_docs,
+            dhash_near_dup_pairs,
+        )
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        pairs = dhash_near_dup_pairs(
+            audio_fingerprint(audio_fixture_from_docs(d)),
+            max_hamming=6,
+            hash_col="fingerprint",
+        )
+        return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
     def dup_span_stats(spark, sf_dir):
         """ExactSubstr-style exposure: per-doc fraction of tokens inside
         corpus-repeated 8-token windows; golden vs bit-exact pure-Python
@@ -1044,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup_span_stats,
         dup_span_removal,
         image_dup_pairs,
+        audio_dup_pairs,
         kg_chunks_windowed,
         kg_chunks_bpe,
         vector_rag_topk,
@@ -1784,6 +1804,10 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_pairs": f"""
             SELECT id_a, id_b, hamming
             FROM read_parquet('{docops["golden_image_dups"]}')
+        """,
+        "audio_dup_pairs": f"""
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('{docops["golden_audio_dups"]}')
         """,
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine

@@ -465,9 +465,12 @@ def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     return media.mapInPandas(batches, DHASH_SCHEMA)
 
 
-def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Near-duplicate image pairs -> (id_a, id_b, hamming), hamming <=
-    ``max_hamming``, id_a < id_b.
+def dhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 4, hash_col: str = "dhash"
+) -> DataFrame:
+    """Near-duplicate pairs -> (id_a, id_b, hamming), hamming <=
+    ``max_hamming``, id_a < id_b, over ANY 64-bit perceptual fingerprint
+    column (image dHash, audio energy fingerprint, ...).
 
     Hamming-LSH by pigeonhole: the 64-bit hash splits into
     ``max_hamming + 1`` bands, so any pair within ``max_hamming`` bit flips
@@ -493,7 +496,8 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
         )
         start += w
     banded = (
-        hashes.where(F.col("dhash").isNotNull())
+        hashes.withColumn("dhash", F.col(hash_col))
+        .where(F.col("dhash").isNotNull())
         .select("media_id", "dhash", F.explode(F.array(*rows)).alias("b"))
         .select("media_id", "dhash", "b.band", "b.value")
     )
@@ -559,6 +563,101 @@ def media_fixture_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 mid.append(str(d))
                 kind.append("image")
                 pay.append(enc(img))
+            yield pd.DataFrame({"media_id": mid, "kind": kind, "payload": pay})
+
+    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        batches, "media_id string, kind string, payload binary"
+    )
+
+
+AUDIO_FP_SCHEMA = "media_id string, format string, decoded boolean, fingerprint long"
+
+
+def audio_fingerprint(media: DataFrame, n_windows: int = 65) -> DataFrame:
+    """64-bit perceptual audio fingerprint -> (media_id, format, decoded,
+    fingerprint): decode PCM -> split into ``n_windows`` equal windows ->
+    one bit per energy-gradient sign between consecutive windows — the
+    audio analog of dHash (re-encodes and small edits perturb few bits;
+    time-shifts perturb proportionally). Window energies are summed in
+    INTEGER int16²-space, so the fingerprint is bit-exact across engines
+    and partitionings (no float summation-order dependence). Undecodable
+    rows -> ``decoded=False, fingerprint=NULL`` envelope. Near-dup pairs:
+    feed to :func:`dhash_near_dup_pairs` with ``hash_col="fingerprint"``.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from graphrag_litex_spark.functions import media_codecs as mc
+
+        for pdf in it:
+            mid, fmts, dec, fps = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt = mc.detect_format(payload)
+                mid.append(media_id)
+                fmts.append(fmt)
+                fp = None
+                if fmt == "wav":
+                    try:
+                        _, samples = mc.decode_wav(payload)
+                        # exact int16 reconstruction (k/2^15 is exact in
+                        # float64), then order-free integer energy sums
+                        s16 = np.rint(samples * 32768.0).astype(np.int64)
+                        n = s16.size
+                        acc = 0
+                        prev = None
+                        for i in range(n_windows):
+                            w = s16[(i * n) // n_windows : ((i + 1) * n) // n_windows]
+                            e = int((w * w).sum())
+                            if prev is not None:
+                                acc = (acc << 1) | (1 if prev > e else 0)
+                            prev = e
+                        if acc >= 1 << 63:
+                            acc -= 1 << 64
+                        fp = acc
+                    except Exception:
+                        fp = None
+                dec.append(fp is not None)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {"media_id": mid, "format": fmts, "decoded": dec, "fingerprint": fps}
+            )
+
+    return media.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def fixture_audio(doc_id: int):
+    """Deterministic (rate, int16-float samples) for integer ``doc_id`` —
+    shared sample source for the audio-dedup contract query and its golden
+    (same stance as :func:`fixture_image`). Ids with ``doc_id % 10 == 7``
+    replicate the previous id's signal with a tiny localized edit:
+    planted near-duplicates."""
+    import numpy as np
+
+    base_id = doc_id - 1 if doc_id % 10 == 7 and doc_id > 0 else doc_id
+    rng = np.random.RandomState((base_id * 7 + 3) % 100003)
+    samples = (rng.randint(-20000, 20000, 2048).astype(np.float64)) / 32768.0
+    if base_id != doc_id:
+        samples = samples.copy()
+        pos = (doc_id * 13) % 2000
+        samples[pos : pos + 8] = 0.5
+    return 8000, samples
+
+
+def audio_fixture_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, kind, payload) frame of WAV-encoded fixture signals."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from graphrag_litex_spark.functions import media_codecs as mc
+
+        for pdf in it:
+            mid, kind, pay = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, samples = fixture_audio(d)
+                mid.append(str(d))
+                kind.append("audio")
+                pay.append(mc.encode_wav(rate, samples))
             yield pd.DataFrame({"media_id": mid, "kind": kind, "payload": pay})
 
     return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(

@@ -741,7 +741,54 @@ def image_dup_pairs_golden(doc_ids: list, max_hamming: int = 4) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 14  # v14: + image-dup-pairs golden (noise fixtures)
+def _audio_fp_py(samples_int16: list, n_windows: int = 65) -> int:
+    """Sequential twin of multimodal.audio_fingerprint's bit math: integer
+    int16² window energies (order-free by construction) -> gradient bits."""
+    n = len(samples_int16)
+    acc = 0
+    prev = None
+    for i in range(n_windows):
+        w = samples_int16[(i * n) // n_windows : ((i + 1) * n) // n_windows]
+        e = sum(int(v) * int(v) for v in w)
+        if prev is not None:
+            acc = (acc << 1) | (1 if prev > e else 0)
+        prev = e
+    return acc - (1 << 64) if acc >= 1 << 63 else acc
+
+
+def audio_dup_pairs_golden(doc_ids: list, max_hamming: int = 6) -> pa.Table:
+    """Brute-force audio near-dup pairs over the fixture signals, through
+    the SAME WAV encode/decode round trip the Spark path takes (the codec
+    is shared plumbing with its own round-trip units; the fingerprint math
+    and the banded join are what this golden checks differentially)."""
+    from graphrag_litex_spark.functions import media_codecs as mc
+    from graphrag_litex_spark.operators.multimodal import fixture_audio
+
+    fps = []
+    for d in sorted(doc_ids):
+        rate, samples = fixture_audio(int(d))
+        _, rt = mc.decode_wav(mc.encode_wav(rate, samples))
+        s16 = [int(round(v * 32768.0)) for v in rt]
+        fps.append((str(d), _audio_fp_py(s16)))
+    mask = (1 << 64) - 1
+    out = []
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            (ia, ha), (ib, hb) = fps[i], fps[j]
+            dd = bin((ha ^ hb) & mask).count("1")
+            if dd <= max_hamming:
+                out.append((min(ia, ib), max(ia, ib), dd))
+    out.sort()
+    return pa.table(
+        {
+            "id_a": pa.array([r[0] for r in out], pa.string()),
+            "id_b": pa.array([r[1] for r in out], pa.string()),
+            "hamming": pa.array([r[2] for r in out], pa.int32()),
+        }
+    )
+
+
+DOCOPS_VERSION = 15  # v15: + audio-dup-pairs golden
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -767,6 +814,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_span_stats": os.path.join(out_dir, "golden_span_stats.parquet"),
         "golden_span_removed": os.path.join(out_dir, "golden_span_removed.parquet"),
         "golden_image_dups": os.path.join(out_dir, "golden_image_dups.parquet"),
+        "golden_audio_dups": os.path.join(out_dir, "golden_audio_dups.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -804,6 +852,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     pq.write_table(span_stats_golden(doc_ids, texts), paths["golden_span_stats"])
     pq.write_table(span_removal_golden(doc_ids, texts), paths["golden_span_removed"])
     pq.write_table(image_dup_pairs_golden(doc_ids), paths["golden_image_dups"])
+    pq.write_table(audio_dup_pairs_golden(doc_ids), paths["golden_audio_dups"])
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
     vids = emb.column("vec_id").to_pylist()

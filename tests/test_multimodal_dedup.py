@@ -114,3 +114,44 @@ def test_hamming_above_threshold_excluded(spark):
         "media_id string, format string, decoded boolean, dhash long",
     )
     assert dhash_near_dup_pairs(df, max_hamming=4).count() == 0
+
+
+def test_audio_fingerprint_near_and_far(spark):
+    import numpy as np
+
+    from graphrag_litex_spark.operators.multimodal import audio_fingerprint
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(-20000, 20000, 2048).astype(np.float64) / 32768.0
+    b = a.copy()
+    b[100:108] = 0.4  # tiny localized edit: near
+    c = rng.randint(-20000, 20000, 2048).astype(np.float64) / 32768.0  # independent: far
+    rows = [
+        ("a", mc.encode_wav(8000, a)),
+        ("b", mc.encode_wav(8000, b)),
+        ("c", mc.encode_wav(8000, c)),
+        ("bad", b"RIFFgarbage"),
+    ]
+    df = spark.createDataFrame(
+        [(i, "audio", bytearray(p)) for i, p in rows],
+        "media_id string, kind string, payload binary",
+    )
+    got = {r["media_id"]: r.asDict() for r in audio_fingerprint(df).collect()}
+    assert got["a"]["decoded"] and got["b"]["decoded"] and got["c"]["decoded"]
+    assert _ham(got["a"]["fingerprint"], got["b"]["fingerprint"]) <= 6
+    assert _ham(got["a"]["fingerprint"], got["c"]["fingerprint"]) > 10
+    assert got["bad"]["decoded"] is False and got["bad"]["fingerprint"] is None
+
+
+def test_audio_pairs_via_shared_banding(spark):
+    from graphrag_litex_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_fixture_from_docs,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = dhash_near_dup_pairs(
+        audio_fingerprint(audio_fixture_from_docs(docs)), max_hamming=6, hash_col="fingerprint"
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("16", "17") in found and ("6", "7") in found  # planted
