@@ -785,6 +785,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
+    def doc_clusters(spark, sf_dir):
+        """Deterministic embedding clustering (IVF coarse quantizer as a
+        first-class curation op — the grouping behind SemDeDup / cluster-
+        balanced sampling): argmax-cosine assignment is ONE codegen
+        expression, per-cluster stats one hash agg. Mean centroid-cosine is
+        carried as 6dp integer micro-units so the mean is a single
+        exactly-rounded division in both engines. Golden: pure-Python
+        sequential replica (oracle_docops.doc_clusters_golden)."""
+        from graphrag_litex_spark.operators.similarity import (
+            _query_lit,
+            cosine_col,
+            ivf_centroids,
+        )
+
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        cents = ivf_centroids(emb, 8)
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine_col(F.col("embedding").cast("array<double>"), _query_lit(c)).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in enumerate(cents)
+            ]
+        )
+        best = F.array_max(scored)
+        base = emb.select(
+            "vec_id",
+            best["cid"].alias("cluster_id"),
+            F.round(F.round(best["s"], 6) * 1e6, 0).cast("long").alias("q"),
+        )
+        return base.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.sum("q") / F.count(F.lit(1)) / F.lit(1e6), 6).alias("mean_cos"),
+        )
+
     def audio_dup_pairs(spark, sf_dir):
         """Perceptual audio near-dup: fixture WAV signals (planted edits)
         -> real PCM decode -> integer energy-gradient fingerprint -> the
@@ -1064,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dup_span_removal,
         image_dup_pairs,
         audio_dup_pairs,
+        doc_clusters,
         kg_chunks_windowed,
         kg_chunks_bpe,
         vector_rag_topk,
@@ -1808,6 +1846,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup_pairs": f"""
             SELECT id_a, id_b, hamming
             FROM read_parquet('{docops["golden_audio_dups"]}')
+        """,
+        "doc_clusters": f"""
+            SELECT cluster_id, n_vecs, min_vec_id, mean_cos
+            FROM read_parquet('{docops["golden_doc_clusters"]}')
         """,
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine

@@ -788,7 +788,37 @@ def audio_dup_pairs_golden(doc_ids: list, max_hamming: int = 6) -> pa.Table:
     )
 
 
-DOCOPS_VERSION = 15  # v15: + audio-dup-pairs golden
+def doc_clusters_golden(vec_ids: list, vecs: list, n_clusters: int = 8) -> pa.Table:
+    """Sequential replica of the doc_clusters query: IVF seeds = smallest
+    (xxhash64(long id), id); assignment = argmax cosine (ties to larger
+    cid); per-cluster size, min member id, and mean of 6dp-rounded cosines
+    carried as INTEGER micro-units so the mean is one exactly-rounded
+    division in both engines."""
+    order = sorted(zip(vec_ids, vecs), key=lambda r: (xxhash64_long(int(r[0])), r[0]))
+    cents = [[float(x) for x in v] for _, v in order[:n_clusters]]
+    agg: dict[int, list] = {}
+    for vid, v in zip(vec_ids, vecs):
+        vd = [float(x) for x in v]
+        cid = max(range(len(cents)), key=lambda c: (_cosine_fold(vd, cents[c]), c))
+        q = int(round(round_half_up(_cosine_fold(vd, cents[cid]), 6) * 1e6))
+        cur = agg.setdefault(cid, [0, None, 0])
+        cur[0] += 1
+        cur[1] = vid if cur[1] is None else min(cur[1], vid)
+        cur[2] += q
+    rows = [
+        (cid, n, mn, round_half_up(sq / n / 1e6, 6)) for cid, (n, mn, sq) in sorted(agg.items())
+    ]
+    return pa.table(
+        {
+            "cluster_id": pa.array([r[0] for r in rows], pa.int32()),
+            "n_vecs": pa.array([r[1] for r in rows], pa.int64()),
+            "min_vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "mean_cos": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+DOCOPS_VERSION = 16  # v16: + doc-clusters golden
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -815,6 +845,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_span_removed": os.path.join(out_dir, "golden_span_removed.parquet"),
         "golden_image_dups": os.path.join(out_dir, "golden_image_dups.parquet"),
         "golden_audio_dups": os.path.join(out_dir, "golden_audio_dups.parquet"),
+        "golden_doc_clusters": os.path.join(out_dir, "golden_doc_clusters.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -877,6 +908,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         semantic_dedup_golden(vids, vecs, n_clusters=8, threshold=0.3),
         paths["golden_semantic_dedup"],
     )
+    pq.write_table(doc_clusters_golden(vids, vecs, n_clusters=8), paths["golden_doc_clusters"])
     pq.write_table(
         ann_pq_topk_golden(rest_ids, rest_vecs, list(qvec), k=10, m=8, ksub=16),
         paths["golden_ann_pq_topk"],
