@@ -324,6 +324,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = _kg(spark, _sf_from_dir(sf_dir))["mentions"]
         return key_skew_profile(m, "norm_name", top_n=20, target_partitions=64)
 
+    def kg_ntriples(spark, sf_dir):
+        """RDF N-Triples export surface: label triple per node + relation
+        triple per merged edge, deterministic IRIs (sha256-derived entity
+        ids, predicate slugs). Map-only projection — the oracle rebuilds
+        every line in SQL from the golden canon map + triples."""
+        from graphrag_litex_spark.sinks.rdf import kg_to_ntriples
+
+        res = _kg(spark, _sf_from_dir(sf_dir))
+        return kg_to_ntriples(res["nodes"], res["edges"])
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -1059,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_closeness,
         kg_edge_history,
         kg_two_hop,
+        kg_ntriples,
         kg_mention_skew_profile,
         agg_pricing_summary,
         join_customer_orders,
@@ -1239,6 +1250,20 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             ORDER BY n DESC, key
             LIMIT 20
+        """,
+        "kg_ntriples": f"""
+            SELECT '<urn:kg:entity:' || substr(sha256(canonical), 1, 32)
+                   || '> <urn:kg:label> "'
+                   || replace(replace(canonical, '\\', '\\\\'), '"', '\\"')
+                   || '" .' AS line
+            FROM (SELECT DISTINCT canonical FROM read_parquet('{canon}'))
+            UNION ALL
+            SELECT '<urn:kg:entity:' || substr(sha256(subj), 1, 32)
+                   || '> <urn:kg:pred:'
+                   || regexp_replace(lower(arg_max(pred, {pred_key})), '[^a-z0-9]+', '_', 'g')
+                   || '> <urn:kg:entity:' || substr(sha256(obj), 1, 32) || '> .' AS line
+            FROM read_parquet('{triples}')
+            GROUP BY subj, obj
         """,
         "kg_edges_merged": f"""
             SELECT subj AS src, obj AS dst,

@@ -76,3 +76,26 @@ def test_evaluation_lifecycle(spark, corpus_sf0001, tmp_path):
     with open(str(tmp_path / "eval2.csv")) as f:
         assert list(csv.DictReader(f)) == rows
     assert res2["tally"] == res["tally"]
+
+
+def test_ntriples_export_escaping_and_write(spark, tmp_path):
+    from graphrag_litex_spark.sinks.rdf import kg_to_ntriples, write_ntriples
+
+    nodes = spark.createDataFrame(
+        [("e1", 'acme "corp" inc'), ("e2", "back\\slash co")],
+        "entity_id string, canonical_name string",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "e2", "Partners With!")],
+        "src_id string, dst_id string, pred string",
+    )
+    lines = sorted(r["line"] for r in kg_to_ntriples(nodes, edges).collect())
+    assert '<urn:kg:entity:e1> <urn:kg:label> "acme \\"corp\\" inc" .' in lines
+    assert '<urn:kg:entity:e2> <urn:kg:label> "back\\\\slash co" .' in lines
+    assert "<urn:kg:entity:e1> <urn:kg:pred:partners_with_> <urn:kg:entity:e2> ." in lines
+    out = str(tmp_path / "nt")
+    write_ntriples(kg_to_ntriples(nodes, edges), out)
+    import glob
+
+    text = "".join(open(p).read() for p in glob.glob(out + "/part-*"))
+    assert sorted(text.strip().split("\n")) == lines
