@@ -832,6 +832,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("q") / F.count(F.lit(1)) / F.lit(1e6), 6).alias("mean_cos"),
         )
 
+    def cluster_balanced_ids(spark, sf_dir):
+        """Cluster-balanced downsample of the embeddings table (<=5 kept
+        per IVF cluster by the deterministic md5 order — the diversity-
+        preserving post-SemDeDup sampling step). Golden: pure-Python
+        sequential replica."""
+        from graphrag_litex_spark.operators.sampling import cluster_balanced_sample
+
+        emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+        return cluster_balanced_sample(
+            emb.select("vec_id"), emb, per_cluster=5, n_clusters=8, id_col="vec_id"
+        )
+
     def audio_dup_pairs(spark, sf_dir):
         """Perceptual audio near-dup: fixture WAV signals (planted edits)
         -> real PCM decode -> integer energy-gradient fingerprint -> the
@@ -1113,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         image_dup_pairs,
         audio_dup_pairs,
         doc_clusters,
+        cluster_balanced_ids,
         kg_chunks_windowed,
         kg_chunks_bpe,
         vector_rag_topk,
@@ -1875,6 +1888,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_clusters": f"""
             SELECT cluster_id, n_vecs, min_vec_id, mean_cos
             FROM read_parquet('{docops["golden_doc_clusters"]}')
+        """,
+        "cluster_balanced_ids": f"""
+            SELECT vec_id FROM read_parquet('{docops["golden_cluster_sample"]}')
         """,
         "ann_lsh_topk": f"""
             SELECT vec_id, cosine

@@ -286,3 +286,49 @@ def sample_mixture_by_tokens(
         .where(F.col("cum_tokens") <= F.col("_budget"))
         .drop("_budget")
     )
+
+
+def cluster_balanced_sample(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    per_cluster: int,
+    n_clusters: int = 64,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """Cluster-balanced downsampling: at most ``per_cluster`` docs kept per
+    embedding cluster, chosen by the deterministic md5 sample order — the
+    diversity-preserving alternative to uniform sampling (uniform keeps the
+    corpus's mode clusters at full weight; balancing caps each semantic
+    region, the standard recipe after SemDeDup). Assignment is the IVF
+    coarse quantizer (codegen argmax-cosine, no join); the per-cluster
+    top-N is one window over the cluster key. Deterministic and NESTED:
+    raising ``per_cluster`` only adds documents (the md5 order is a pure
+    function of the id), so budget ablations stay comparable.
+
+    ``embeddings``: (id_col, vec_col) — precomputed at corpus scale (embed
+    once, reuse), or the C7 slot's output. Docs without an embedding row
+    are DROPPED (they have no cluster evidence)."""
+    from pyspark.sql import Window
+
+    from graphrag_litex_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = embeddings.select(F.col(id_col).alias("_cb_id"), F.col(vec_col).alias("_cb_vec"))
+    cents = centroids if centroids is not None else ivf_centroids(
+        emb, n_clusters, "_cb_id", "_cb_vec"
+    )
+    if not cents:
+        return docs.limit(0)
+    assigned = ivf_assign(emb, cents, vec_col="_cb_vec", out_col="_cb_cid")
+    rn = F.row_number().over(
+        Window.partitionBy("_cb_cid").orderBy(
+            sample_key_col("_cb_id").asc(), F.col("_cb_id").asc()
+        )
+    )
+    keep = (
+        assigned.withColumn("_cb_rn", rn)
+        .where(F.col("_cb_rn") <= per_cluster)
+        .select(F.col("_cb_id").alias(id_col))
+    )
+    return docs.join(keep, id_col)

@@ -818,7 +818,31 @@ def doc_clusters_golden(vec_ids: list, vecs: list, n_clusters: int = 8) -> pa.Ta
     )
 
 
-DOCOPS_VERSION = 16  # v16: + doc-clusters golden
+def cluster_balanced_golden(
+    vec_ids: list, vecs: list, per_cluster: int = 5, n_clusters: int = 8
+) -> pa.Table:
+    """Sequential replica of sampling.cluster_balanced_sample over the
+    embeddings table: IVF assignment (as doc_clusters_golden), then keep
+    the ``per_cluster`` smallest (md5-hex-prefix, id) per cluster."""
+    import hashlib
+
+    order = sorted(zip(vec_ids, vecs), key=lambda r: (xxhash64_long(int(r[0])), r[0]))
+    cents = [[float(x) for x in v] for _, v in order[:n_clusters]]
+    by_cluster: dict[int, list] = {}
+    for vid, v in zip(vec_ids, vecs):
+        vd = [float(x) for x in v]
+        cid = max(range(len(cents)), key=lambda c: (_cosine_fold(vd, cents[c]), c))
+        key = hashlib.md5(str(vid).encode()).hexdigest()[:6]
+        by_cluster.setdefault(cid, []).append((key, vid))
+    kept = []
+    for members in by_cluster.values():
+        members.sort()
+        kept.extend(vid for _, vid in members[:per_cluster])
+    kept.sort()
+    return pa.table({"vec_id": pa.array(kept, pa.int64())})
+
+
+DOCOPS_VERSION = 17  # v17: + cluster-balanced sample golden
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -846,6 +870,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_image_dups": os.path.join(out_dir, "golden_image_dups.parquet"),
         "golden_audio_dups": os.path.join(out_dir, "golden_audio_dups.parquet"),
         "golden_doc_clusters": os.path.join(out_dir, "golden_doc_clusters.parquet"),
+        "golden_cluster_sample": os.path.join(out_dir, "golden_cluster_sample.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -909,6 +934,10 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         paths["golden_semantic_dedup"],
     )
     pq.write_table(doc_clusters_golden(vids, vecs, n_clusters=8), paths["golden_doc_clusters"])
+    pq.write_table(
+        cluster_balanced_golden(vids, vecs, per_cluster=5, n_clusters=8),
+        paths["golden_cluster_sample"],
+    )
     pq.write_table(
         ann_pq_topk_golden(rest_ids, rest_vecs, list(qvec), k=10, m=8, ksub=16),
         paths["golden_ann_pq_topk"],

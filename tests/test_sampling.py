@@ -168,3 +168,22 @@ def test_sample_mixture_first_doc_over_budget(spark):
         pd.DataFrame([(1, "s", 100)], columns=["doc_id", "source", "n_tokens"])
     )
     assert sample_mixture_by_tokens(docs, {"s": 50}).count() == 0
+
+
+def test_cluster_balanced_sample_caps_and_nests(spark):
+    from graphrag_litex_spark.operators.sampling import cluster_balanced_sample
+
+    # Two well-separated clusters: ids 0-9 on axis 0, ids 10-19 on axis 1.
+    rows = [(i, [1.0, 0.0, 0.0, 0.0] if i < 10 else [0.0, 1.0, 0.0, 0.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    docs = emb.select("doc_id")
+    kept3 = sorted(r["doc_id"] for r in cluster_balanced_sample(docs, emb, 3, n_clusters=2).collect())
+    assert len(kept3) == 6
+    assert sum(1 for d in kept3 if d < 10) == 3 and sum(1 for d in kept3 if d >= 10) == 3
+    # Nested: raising the per-cluster budget only ADDS documents.
+    kept5 = {r["doc_id"] for r in cluster_balanced_sample(docs, emb, 5, n_clusters=2).collect()}
+    assert set(kept3) <= kept5 and len(kept5) == 10
+    # Docs without an embedding row are dropped.
+    extra = docs.union(spark.createDataFrame([(99,)], "doc_id long"))
+    kept = {r["doc_id"] for r in cluster_balanced_sample(extra, emb, 100, n_clusters=2).collect()}
+    assert 99 not in kept and len(kept) == 20
