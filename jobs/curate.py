@@ -80,6 +80,8 @@ def curate(
     embedding_col: str | None = None,
     embed_dim: int = 64,
     sample_rate: float | None = None,
+    cluster_balance: int | None = None,
+    cluster_balance_clusters: int = 64,
     mixture_budgets: dict[str, int] | None = None,
     holdout=None,
     max_contamination: float = 0.2,
@@ -343,6 +345,36 @@ def curate(
             curated = _materialize(curated, os.path.join(stage_dir, "semantic"))
         report["semantic_dups_removed"] = n_before_sem - curated.count()
         report["semantic_dedup_threshold"] = semantic_dedup_threshold
+    if cluster_balance is not None:
+        # Diversity-preserving downsample AFTER dedup: cap each embedding
+        # cluster at ``cluster_balance`` docs (the post-SemDeDup balancing
+        # step). Uses the same embedding source as semantic dedup:
+        # precomputed ``embedding_col`` when the corpus carries one, else
+        # the pluggable C7 embed UDF.
+        from graphrag_litex_spark.operators.sampling import cluster_balanced_sample
+
+        if embedding_col is not None:
+            emb_cb = curated.select(id_col, F.col(embedding_col).alias("_emb"))
+        else:
+            from graphrag_litex_spark.querying.answer import make_embed_udf
+
+            emb_cb = curated.select(
+                id_col, make_embed_udf(embed_dim)(F.col(text_col)).alias("_emb")
+            )
+        n_before_cb = curated.count()
+        report.setdefault(
+            "near_dups_removed", (n_exact - n_before_cb) if near_dedup else 0
+        )
+        curated = cluster_balanced_sample(
+            curated,
+            emb_cb,
+            per_cluster=cluster_balance,
+            n_clusters=cluster_balance_clusters,
+            id_col=id_col,
+            vec_col="_emb",
+        )
+        report["cluster_balance"] = cluster_balance
+        report["cluster_balance_removed"] = n_before_cb - curated.count()
     if mixture_budgets:
         # Data mixing: per-source token budgets applied AFTER dedup (mixing
         # duplicates would waste budget) on the annotation pass's n_tokens.
@@ -436,6 +468,20 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=10,
         help="corpus count below which a trigram counts as rare",
+    )
+    p.add_argument(
+        "--cluster-balance",
+        type=int,
+        default=None,
+        metavar="N",
+        help="keep at most N docs per embedding cluster after dedup "
+        "(diversity-preserving downsample; uses --embedding-col or the embed slot)",
+    )
+    p.add_argument(
+        "--cluster-balance-clusters",
+        type=int,
+        default=64,
+        help="number of IVF clusters for --cluster-balance",
     )
     p.add_argument(
         "--mixture",
@@ -536,6 +582,8 @@ def main(argv: list[str] | None = None) -> int:
         embedding_col=args.embedding_col,
         embed_dim=args.embed_dim,
         sample_rate=args.sample_rate,
+        cluster_balance=args.cluster_balance,
+        cluster_balance_clusters=args.cluster_balance_clusters,
         mixture_budgets=(
             {
                 kv.split("=", 1)[0]: int(float(kv.split("=", 1)[1]))

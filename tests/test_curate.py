@@ -292,3 +292,34 @@ def test_curate_span_dedup_stage(spark):
     # n_tokens recomputed from the rewritten text
     toks = {r["doc_id"]: r["n_tokens"] for r in curated.select("doc_id", "n_tokens").collect()}
     assert toks["p2"] == 8
+
+
+def test_curate_cluster_balance(spark):
+    """--cluster-balance: at most N docs survive per embedding cluster,
+    chosen deterministically; report records the removals."""
+    from jobs.curate import curate
+
+    rows = [
+        (i, f"document {i} about alpha topic " + " ".join(f"w{i}_{j}" for j in range(10)))
+        for i in range(12)
+    ]
+    emb = [[1.0, 0.0] if i < 6 else [0.0, 1.0] for i in range(12)]
+    docs = spark.createDataFrame(
+        [(i, t, e) for (i, t), e in zip(rows, emb)],
+        "doc_id long, text string, emb array<double>",
+    )
+    curated, report = curate(
+        spark,
+        docs,
+        min_quality=0.0,
+        min_tokens=1,
+        near_dedup=False,
+        cluster_balance=2,
+        cluster_balance_clusters=2,
+        embedding_col="emb",
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert len(kept) == 4
+    assert sum(1 for d in kept if d < 6) == 2 and sum(1 for d in kept if d >= 6) == 2
+    assert report["cluster_balance"] == 2
+    assert report["cluster_balance_removed"] == 8
