@@ -803,28 +803,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         carried as 6dp integer micro-units so the mean is a single
         exactly-rounded division in both engines. Golden: pure-Python
         sequential replica (oracle_docops.doc_clusters_golden)."""
-        from graphrag_litex_spark.operators.similarity import (
-            _query_lit,
-            cosine_col,
-            ivf_centroids,
-        )
+        from graphrag_litex_spark.operators.similarity import ivf_assign, ivf_centroids
 
         emb = spark.read.parquet(_t(sf_dir, "embeddings"))
         cents = ivf_centroids(emb, 8)
-        scored = F.array(
-            *[
-                F.struct(
-                    cosine_col(F.col("embedding").cast("array<double>"), _query_lit(c)).alias("s"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, c in enumerate(cents)
-            ]
-        )
-        best = F.array_max(scored)
-        base = emb.select(
+        assigned = ivf_assign(emb, cents, out_col="cluster_id", score_col="_s")
+        base = assigned.select(
             "vec_id",
-            best["cid"].alias("cluster_id"),
-            F.round(F.round(best["s"], 6) * 1e6, 0).cast("long").alias("q"),
+            "cluster_id",
+            F.round(F.round(F.col("_s"), 6) * 1e6, 0).cast("long").alias("q"),
         )
         return base.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -1230,8 +1217,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_edge_history": f"""
             SELECT t.subj, t.pred, t.obj,
-                   cast(epoch(min(tr.ts)) AS bigint) AS first_seen,
-                   cast(epoch(max(tr.ts)) AS bigint) AS last_seen,
+                   -- floor, not cast: Spark's unix_timestamp truncates
+                   -- sub-second parts while a double->bigint cast rounds
+                   cast(floor(epoch(min(tr.ts))) AS bigint) AS first_seen,
+                   cast(floor(epoch(max(tr.ts))) AS bigint) AS last_seen,
                    count(*) AS n_sightings
             FROM read_parquet('{triples}') t
             JOIN read_parquet('{transcripts}') tr
@@ -1267,7 +1256,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_ntriples": f"""
             SELECT '<urn:kg:entity:' || substr(sha256(canonical), 1, 32)
                    || '> <urn:kg:label> "'
-                   || replace(replace(canonical, '\\', '\\\\'), '"', '\\"')
+                   -- chr(92): DuckDB single-quoted literals do NOT
+                   -- process backslash escapes, so '\\' would be TWO
+                   -- backslashes and the escape chain a no-op
+                   || replace(replace(replace(replace(replace(
+                        canonical, chr(92), chr(92) || chr(92)),
+                        '"', chr(92) || '"'),
+                        chr(10), chr(92) || 'n'),
+                        chr(13), chr(92) || 'r'),
+                        chr(9), chr(92) || 't')
                    || '" .' AS line
             FROM (SELECT DISTINCT canonical FROM read_parquet('{canon}'))
             UNION ALL

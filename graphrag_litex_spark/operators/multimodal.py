@@ -421,13 +421,18 @@ def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     near-duplicate images land within a small Hamming distance — the image
     analog of SimHash on text. Decode failures / undecodable codecs come
     back ``decoded=False, dhash=NULL`` (the C2 envelope stance), never a
-    task failure.
+    task failure. ``hash_size`` is validated driver-side: the hash is
+    ``hash_size²`` bits and must fit the signed-int64 ``dhash`` column (and
+    :func:`dhash_near_dup_pairs`'s 64-bit banding), so ``hash_size <= 8``.
 
     Arrow-batched ``mapInPandas``; the per-image work is a numpy index
     gather + comparison, so throughput is decode-bound. At 100 TB the
     output is 16 bytes/image — the table that ships to
     :func:`dhash_near_dup_pairs` — while payload bytes never shuffle.
     """
+
+    if not 1 <= hash_size * hash_size <= 64:
+        raise ValueError(f"hash_size² must be in [1, 64] bits, got {hash_size}²")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -583,7 +588,13 @@ def audio_fingerprint(media: DataFrame, n_windows: int = 65) -> DataFrame:
     and partitionings (no float summation-order dependence). Undecodable
     rows -> ``decoded=False, fingerprint=NULL`` envelope. Near-dup pairs:
     feed to :func:`dhash_near_dup_pairs` with ``hash_col="fingerprint"``.
+
+    ``n_windows`` is validated driver-side: the hash is ``n_windows - 1``
+    bits and must fit the signed-int64 column (and the pair join's 64-bit
+    banding), so ``n_windows <= 65``.
     """
+    if not 2 <= n_windows <= 65:
+        raise ValueError(f"n_windows must be in [2, 65] (<= 64 bits), got {n_windows}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

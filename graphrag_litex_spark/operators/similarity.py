@@ -209,6 +209,7 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "_cid",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` = argmax-cosine centroid id, as ONE JVM expression.
 
@@ -230,7 +231,10 @@ def ivf_assign(
             for cid, c in enumerate(centroids)
         ]
     )
-    return embeddings.withColumn(out_col, F.array_max(scored)["cid"])
+    best = F.array_max(scored)
+    out = embeddings.withColumn(out_col, best["cid"])
+    # optional winning cosine (``score_col``) — same array_max, codegen CSE
+    return out.withColumn(score_col, best["s"]) if score_col else out
 
 
 def ivf_topk(

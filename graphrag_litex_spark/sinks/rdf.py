@@ -23,10 +23,14 @@ from pyspark.sql import functions as F
 
 
 def _escaped(col):
-    # N-Triples literal escaping: backslash first, then quote.
-    return F.regexp_replace(
-        F.regexp_replace(col, r"\\", r"\\\\"), '"', r'\\"'
-    )
+    # N-Triples literal escaping: backslash first, then quote and the
+    # control characters the grammar forbids raw inside a literal
+    # (newline / CR / tab) — a raw newline would split the record across
+    # lines and break every line-based .nt loader.
+    out = F.regexp_replace(F.regexp_replace(col, r"\\", r"\\\\"), '"', r'\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    return F.regexp_replace(out, "\t", r"\\t")
 
 
 def _pred_slug(col):

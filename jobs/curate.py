@@ -45,6 +45,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _embedding_source(frame, id_col, text_col, embedding_col, embed_dim):
+    """(id, _emb) for the embedding-consuming stages (semantic dedup,
+    cluster balancing): the precomputed ``embedding_col`` when the corpus
+    carries one (the realistic 100 TB path — embed once, reuse), else the
+    pluggable C7 embed UDF over the text."""
+    from pyspark.sql import functions as F
+
+    if embedding_col is not None:
+        return frame.select(id_col, F.col(embedding_col).alias("_emb"))
+    from graphrag_litex_spark.querying.answer import make_embed_udf
+
+    return frame.select(id_col, make_embed_udf(embed_dim)(F.col(text_col)).alias("_emb"))
+
+
 def _materialize(df, path: str):
     """Write a stage to parquet and reopen it: every downstream consumer
     (including the report's count jobs, which parquet answers from footer
@@ -317,14 +331,7 @@ def curate(
         # otherwise the pluggable C7 embed UDF runs here.
         from graphrag_litex_spark.operators.dedup import semantic_dedup as _semdedup
 
-        if embedding_col is not None:
-            emb = curated.select(id_col, F.col(embedding_col).alias("_emb"))
-        else:
-            from graphrag_litex_spark.querying.answer import make_embed_udf
-
-            emb = curated.select(
-                id_col, make_embed_udf(embed_dim)(F.col(text_col)).alias("_emb")
-            )
+        emb = _embedding_source(curated, id_col, text_col, embedding_col, embed_dim)
         n_before_sem = curated.count()
         # Pin the near-dedup accounting BEFORE semantic removals so the
         # end-of-function fallback can't attribute them to LSH dedup.
@@ -353,14 +360,7 @@ def curate(
         # the pluggable C7 embed UDF.
         from graphrag_litex_spark.operators.sampling import cluster_balanced_sample
 
-        if embedding_col is not None:
-            emb_cb = curated.select(id_col, F.col(embedding_col).alias("_emb"))
-        else:
-            from graphrag_litex_spark.querying.answer import make_embed_udf
-
-            emb_cb = curated.select(
-                id_col, make_embed_udf(embed_dim)(F.col(text_col)).alias("_emb")
-            )
+        emb_cb = _embedding_source(curated, id_col, text_col, embedding_col, embed_dim)
         n_before_cb = curated.count()
         report.setdefault(
             "near_dups_removed", (n_exact - n_before_cb) if near_dedup else 0

@@ -155,3 +155,15 @@ def test_audio_pairs_via_shared_banding(spark):
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("16", "17") in found and ("6", "7") in found  # planted
+
+
+def test_bit_width_validation_raises_driver_side(spark):
+    from graphrag_litex_spark.operators.multimodal import audio_fingerprint, image_dhash
+
+    df = spark.createDataFrame(
+        [("m", "image", bytearray(b"x"))], "media_id string, kind string, payload binary"
+    )
+    with pytest.raises(ValueError, match="hash_size"):
+        image_dhash(df, hash_size=9)  # 81 bits would overflow the int64 column
+    with pytest.raises(ValueError, match="n_windows"):
+        audio_fingerprint(df, n_windows=70)  # 69 bits likewise

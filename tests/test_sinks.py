@@ -82,7 +82,7 @@ def test_ntriples_export_escaping_and_write(spark, tmp_path):
     from graphrag_litex_spark.sinks.rdf import kg_to_ntriples, write_ntriples
 
     nodes = spark.createDataFrame(
-        [("e1", 'acme "corp" inc'), ("e2", "back\\slash co")],
+        [("e1", 'acme "corp" inc'), ("e2", "back\\slash co"), ("e3", "multi\nline\tco")],
         "entity_id string, canonical_name string",
     )
     edges = spark.createDataFrame(
@@ -93,6 +93,10 @@ def test_ntriples_export_escaping_and_write(spark, tmp_path):
     assert '<urn:kg:entity:e1> <urn:kg:label> "acme \\"corp\\" inc" .' in lines
     assert '<urn:kg:entity:e2> <urn:kg:label> "back\\\\slash co" .' in lines
     assert "<urn:kg:entity:e1> <urn:kg:pred:partners_with_> <urn:kg:entity:e2> ." in lines
+    # control chars are escaped, never emitted raw (a raw newline would
+    # split the record and corrupt the line-based .nt file)
+    assert '<urn:kg:entity:e3> <urn:kg:label> "multi\\nline\\tco" .' in lines
+    assert all("\n" not in ln and "\t" not in ln for ln in lines)
     out = str(tmp_path / "nt")
     write_ntriples(kg_to_ntriples(nodes, edges), out)
     import glob
