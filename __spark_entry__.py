@@ -334,6 +334,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = _kg(spark, _sf_from_dir(sf_dir))
         return kg_to_ntriples(res["nodes"], res["edges"])
 
+    def kg_extraction_metrics(spark, sf_dir):
+        """Per-conversation build metrics (the queryable face of the
+        manifest's lineage+metrics): turns, extracted mentions, resolved
+        triples, merged claims — three pre-partitioned groupBys + outer
+        joins on conv_id, the health dashboard a pipeline operator
+        watches for extraction drift."""
+        res = _kg(spark, _sf_from_dir(sf_dir))
+
+        def per_conv(df, key, name):
+            return df.groupBy(F.col(key).alias("conv_id")).agg(
+                F.count(F.lit(1)).alias(name)
+            )
+
+        out = (
+            per_conv(res["chunks"], "conv_id", "n_turns")
+            # the mentions item view carries the conversation as source_id
+            .join(per_conv(res["mentions"], "source_id", "n_mentions"), "conv_id", "left")
+            .join(per_conv(res["triples"], "conv_id", "n_triples"), "conv_id", "left")
+        )
+        return out.select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+        )
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -1069,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_edge_history,
         kg_two_hop,
         kg_ntriples,
+        kg_extraction_metrics,
         kg_mention_skew_profile,
         agg_pricing_summary,
         join_customer_orders,
@@ -1274,6 +1301,22 @@ def oracle_sql() -> dict[str, str]:
                    || '> <urn:kg:entity:' || substr(sha256(obj), 1, 32) || '> .' AS line
             FROM read_parquet('{triples}')
             GROUP BY subj, obj
+        """,
+        "kg_extraction_metrics": f"""
+            WITH t AS (
+                SELECT conv_id, count(*) AS n_turns
+                FROM read_parquet('{transcripts}') GROUP BY conv_id
+            ), m AS (
+                SELECT conv_id, count(*) AS n_mentions
+                FROM read_parquet('{mentions}') GROUP BY conv_id
+            ), tr AS (
+                SELECT conv_id, count(*) AS n_triples
+                FROM read_parquet('{triples}') GROUP BY conv_id
+            )
+            SELECT t.conv_id, t.n_turns,
+                   coalesce(m.n_mentions, 0) AS n_mentions,
+                   coalesce(tr.n_triples, 0) AS n_triples
+            FROM t LEFT JOIN m USING (conv_id) LEFT JOIN tr USING (conv_id)
         """,
         "kg_edges_merged": f"""
             SELECT subj AS src, obj AS dst,

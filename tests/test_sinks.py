@@ -103,3 +103,23 @@ def test_ntriples_export_escaping_and_write(spark, tmp_path):
 
     text = "".join(open(p).read() for p in glob.glob(out + "/part-*"))
     assert sorted(text.strip().split("\n")) == lines
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from graphrag_litex_spark.sinks.compact import compact_parquet
+
+    src = str(tmp_path / "many")
+    out = str(tmp_path / "few")
+    spark.range(10_000).repartition(40).write.parquet(src)
+    report = compact_parquet(spark, src, out, target_mb=256)
+    assert report["files_in"] >= 40
+    assert report["files_out"] == 1  # tiny dataset -> one target-sized file
+    assert report["rows"] == 10_000
+    # content identical, not just counted
+    a = {r["id"] for r in spark.read.parquet(src).collect()}
+    b = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, str(tmp_path / "missing"), out)
