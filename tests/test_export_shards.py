@@ -72,3 +72,28 @@ def test_curate_sample_rate(spark):
     # dedup accounting unaffected by the sample
     assert rep["near_dups_removed"] == rep_full["near_dups_removed"] == 0
     _ = json  # keep import used
+
+
+def test_shard_manifest_integrity(spark, tmp_path):
+    import hashlib
+    import json
+    import os
+
+    from jobs.export_shards import export_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"w{j}" for j in range(20))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    report = export_shards(docs, out, budget=64, shard_files=4)
+    manifest = json.load(open(os.path.join(out, "_manifest.json")))
+    assert report["n_files"] == len(manifest["files"]) > 0
+    # every listed file exists with the recorded size AND digest
+    for entry in manifest["files"]:
+        p = os.path.join(out, entry["file"])
+        data = open(p, "rb").read()
+        assert len(data) == entry["bytes"]
+        assert hashlib.sha256(data).hexdigest() == entry["sha256"]
+    # the manifest itself is invisible to a JSONL read of the shard dir
+    assert spark.read.json(out).count() == report["n_bins"]
