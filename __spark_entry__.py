@@ -550,9 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def bpe_merged_token_stats(spark, sf_dir):
-        """Merged-token counts per language (rows-only driver check — the
-        merge loop is not SQL-expressible; value-level coverage comes from
-        bpe_merged_lossless plus the pure==Spark differential unit)."""
+        """Merged-token counts per language, value-checked against a
+        sequential golden (oracle_docops.bpe_merged_stats_golden): the
+        distributed pretoken count + top-V cut + Arrow encode path must
+        reproduce the single-process trainer/encoder exactly."""
         return (
             _bpe_tokenized_docs(spark, sf_dir)
             .groupBy("lang")
@@ -1924,6 +1925,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup_pairs": f"""
             SELECT id_a, id_b, hamming
             FROM read_parquet('{docops["golden_audio_dups"]}')
+        """,
+        "bpe_merged_token_stats": f"""
+            SELECT lang, n_docs, total_merged_tokens
+            FROM read_parquet('{docops["golden_bpe_stats"]}')
         """,
         "doc_clusters": f"""
             SELECT cluster_id, n_vecs, min_vec_id, mean_cos

@@ -842,7 +842,43 @@ def cluster_balanced_golden(
     return pa.table({"vec_id": pa.array(kept, pa.int64())})
 
 
-DOCOPS_VERSION = 17  # v17: + cluster-balanced sample golden
+def bpe_merged_stats_golden(
+    doc_ids: list, texts: list, langs: list, n_merges: int = 256, max_vocab: int = 100_000
+) -> pa.Table:
+    """Sequential replica of the bpe_merged_token_stats query: pretoken
+    counting, top-``max_vocab`` cut, merge-table training, and per-doc
+    encoding all run single-process (the trainer/encoder are the shared
+    bounded-data functions; what this golden checks differentially is the
+    DISTRIBUTED pretoken counting + vocabulary cut + Arrow-batched encode
+    path) -> per-lang (n_docs, total_merged_tokens)."""
+    from collections import Counter, defaultdict
+
+    from graphrag_litex_spark.functions.bpe import encode_text, make_encoder, train_bpe
+    from graphrag_litex_spark.operators.bpe_ops import _pretokenize
+
+    counts: Counter = Counter()
+    for t in texts:
+        counts.update(_pretokenize(t or ""))
+    # the distributed top-V cut orders by (count desc, pretoken asc)
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    merges = train_bpe(rows, n_merges)
+    encode_word = make_encoder(merges)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for t, lang in zip(texts, langs):
+        cur = agg[lang]
+        cur[0] += 1
+        cur[1] += len(encode_text(t, encode_word, _pretokenize))
+    out = sorted(agg.items())
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in out], pa.string()),
+            "n_docs": pa.array([r[1][0] for r in out], pa.int64()),
+            "total_merged_tokens": pa.array([r[1][1] for r in out], pa.int64()),
+        }
+    )
+
+
+DOCOPS_VERSION = 18  # v18: + merged-BPE per-lang stats golden
 
 
 def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -871,6 +907,7 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
         "golden_audio_dups": os.path.join(out_dir, "golden_audio_dups.parquet"),
         "golden_doc_clusters": os.path.join(out_dir, "golden_doc_clusters.parquet"),
         "golden_cluster_sample": os.path.join(out_dir, "golden_cluster_sample.parquet"),
+        "golden_bpe_stats": os.path.join(out_dir, "golden_bpe_stats.parquet"),
     }
     manifest = os.path.join(out_dir, "_docops_manifest.json")
     docs_pq = os.path.join(sf_dir, "documents.parquet")
@@ -885,9 +922,10 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
             if json.load(f) == want and all(os.path.exists(p) for p in paths.values()):
                 return paths
 
-    docs = pq.read_table(docs_pq, columns=["doc_id", "text"])
+    docs = pq.read_table(docs_pq, columns=["doc_id", "text", "lang"])
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
     pq.write_table(simhash_duplicates_golden(doc_ids, texts), paths["golden_simhash"])
     lsh_pairs = minhash_lsh_golden(doc_ids, texts, jaccard_threshold=0.5)
     pq.write_table(lsh_pairs, paths["golden_minhash_lsh"])
@@ -908,6 +946,9 @@ def ensure_docops_goldens(sf_dir: str, out_dir: str) -> dict[str, str]:
     pq.write_table(span_stats_golden(doc_ids, texts), paths["golden_span_stats"])
     pq.write_table(span_removal_golden(doc_ids, texts), paths["golden_span_removed"])
     pq.write_table(image_dup_pairs_golden(doc_ids), paths["golden_image_dups"])
+    pq.write_table(
+        bpe_merged_stats_golden(doc_ids, texts, langs), paths["golden_bpe_stats"]
+    )
     pq.write_table(audio_dup_pairs_golden(doc_ids), paths["golden_audio_dups"])
 
     emb = pq.read_table(emb_pq, columns=["vec_id", "embedding"])
