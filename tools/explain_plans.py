@@ -474,6 +474,43 @@ def main() -> int:
         )
     )
 
+    # Cluster-balanced sampling: assignment is pure codegen (no join), the
+    # per-cluster cap one window, the keep-set application a hash join.
+    from graphrag_litex_spark.operators.sampling import cluster_balanced_sample
+
+    emb = d.select(
+        F.col("doc_id"),
+        F.array(*[(F.col("doc_id") % (i + 3)).cast("double") for i in range(4)]).alias("e"),
+    )
+    p = plan_of(cluster_balanced_sample(d, emb, per_cluster=3, n_clusters=4, vec_col="e"))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    sections.append(
+        (
+            "Cluster-balanced sampling",
+            "codegen argmax-cosine assignment -> one window on the cluster "
+            "key -> hash join of the kept-id set; no Python, no cartesian",
+            p,
+        )
+    )
+
+    # Key-skew profiler: one map-side-combined agg + broadcast grand total
+    # + TakeOrderedAndProject — the cheapest full-data skew measurement.
+    from graphrag_litex_spark.operators.profiling import key_skew_profile
+
+    p = plan_of(key_skew_profile(d, "doc_id", top_n=5))
+    # the one-row grand total joins as a BROADCAST nested loop (fine: one
+    # row), never a partitioned CartesianProduct
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    sections.append(
+        (
+            "Key-skew profiler",
+            "hash agg (map-side combined) + broadcast one-row total + "
+            "TakeOrderedAndProject (never a full sort)",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
