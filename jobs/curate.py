@@ -87,6 +87,7 @@ def curate(
     min_model_logit: float | None = None,
     model_weights=None,
     model_buckets: int = 1 << 18,
+    max_dup_span_frac: float | None = None,
     remove_dup_spans_k: int | None = None,
     dup_span_max_occurrences: int | None = None,
     semantic_dedup_threshold: float | None = None,
@@ -283,6 +284,29 @@ def curate(
             kmap.where("is_keeper").select(F.col("doc_id").alias(id_col)), id_col
         )
         report["jaccard_threshold"] = jaccard_threshold
+    if max_dup_span_frac is not None:
+        # Gopher-style cross-corpus duplication gate: drop docs whose
+        # duplicated-span exposure (fraction of tokens inside windows
+        # repeated ANYWHERE in the corpus) exceeds the cap — catches
+        # stitched/aggregator pages that are mostly other documents'
+        # content, which per-doc repetition_stats cannot see. Runs after
+        # doc-level dedup so exact/near duplicates don't inflate exposure.
+        from graphrag_litex_spark.operators.span_dedup import duplicate_span_stats
+
+        k_gate = remove_dup_spans_k or 8
+        n_before_gate = curated.count()
+        report.setdefault(
+            "near_dups_removed", (n_exact - n_before_gate) if near_dedup else 0
+        )
+        exposed = duplicate_span_stats(
+            curated.select(id_col, text_col), id_col=id_col, text_col=text_col, k=k_gate
+        )
+        bad_span = exposed.where(F.col("dup_token_frac") > max_dup_span_frac).select(
+            F.col("doc_id").alias(id_col)
+        )
+        curated = curated.join(bad_span, id_col, "left_anti")
+        report["dup_span_gated"] = n_before_gate - curated.count()
+        report["max_dup_span_frac"] = max_dup_span_frac
     if remove_dup_spans_k is not None:
         # ExactSubstr-style span excision AFTER doc-level dedup (whole-doc
         # dups are cheaper to drop than to excise): repeated k-token
@@ -491,6 +515,13 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. 'web=2000000,code=500000'; sources not listed are dropped",
     )
     p.add_argument(
+        "--max-dup-span-frac",
+        type=float,
+        default=None,
+        help="drop docs whose fraction of tokens inside corpus-repeated "
+        "spans exceeds this (stitched/aggregator-page gate)",
+    )
+    p.add_argument(
         "--remove-dup-spans",
         type=int,
         default=None,
@@ -575,6 +606,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.model_weights
         else None,
         model_buckets=args.model_buckets,
+        max_dup_span_frac=args.max_dup_span_frac,
         remove_dup_spans_k=args.remove_dup_spans,
         dup_span_max_occurrences=args.dup_span_max_occurrences,
         semantic_dedup_threshold=args.semantic_dedup,

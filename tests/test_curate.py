@@ -323,3 +323,25 @@ def test_curate_cluster_balance(spark):
     assert sum(1 for d in kept if d < 6) == 2 and sum(1 for d in kept if d >= 6) == 2
     assert report["cluster_balance"] == 2
     assert report["cluster_balance_removed"] == 8
+
+
+def test_curate_dup_span_gate(spark):
+    """--max-dup-span-frac: a doc stitched almost entirely from another
+    doc's content is dropped; originals survive."""
+    from jobs.curate import curate
+
+    body = " ".join(f"original sentence word{j} content" for j in range(8))
+    rows = [
+        ("orig", body + " plus unique trailing analysis of the topic here"),
+        ("stitch", body),  # ~100% duplicated-span exposure
+        ("fresh", "entirely new words " + " ".join(f"tok{j}" for j in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # orig's exposure is 32 shared / 40 tokens = 0.80; the 0.85 cap keeps
+    # it with margin while the fully-stitched doc (1.0) is gated.
+    curated, report = curate(
+        spark, docs, min_quality=0.0, near_dedup=False, max_dup_span_frac=0.85
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert kept == ["fresh", "orig"]
+    assert report["dup_span_gated"] == 1
