@@ -296,9 +296,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Two-hop reachability over the merged edges (a -> b -> c, a != c):
         path count + strongest path (product of 6dp-rounded edge strengths,
         re-rounded — both engines multiply identical doubles). The self-join
-        shuffles on the hop key; in the published warehouse edges are
-        bucketed on src_id so this join is Exchange-free there. Top-100 by
-        (n_paths desc, src, dst) keeps the contract output bounded."""
+        shuffles on the hop key; against the published warehouse (edges
+        bucketed on src_id) the PROBE side needs no Exchange — only the
+        dst_id side shuffles (one Exchange, not two; asserted in
+        test_warehouse.py). Top-100 by (n_paths desc, src, dst) keeps the
+        contract output bounded."""
         e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select(
             "src", "dst", F.round("strength", 6).alias("s")
         )

@@ -157,3 +157,24 @@ def test_empty_graph_is_noop(spark):
     from graphrag_litex_spark.sinks.warehouse import save_graph_tables
 
     assert save_graph_tables({}, prefix="whempty", buckets=8) == {}
+
+
+def test_two_hop_self_join_shuffles_one_side_only(spark, warehouse):
+    """Edges bucket on src_id, so a two-hop self-join (a.dst_id ==
+    b.src_id) reads the hop (probe) side Exchange-free and shuffles ONLY
+    the dst_id side — exactly one Exchange in the plan, not two."""
+    edges = spark.table(warehouse["edges"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = edges.alias("a"), edges.alias("b")
+        from pyspark.sql import functions as F
+
+        joined = a.join(b, F.col("a.dst_id") == F.col("b.src_id")).select(
+            F.col("a.src_id"), F.col("b.dst_id")
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
