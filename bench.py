@@ -131,6 +131,7 @@ def main() -> None:
         "sample_mixture",
         "dup_span_removal",
         "kg_two_hop",
+        "image_dup_pairs",
     ):
         t0 = time.time()
         try:
