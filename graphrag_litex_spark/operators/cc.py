@@ -25,6 +25,8 @@ tests/test_cc.py); the pipeline itself always passes edges ⊆ vertices.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -183,6 +185,19 @@ def connected_components(
                 labels = new_labels
                 if changed == 0:
                     break
+            else:
+                # Exhausting max_iter without a zero-change round means the
+                # returned labels are NOT guaranteed to be component minima
+                # (propagation stopped mid-graph). Silent wrong labels at
+                # scale are undebuggable — make the exit loud.
+                warnings.warn(
+                    f"connected_components(minlabel) hit max_iter={max_iter} "
+                    "before convergence; labels may not be component minima. "
+                    "Raise max_iter or use algorithm='alternating' "
+                    "(O(log n) rounds on any diameter).",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     finally:
         release(sym)
     # verts stays cached until the returned plan is consumed (lineage is
@@ -286,6 +301,23 @@ def _cc_alternating(
                 if cur == prev:
                     break
                 prev = cur
+            else:
+                # max_iter exhausted with the checksum still moving: the
+                # star contraction did not reach fixpoint, so the groupBy-
+                # min below collapses a NON-star residue — deterministic
+                # but possibly non-minimum labels. The "byte-identical to
+                # minlabel" guarantee is convergence-conditional; warn so
+                # an under-iterated run at scale is detectable instead of
+                # silently mislabeled. (The checksum is also probabilistic
+                # — a 64-bit-sum collision would end a round early — but at
+                # count+sum granularity that is a ~2^-64 event per round.)
+                warnings.warn(
+                    f"connected_components(alternating) hit max_iter="
+                    f"{max_iter} before the edge-set checksum converged; "
+                    "labels may not be component minima. Raise max_iter.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             # Converged edge set is (root=a, child=b) stars; roots label
             # themselves. groupBy-min collapses the (rare) pre-max_iter
             # non-star residue to a deterministic label anyway.

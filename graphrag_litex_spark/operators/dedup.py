@@ -344,11 +344,16 @@ def append_dedup_index(docs: DataFrame, index_dir: str, text_col: str = "text") 
     """Append new documents' signatures + band rows to an existing index
     (hash params come from ``_meta.json`` so bucketing can never drift).
 
-    Crash behavior: parquet appends are per-file atomic; a partial append
-    can leave band rows without a matching signature row (those candidates
-    drop out of the inner verify join — as if the doc was never indexed,
-    so a retried append simply restores them) or duplicate rows (the
-    candidate-pair ``distinct`` absorbs them). No compensation log needed.
+    Crash behavior: parquet appends are per-file atomic, but the TWO
+    appends (signatures, then bands) are not jointly atomic — a crash
+    between them followed by a retry leaves duplicate signature rows for
+    the batch's ids (and a partial band append + retry leaves duplicate
+    band rows). Both duplications are absorbed downstream: the
+    candidate-pair ``distinct`` collapses duplicate band rows, and
+    ``incremental_dedup_pairs`` dedups its verified output on
+    (id_a, id_b) — candidate-sized, so the idempotence costs nothing at
+    index scale. No compensation log needed; re-running a failed append
+    to completion restores the contract exactly.
     """
     import os
 
@@ -443,7 +448,16 @@ def incremental_dedup_pairs(
     sigs = sig_old.join(
         base.select("id"), "id", "left_anti"
     ).unionByName(base.select("id", "sig"))
-    out = _estimate_verified_pairs(cand, sigs, meta["num_hashes"], est_threshold)
+    # dropDuplicates on the PAIR key, not distinct on all columns: a
+    # crash-retried append_dedup_index leaves duplicate signature rows per
+    # old id (see its docstring), which would otherwise fan each candidate
+    # out once per copy. Signatures for one id are byte-identical (same
+    # hash params over the same text), so any surviving row carries the
+    # same est_jaccard; the dedup runs over the post-threshold candidate
+    # set — tiny next to the index — never over the signatures themselves.
+    out = _estimate_verified_pairs(
+        cand, sigs, meta["num_hashes"], est_threshold
+    ).dropDuplicates(["id_a", "id_b"])
     release(base)
     return out
 

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphrag_litex_spark.operators.iterutils import hard_checkpoint
+
 
 def key_skew_profile(
     df: DataFrame,
@@ -35,12 +37,22 @@ def key_skew_profile(
     target_partitions: int = 64,
 ) -> DataFrame:
     """-> (key, n, share, suggested_salt) for the ``top_n`` heaviest keys
-    (ties broken by key value, so the cut is deterministic)."""
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    (ties broken by key value, so the cut is deterministic).
+
+    The full-data aggregate runs ONCE: ``counts`` feeds both the grand
+    total and the per-key branch of the cross join, so without
+    materialization each branch would recompute the whole input scan. An
+    eager ``hard_checkpoint`` pins the (distinct-keys-sized, tiny next to
+    the input) aggregate; pass the result to ``iterutils.release`` after
+    consuming it to free the checkpoint blocks early.
+    """
+    counts = hard_checkpoint(
+        df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    )
     # Grand total via a broadcast one-row cross join — NOT an empty-frame
     # window, which would funnel every key row into a single partition.
     totaled = counts.crossJoin(F.broadcast(counts.agg(F.sum("n").alias("total"))))
-    return (
+    out = (
         totaled.select(
             "key",
             "n",
@@ -55,3 +67,7 @@ def key_skew_profile(
         .orderBy(F.desc("n"), "key")
         .limit(top_n)
     )
+    # Hand the checkpoint handle to the caller: release(result) after the
+    # profile is consumed unpersists the cached aggregate.
+    out._graft_ckpt = counts._graft_ckpt  # type: ignore[attr-defined]
+    return out

@@ -44,21 +44,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# ASCII unit separator (0x1f) between tokens inside a window hash: cannot
-# occur in whitespace-split tokens, so distinct token sequences can never
-# collide by concatenation (["ab","c"] vs ["a","bc"]). Spelled chr(31) in
-# the SQL expression to dodge string-literal escape dialects.
+# ASCII unit separator (0x1f) between tokens inside a window hash. Java's
+# ASCII ``\s`` class does NOT include 0x1f, so tokenization treats it as a
+# separator EXPLICITLY (split class below includes \x1f): tokens can then
+# never contain SEP, and distinct token sequences can never collide by
+# concatenation (["ab","c"] vs ["a","bc"], or adversarial embedded 0x1f
+# like ["x\x1fy","z"] vs ["x","y\x1fz"]). Spelled chr(31) in the SQL
+# expression to dodge string-literal escape dialects.
 SEP = "\x1f"
 
 
 def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, toks array<string>, n_tok) — whitespace tokens of the raw text
     (exact-substring semantics: NO lowercasing/punctuation folding; empty /
-    null / all-whitespace docs yield n_tok = 0). Split on Java ``\\s+``
-    with empty fragments filtered, so leading/trailing/odd whitespace can
-    never mint "" tokens (the golden replicates Java's ASCII ``\\s`` class,
-    oracle_docops.span goldens)."""
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    null / all-whitespace docs yield n_tok = 0). Split on Java
+    ``[\\s\\x1f]+`` with empty fragments filtered, so leading/trailing/odd
+    whitespace can never mint "" tokens and no token can contain the 0x1f
+    window-hash separator (the golden replicates Java's ASCII ``\\s``
+    class + 0x1f, oracle_docops.span goldens)."""
+    toks = F.filter(F.split(F.col(text_col), r"[\s\x1f]+"), lambda x: x != "")
     toks = F.coalesce(toks, F.array().cast("array<string>"))
     return docs.select(
         F.col(id_col).alias("id"),

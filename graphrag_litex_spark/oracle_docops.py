@@ -586,12 +586,14 @@ def incremental_dedup_golden(
     )
 
 
-_SPAN_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java default (non-UNICODE) \s
+# Java default (non-UNICODE) \s plus \x1f — the window-hash separator is
+# split away at tokenization so tokens can never contain it (span_dedup.SEP).
+_SPAN_WS = re.compile(r"[ \t\n\x0b\f\r\x1f]+")
 
 
 def _span_toks(text) -> list:
-    """Python twin of span_dedup._tokenized: Java ``\\s+`` split, empty
-    fragments dropped (Java's ASCII whitespace class, NOT Python's
+    """Python twin of span_dedup._tokenized: Java ``[\\s\\x1f]+`` split,
+    empty fragments dropped (Java's ASCII whitespace class, NOT Python's
     unicode-aware ``\\s``)."""
     if text is None:
         return []

@@ -394,3 +394,30 @@ def test_pipeline_cc_algorithm_knob(spark, corpus_sf0001, tmp_path):
     m1 = {r["norm_name"]: r["entity_id"] for r in r1["canon_map"].collect()}
     m2 = {r["norm_name"]: r["entity_id"] for r in r2["canon_map"].collect()}
     assert m1 == m2
+
+
+def test_max_iter_exhaustion_warns_not_silent(spark):
+    """Exiting either distributed loop via max_iter without convergence must
+    warn (ADVICE r4): silent non-minimum labels at scale are undebuggable."""
+    import warnings as _w
+
+    verts = [f"p{i:02d}" for i in range(10)]
+    edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(9)]
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": verts}))
+    edf = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    for algo in ("minlabel", "alternating"):
+        with pytest.warns(RuntimeWarning, match="max_iter"):
+            connected_components(
+                vdf, edf, max_iter=1, driver_threshold=0, algorithm=algo
+            ).collect()
+    # Converged runs stay silent.
+    for algo in ("minlabel", "alternating"):
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            got = {
+                r["norm_name"]: r["label"]
+                for r in connected_components(
+                    vdf, edf, driver_threshold=0, algorithm=algo
+                ).collect()
+            }
+    assert set(got.values()) == {"p00"}

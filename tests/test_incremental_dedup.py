@@ -106,6 +106,32 @@ def test_append_makes_increment_visible_to_next_increment(spark, frames, tmp_pat
     assert any(p % 5 == 0 for p in partners)
 
 
+def test_retried_append_emits_no_duplicate_pairs(spark, frames, tmp_path):
+    """A crash between append_dedup_index's two writes followed by a retry
+    leaves duplicate signature (and band) rows per appended id. A double
+    append SUPERSETS that state; the incremental probe must still emit each
+    (id_a, id_b) exactly once and keep the union-equals-batch contract."""
+    idx = str(tmp_path / "idx")
+    build_dedup_index(frames["old"], idx)
+    append_dedup_index(frames["new"], idx)
+    append_dedup_index(frames["new"], idx)  # the retried append
+    pdf = _corpus()
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            [(200, pdf.loc[0, "text"] + " with a small extra tail")],
+            columns=["doc_id", "text"],
+        )
+    )
+    inc = incremental_dedup_pairs(probe, idx, est_threshold=0.3)
+    rows = [(r["id_a"], r["id_b"]) for r in inc.collect()]
+    assert rows, "probe found no near-dups at all"
+    assert len(rows) == len(set(rows)), f"duplicate pairs after retried append: {rows}"
+    # Partners include first-increment docs (indexed via the appends).
+    partners = {a for a, _ in rows} | {b for _, b in rows}
+    partners.discard(200)
+    assert any(p % 5 == 0 for p in partners)
+
+
 def test_estimate_verify_mode_batch(spark, frames):
     """verify='estimate' keeps the candidate set and scores with the
     signature estimator: values are exact multiples of 1/num_hashes."""

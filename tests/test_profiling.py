@@ -33,3 +33,17 @@ def test_key_skew_profile_ceiling_rounds_up(spark):
     df = spark.createDataFrame(rows, "k string")
     top = key_skew_profile(df, "k", top_n=1, target_partitions=4).first()
     assert top["key"] == "x" and top["suggested_salt"] == 3
+
+
+def test_key_skew_profile_single_scan_and_release(spark):
+    """The per-key aggregate is checkpointed eagerly so the grand-total and
+    per-key branches of the cross join share ONE full-data pass (ADVICE r4);
+    the returned frame carries the checkpoint handle for release()."""
+    from graphrag_litex_spark.operators.iterutils import release
+
+    rows = [("a",)] * 5 + [("b",)] * 3
+    prof = key_skew_profile(spark.createDataFrame(rows, "k string"), "k")
+    assert getattr(prof, "_graft_ckpt", None) is not None
+    got = {r["key"]: r["n"] for r in prof.collect()}
+    assert got == {"a": 5, "b": 3}
+    release(prof)  # frees the cached aggregate; frame already consumed

@@ -123,3 +123,42 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, str(tmp_path / "missing"), out)
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a hive-partitioned dataset (the dedup index's bands/ dir
+    shape) must keep the key=value layout so partition pruning survives."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from graphrag_litex_spark.sinks.compact import compact_parquet
+
+    src = str(tmp_path / "bands_many")
+    out = str(tmp_path / "bands_few")
+    df = spark.range(2_000).select(
+        "id", (F.col("id") % 4).alias("band"), F.xxhash64("id").alias("bucket")
+    )
+    df.repartition(16).write.partitionBy("band").parquet(src)
+    report = compact_parquet(spark, src, out, target_mb=256)
+    assert report["rows"] == 2_000
+    # Layout preserved: one key=value dir per band, files under them only.
+    band_dirs = sorted(
+        _os.path.basename(d) for d in _glob.glob(_os.path.join(out, "band=*"))
+    )
+    assert band_dirs == ["band=0", "band=1", "band=2", "band=3"]
+    flat = [
+        f for f in _glob.glob(_os.path.join(out, "*.parquet")) if _os.path.isfile(f)
+    ]
+    assert not flat, "partition layout flattened by compaction"
+    assert report["files_out"] <= report["files_in"]
+    # Pruning works against the compacted copy: a band filter reads only
+    # that band's directory (PartitionFilters, not a post-scan filter).
+    pruned = spark.read.parquet(out).where(F.col("band") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "band" in plan.split("PartitionFilters")[1][:120]
+    # Content identical, partition column round-trips with its value.
+    a = sorted((r["id"], r["band"]) for r in spark.read.parquet(src).collect())
+    b = sorted((r["id"], r["band"]) for r in spark.read.parquet(out).collect())
+    assert a == b

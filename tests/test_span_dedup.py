@@ -105,6 +105,35 @@ def test_max_occurrences_valve(spark):
     assert out[100]["removed_tokens"] == 0
 
 
+def test_separator_byte_in_text_cannot_alias_windows(spark):
+    """Raw 0x1f (the window-hash separator) embedded in text is split away
+    at tokenization, so two docs whose tokens would CONCATENATE identically
+    under the old scheme (["x7\\x1fy","z"] vs ["x7","y\\x1fz"]) hash as the
+    same token sequence — and a doc whose 0x1f-stripped tokens differ can
+    never collide with one that merely contains the byte."""
+    rows = [
+        (1, "p q x7\x1fy z tail-one extra pad here"),
+        (2, "p q x7 y\x1fz tail-two extra pad here"),
+        (3, "p q x7y z tail-three extra pad here"),  # no separator: distinct token
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    stats = {r["doc_id"]: r.asDict() for r in duplicate_span_stats(df, k=4).collect()}
+    # Docs 1 and 2 tokenize identically (p q x7 y z ...differs later): the
+    # shared 5-token prefix duplicates its k=4 windows; doc 3's "x7y" token
+    # keeps it clear of both.
+    assert stats[1]["n_dup_windows"] == 2 and stats[2]["n_dup_windows"] == 2
+    assert stats[3]["n_dup_windows"] == 0
+    # And the golden agrees bit-for-bit on separator-bearing text.
+    from graphrag_litex_spark.oracle_docops import span_stats_golden
+
+    ids = [r[0] for r in rows]
+    texts = [r[1] for r in rows]
+    cols = ["doc_id", "n_tok", "n_windows", "n_dup_windows", "dup_tokens", "dup_token_frac"]
+    want = sorted(tuple(row[c] for c in cols) for row in span_stats_golden(ids, texts, k=4).to_pylist())
+    got = sorted(tuple(r[c] for c in cols) for r in duplicate_span_stats(df, k=4).collect())
+    assert got == want
+
+
 def test_differential_vs_pure_python_golden(spark):
     import random
 
