@@ -362,6 +362,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
         )
 
+    def _transcripts(spark, sf_dir):
+        return spark.read.parquet(
+            datagen.ensure_corpus(_sf_from_dir(sf_dir))["transcripts"]
+        )
+
+    def conv_stats(spark, sf_dir):
+        """Per-conversation shape profile over the raw transcript table
+        (operators/transcripts.conversation_stats): turn/role/tool counts,
+        chars, exact-integer duration and max inter-turn gap in micros."""
+        from graphrag_litex_spark.operators.transcripts import conversation_stats
+
+        return conversation_stats(_transcripts(spark, sf_dir))
+
+    def conv_integrity(spark, sf_dir):
+        """Ingest-hygiene validation: turn_idx contiguity (the north-rule
+        reassembly precondition), timestamp regressions, null/empty text
+        (operators/transcripts.conversation_integrity)."""
+        from graphrag_litex_spark.operators.transcripts import conversation_integrity
+
+        return conversation_integrity(_transcripts(spark, sf_dir))
+
+    def conv_role_transitions(spark, sf_dir):
+        """Corpus-wide role-transition grammar under stable (conv_id,
+        turn_idx) ordering (operators/transcripts.role_transitions)."""
+        from graphrag_litex_spark.operators.transcripts import role_transitions
+
+        return role_transitions(_transcripts(spark, sf_dir))
+
+    def conv_tool_usage(spark, sf_dir):
+        """Per-tool usage rollup over tool turns
+        (operators/transcripts.tool_usage)."""
+        from graphrag_litex_spark.operators.transcripts import tool_usage
+
+        return tool_usage(_transcripts(spark, sf_dir))
+
+    def conv_prefix_dups(spark, sf_dir):
+        """Conversation-level duplicate grouping by exact first-3-turn
+        prefix (md5 over chr(31)-joined turn texts), keeper = min conv_id
+        (operators/transcripts.conversation_prefix_dups)."""
+        from graphrag_litex_spark.operators.transcripts import (
+            conversation_prefix_dups,
+        )
+
+        return conversation_prefix_dups(_transcripts(spark, sf_dir), k=3)
+
     def kg_query_topk(spark, sf_dir):
         from graphrag_litex_spark.querying.answer import embed_summaries, select_top_k
 
@@ -1100,6 +1145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_ntriples,
         kg_extraction_metrics,
         kg_mention_skew_profile,
+        conv_stats,
+        conv_integrity,
+        conv_role_transitions,
+        conv_tool_usage,
+        conv_prefix_dups,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -1320,6 +1370,78 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.n_mentions, 0) AS n_mentions,
                    coalesce(tr.n_triples, 0) AS n_triples
             FROM t LEFT JOIN m USING (conv_id) LEFT JOIN tr USING (conv_id)
+        """,
+        "conv_stats": f"""
+            WITH g AS (
+                SELECT conv_id, role, tool, text,
+                       epoch_us(ts) AS us,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS gap
+                FROM read_parquet('{transcripts}')
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS bigint) AS n_user,
+                   cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS bigint) AS n_assistant,
+                   cast(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS bigint) AS n_system,
+                   cast(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_tool_calls,
+                   count(DISTINCT tool) AS n_distinct_tools,
+                   cast(sum(coalesce(length(text), 0)) AS bigint) AS total_chars,
+                   max(us) - min(us) AS duration_us,
+                   cast(coalesce(max(gap), 0) AS bigint) AS max_gap_us
+            FROM g GROUP BY conv_id
+        """,
+        "conv_integrity": f"""
+            WITH g AS (
+                SELECT conv_id, turn_idx, text,
+                       CASE WHEN ts < lag(ts) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx)
+                            THEN 1 ELSE 0 END AS reg
+                FROM read_parquet('{transcripts}')
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   count(DISTINCT turn_idx) AS n_distinct_idx,
+                   min(turn_idx) AS min_idx,
+                   max(turn_idx) AS max_idx,
+                   cast(sum(reg) AS bigint) AS n_ts_regressions,
+                   cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_null_text,
+                   cast(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END) AS bigint) AS n_empty_text,
+                   (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                    AND count(DISTINCT turn_idx) = count(*)) AS is_contiguous
+            FROM g GROUP BY conv_id
+        """,
+        "conv_role_transitions": f"""
+            WITH g AS (
+                SELECT coalesce(lag(role) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx), '<start>') AS from_role,
+                       role AS to_role
+                FROM read_parquet('{transcripts}')
+            )
+            SELECT from_role, to_role, count(*) AS n
+            FROM g GROUP BY from_role, to_role
+        """,
+        "conv_tool_usage": f"""
+            SELECT tool,
+                   count(*) AS n_calls,
+                   count(DISTINCT conv_id) AS n_convs,
+                   cast(sum(coalesce(length(text), 0)) AS bigint) AS total_chars,
+                   round(cast(sum(coalesce(length(text), 0)) AS double) / count(*), 6) AS avg_chars
+            FROM read_parquet('{transcripts}')
+            WHERE tool IS NOT NULL GROUP BY tool
+        """,
+        "conv_prefix_dups": f"""
+            WITH p AS (
+                SELECT conv_id,
+                       md5(string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx)) AS prefix_hash
+                FROM read_parquet('{transcripts}')
+                WHERE turn_idx < 3 GROUP BY conv_id
+            )
+            SELECT conv_id, prefix_hash,
+                   count(*) OVER (PARTITION BY prefix_hash) AS group_size,
+                   min(conv_id) OVER (PARTITION BY prefix_hash) AS keeper_conv_id,
+                   conv_id = min(conv_id) OVER (PARTITION BY prefix_hash) AS is_keeper
+            FROM p
         """,
         "kg_edges_merged": f"""
             SELECT subj AS src, obj AS dst,

@@ -96,6 +96,12 @@ def main() -> None:
     timings["kg_pipeline_to_claims"] = round(pipe_secs[0], 3)
     timings["kg_pipeline_to_claims_steady"] = round(pipeline_sec, 3)
 
+    # Probe between the pipeline reps and the query sweep: host capacity on
+    # this box swings several-fold within one bench run, and a mid-run
+    # sample tells a reader WHICH section ran degraded (r4's sweep-tail
+    # numbers were 3-8x off while the pipeline section was clean).
+    probe_mid = probe()
+
     # Graph stages (communities/summaries) timed separately — they operate
     # on the dedup'd graph, not the corpus, so they don't scale with turns.
     t0 = time.time()
@@ -156,6 +162,7 @@ def main() -> None:
                 "pipeline_sec": round(pipeline_sec, 2),
                 "turns_per_sec": round(n_turns / pipeline_sec, 2) if pipeline_sec else 0,
                 "probe_sec_pre": probe_pre,
+                "probe_sec_mid": probe_mid,
                 "probe_sec_post": probe(),
             }
         )

@@ -1,0 +1,189 @@
+"""Agent-transcript analytics and ingest hygiene.
+
+The pipeline's input is an Iceberg-shaped table of multi-turn
+conversation / agent transcripts — (conv_id, turn_idx, role, text, tool,
+ts) — and at 10^12 turns the ingest layer needs the same first-class
+treatment the document corpus gets (dedup, quality, profiling): retry
+storms duplicate whole conversations, upstream writers drop or repeat
+turn indices, clock skew reorders timestamps, and tool-call distributions
+drift. The reference consumes transcripts as flat documents
+(/root/reference/main.py:56-66 `index_documents`,
+extraction/text_chunker.py:120-141 `chunk_documents`) and has no ingest
+validation at all — every operator here is a scale-path addition the
+reference's in-memory design never needed.
+
+Everything is one hash shuffle on the natural key:
+
+* per-conversation operators (stats, integrity, prefix dedup) group or
+  window on ``conv_id``. Conversations are bounded (turn count is
+  human/agent-session-scale, not corpus-scale), so conv_id can never be
+  a skew key the way a hot entity is — no salting needed; AQE handles
+  the moderate tail. ``conversation_stats`` deliberately computes its
+  window (per-turn gaps) and its aggregate over the SAME partitioning so
+  Catalyst plans a single Exchange (asserted in tests).
+* corpus-level rollups (role transitions, tool usage) aggregate the
+  windowed/filtered stream with map-side combine; output cardinality is
+  tiny (|roles|^2, |tools|), so the final shuffle moves partial counts
+  only.
+
+Determinism/oracle stance: outputs are integers, booleans, and md5 hex
+strings (no float paths except explicitly-rounded averages), so every
+operator has an exact ANSI-SQL oracle in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# First-turn sentinel for transition counting: not a valid role value.
+START = "<start>"
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation shape profile ->
+    (conv_id, n_turns, n_user, n_assistant, n_system, n_tool_calls,
+    n_distinct_tools, total_chars, duration_us, max_gap_us).
+
+    ``duration_us`` = last ts - first ts in microseconds (exact integer;
+    no float time math). ``max_gap_us`` = largest gap between consecutive
+    turns under (turn_idx) ordering — the signal a session-splitter
+    thresholds on. One Exchange: the lag window and the groupBy both
+    partition by conv_id, so the aggregate reuses the window's shuffle.
+    """
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gapped = transcripts.withColumn("_gap", us - F.lag(us).over(w))
+    role_n = lambda r: F.sum(F.when(F.col("role") == r, 1).otherwise(0))
+    return gapped.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        role_n("user").alias("n_user"),
+        role_n("assistant").alias("n_assistant"),
+        role_n("system").alias("n_system"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias(
+            "n_tool_calls"
+        ),
+        F.count_distinct("tool").alias("n_distinct_tools"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("total_chars"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.coalesce(F.max("_gap"), F.lit(0)).alias("max_gap_us"),
+    )
+
+
+def conversation_integrity(transcripts: DataFrame) -> DataFrame:
+    """Ingest-hygiene validation per conversation ->
+    (conv_id, n_turns, n_distinct_idx, min_idx, max_idx, is_contiguous,
+    n_ts_regressions, n_null_text, n_empty_text).
+
+    ``is_contiguous`` is the north-rule reassembly precondition: turn
+    indices are exactly 0..n-1 with no duplicates or holes — the property
+    that makes "per-turn text equality under stable (conv_id, turn_idx)
+    ordering" well-defined. ``n_ts_regressions`` counts turns whose
+    timestamp moves backwards under turn_idx ordering (clock skew /
+    out-of-order ingest). A 10^12-turn ingest gates extraction on
+    ``is_contiguous`` and routes violations to a quarantine table instead
+    of crashing mid-corpus.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = transcripts.withColumn(
+        "_ts_regress",
+        F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0),
+    )
+    agg = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_distinct("turn_idx").alias("n_distinct_idx"),
+        F.min("turn_idx").alias("min_idx"),
+        F.max("turn_idx").alias("max_idx"),
+        F.sum("_ts_regress").alias("n_ts_regressions"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(
+            F.when(F.trim(F.coalesce("text", F.lit(""))) == "", 1).otherwise(0)
+        ).alias("n_empty_text"),
+    )
+    return agg.withColumn(
+        "is_contiguous",
+        (F.col("min_idx") == 0)
+        & (F.col("max_idx") == F.col("n_turns") - 1)
+        & (F.col("n_distinct_idx") == F.col("n_turns")),
+    )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Corpus-wide (from_role, to_role, n) transition counts under stable
+    (conv_id, turn_idx) ordering; a conversation's first turn transitions
+    from the ``<start>`` sentinel. The role-grammar fingerprint of an
+    agent framework — drift here (e.g. tool->tool chains appearing) is
+    an early upstream-regression signal. Output is |roles+1| x |roles|
+    rows, so the final aggregate is a partial-count shuffle of a few
+    dozen rows per task."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.withColumn(
+            "from_role", F.coalesce(F.lag("role").over(w), F.lit(START))
+        )
+        .groupBy("from_role", F.col("role").alias("to_role"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tool_usage(transcripts: DataFrame) -> DataFrame:
+    """Per-tool usage profile over tool turns ->
+    (tool, n_calls, n_convs, total_chars, avg_chars).
+
+    ``n_convs`` = conversations that invoked the tool at least once.
+    Tool-name cardinality is tiny, so this is a broadcast-sized rollup;
+    the tool IS the classic skew key (one hot tool dominating calls), but
+    as a pure aggregation it map-side-combines — skew only matters when
+    this column becomes a JOIN key (see profiling.key_skew_profile for
+    choosing the salt then)."""
+    calls = transcripts.where(F.col("tool").isNotNull())
+    return calls.groupBy("tool").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.count_distinct("conv_id").alias("n_convs"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("total_chars"),
+        F.round(
+            F.sum(F.coalesce(F.length("text"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+    )
+
+
+def conversation_prefix_dups(transcripts: DataFrame, k: int = 3) -> DataFrame:
+    """Conversation-level near-duplicate grouping by exact first-``k``-turn
+    prefix -> (conv_id, prefix_hash, group_size, keeper_conv_id, is_keeper).
+
+    Retry storms and at-least-once ingest duplicate whole conversations
+    (same opening turns, sometimes divergent tails once the agent's
+    sampling differs); document-level dedup never sees them because each
+    turn is a separate row. The prefix key is md5 over the first k turns'
+    text joined on chr(31) in turn order — exact, deterministic, and
+    reproducible in ANSI SQL (md5 + string_agg), unlike xxhash64.
+    Keeper = lexicographic-min conv_id per group (pure function of the
+    data: partitioning/resume invariant). Two shuffles: groupBy(conv_id)
+    to build prefixes, then a window over prefix_hash whose partition
+    count is group-bounded (dup groups are small by construction; a
+    boilerplate mega-group — e.g. an empty-prefix default — would surface
+    in group_size and is a filtering problem, not a dedup problem)."""
+    prefix = (
+        transcripts.where(F.col("turn_idx") < k)
+        .groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("turn_idx", F.coalesce("text", F.lit("")).alias("t"))
+                        )
+                    ).getField("t"),
+                )
+            ).alias("prefix_hash")
+        )
+    )
+    w = Window.partitionBy("prefix_hash")
+    return prefix.select(
+        "conv_id",
+        "prefix_hash",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("conv_id").over(w).alias("keeper_conv_id"),
+        (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_keeper"),
+    )

@@ -1,0 +1,138 @@
+"""Agent-transcript analytics: hand-computed fixtures over adversarial
+ingest shapes (duplicate/holey turn indices, timestamp regressions, null
+text, retry-duplicated conversations) + shuffle-shape asserts."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.transcripts import (
+    conversation_integrity,
+    conversation_prefix_dups,
+    conversation_stats,
+    role_transitions,
+    tool_usage,
+)
+
+
+def _ts(s):
+    return datetime(2026, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+ROWS = [
+    # c1: clean 4-turn conversation with one tool call.
+    ("c1", 0, "system", "be helpful", None, _ts(0)),
+    ("c1", 1, "user", "find the report", None, _ts(10)),
+    ("c1", 2, "tool", "report.pdf found", "search", _ts(11)),
+    ("c1", 3, "assistant", "here it is", None, _ts(41)),
+    # c2: duplicate turn_idx 1, a hole at 2, ts regression at idx 3, empty text.
+    ("c2", 0, "user", "hello", None, _ts(5)),
+    ("c2", 1, "assistant", "hi", None, _ts(6)),
+    ("c2", 1, "assistant", "hi again", None, _ts(7)),
+    ("c2", 3, "user", "", None, _ts(3)),
+    # c3: null text turn.
+    ("c3", 0, "user", None, None, _ts(0)),
+    ("c3", 1, "assistant", "ack", None, _ts(2)),
+]
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_conversation_stats_hand_computed(spark, tr):
+    got = {r["conv_id"]: r.asDict() for r in conversation_stats(tr).collect()}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 4 and c1["n_user"] == 1 and c1["n_assistant"] == 1
+    assert c1["n_system"] == 1 and c1["n_tool_calls"] == 1 and c1["n_distinct_tools"] == 1
+    assert c1["total_chars"] == len("be helpful") + len("find the report") + len(
+        "report.pdf found"
+    ) + len("here it is")
+    assert c1["duration_us"] == 41_000_000
+    assert c1["max_gap_us"] == 30_000_000  # ts(11) -> ts(41)
+    # c2's regression makes one gap NEGATIVE; max_gap is still the largest.
+    assert got["c2"]["max_gap_us"] == 1_000_000
+    # null text counts zero chars, single-gap conversation.
+    assert got["c3"]["total_chars"] == 3 and got["c3"]["max_gap_us"] == 2_000_000
+
+
+def test_conversation_stats_single_exchange(spark, tr):
+    """The lag window and the aggregate both cluster on conv_id — the
+    aggregate must reuse the window's shuffle (one Exchange total)."""
+    plan = conversation_stats(tr)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_conversation_integrity_flags(spark, tr):
+    got = {r["conv_id"]: r.asDict() for r in conversation_integrity(tr).collect()}
+    assert got["c1"]["is_contiguous"] and got["c1"]["n_ts_regressions"] == 0
+    c2 = got["c2"]
+    assert not c2["is_contiguous"]
+    assert c2["n_turns"] == 4 and c2["n_distinct_idx"] == 3
+    assert c2["min_idx"] == 0 and c2["max_idx"] == 3
+    assert c2["n_ts_regressions"] == 1  # ts(3) after ts(7)
+    assert c2["n_empty_text"] == 1 and c2["n_null_text"] == 0
+    assert got["c3"]["n_null_text"] == 1 and got["c3"]["is_contiguous"]
+
+
+def test_role_transitions_hand_computed(spark, tr):
+    got = {(r["from_role"], r["to_role"]): r["n"] for r in role_transitions(tr).collect()}
+    assert got[("<start>", "system")] == 1  # c1 opens with system
+    assert got[("<start>", "user")] == 2  # c2, c3
+    assert got[("user", "tool")] == 1  # c1: user -> tool turn
+    assert got[("tool", "assistant")] == 1
+    assert got[("assistant", "assistant")] == 1  # c2's duplicated idx 1
+    assert sum(got.values()) == len(ROWS)  # every turn transitions exactly once
+
+
+def test_tool_usage_hand_computed(spark, tr):
+    got = {r["tool"]: r.asDict() for r in tool_usage(tr).collect()}
+    assert list(got) == ["search"]
+    assert got["search"]["n_calls"] == 1 and got["search"]["n_convs"] == 1
+    assert got["search"]["total_chars"] == len("report.pdf found")
+    assert got["search"]["avg_chars"] == float(len("report.pdf found"))
+
+
+def test_prefix_dups_group_retried_conversations(spark):
+    rows = [
+        # c1 and c9: identical first-2-turn prefix (a retry), divergent tails.
+        ("c1", 0, "user", "open ticket 7", None, _ts(0)),
+        ("c1", 1, "assistant", "opening", None, _ts(1)),
+        ("c1", 2, "assistant", "done", None, _ts(2)),
+        ("c9", 0, "user", "open ticket 7", None, _ts(9)),
+        ("c9", 1, "assistant", "opening", None, _ts(10)),
+        ("c9", 2, "assistant", "failed, retrying", None, _ts(11)),
+        # c5: unique prefix.
+        ("c5", 0, "user", "different opener", None, _ts(4)),
+        ("c5", 1, "assistant", "sure", None, _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["conv_id"]: r.asDict() for r in conversation_prefix_dups(df, k=2).collect()}
+    assert got["c1"]["prefix_hash"] == got["c9"]["prefix_hash"]
+    assert got["c1"]["group_size"] == 2 and got["c9"]["group_size"] == 2
+    assert got["c1"]["keeper_conv_id"] == "c1" == got["c9"]["keeper_conv_id"]
+    assert got["c1"]["is_keeper"] and not got["c9"]["is_keeper"]
+    assert got["c5"]["group_size"] == 1 and got["c5"]["is_keeper"]
+    # Prefix boundary respected: differing turn 2 didn't break the group,
+    # and k=3 (which includes it) must split them.
+    got3 = {r["conv_id"]: r for r in conversation_prefix_dups(df, k=3).collect()}
+    assert got3["c1"]["prefix_hash"] != got3["c9"]["prefix_hash"]
+
+
+def test_prefix_dups_null_text_and_permutation_invariance(spark):
+    # Null text hashes as '' (never crashes, never distinguishes from '');
+    # shuffled input rows produce identical hashes (sort_array ordering).
+    rows = [
+        ("a", 1, "assistant", "x", None, _ts(1)),
+        ("a", 0, "user", None, None, _ts(0)),
+        ("b", 0, "user", "", None, _ts(2)),
+        ("b", 1, "assistant", "x", None, _ts(3)),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["conv_id"]: r for r in conversation_prefix_dups(df, k=2).collect()}
+    assert got["a"]["prefix_hash"] == got["b"]["prefix_hash"]
+    assert got["a"]["group_size"] == 2
