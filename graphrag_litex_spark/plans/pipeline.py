@@ -187,6 +187,20 @@ class PipelineConfig:
     # valid LPA fixpoint but not necessarily the cold-start labeling
     # (community detection is not unique), so this is opt-in.
     community_warm_start: bool = False
+    # Ingest hygiene gate (operators/transcripts.conversation_integrity):
+    # when True, conversations whose turn indices are not exactly 0..n-1
+    # (duplicates/holes — the precondition for "per-turn text equality
+    # under stable (conv_id, turn_idx) ordering") are diverted to a
+    # "quarantine" stage table with their full integrity flags and
+    # EXCLUDED from the build, instead of silently corrupting reassembly.
+    # Cost when on: one conv_id-clustered aggregate over the corpus plus
+    # an anti join against the (normally tiny — planner/AQE broadcasts it
+    # from its measured parquet size, no forced hint) offender id set.
+    # Timestamp regressions are reported in the table but do NOT gate:
+    # ordering is by turn_idx, so reassembly stays well-defined. Default
+    # off: warehouse inputs that already enforce the invariant shouldn't
+    # pay a validation pass per build.
+    validate_ingest: bool = False
 
 
 class KGPipeline:
@@ -400,6 +414,26 @@ class KGPipeline:
             DataFrame.unionByName,
             [load_input(self.spark, p) for p in [self.transcripts_path, *extras]],
         )
+
+        # S0 (optional) ingest gate: quarantine non-contiguous conversations
+        # before anything downstream sees them. Materialized as a stage so
+        # resume skips the validation pass and operators can inspect WHY a
+        # conversation was dropped (lineage: the quarantine row is the
+        # drop's record).
+        if cfg.validate_ingest:
+            from graphrag_litex_spark.operators.transcripts import (
+                conversation_integrity,
+            )
+
+            results["quarantine"] = mat(
+                "quarantine",
+                lambda: conversation_integrity(transcripts).where(
+                    ~F.col("is_contiguous")
+                ),
+            )
+            transcripts = transcripts.join(
+                results["quarantine"].select("conv_id"), "conv_id", "left_anti"
+            )
 
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).

@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
         "extraction is never recomputed)",
     )
     p.add_argument("--until", default=None, help="stop after this stage")
+    p.add_argument(
+        "--validate-ingest",
+        action="store_true",
+        help="quarantine conversations with non-contiguous turn indices "
+        "(duplicates/holes) into a 'quarantine' stage table and exclude "
+        "them from the build",
+    )
     p.add_argument("--question", default=None, help="optionally answer a question after build")
     p.add_argument(
         "--mode",
@@ -66,7 +73,9 @@ def main(argv: list[str] | None = None) -> int:
 
     from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
 
-    cfg = PipelineConfig(min_strength=args.min_strength)
+    cfg = PipelineConfig(
+        min_strength=args.min_strength, validate_ingest=args.validate_ingest
+    )
     if args.append:
         from graphrag_litex_spark.plans.pipeline import KGPipeline
 

@@ -136,3 +136,38 @@ def test_prefix_dups_null_text_and_permutation_invariance(spark):
     got = {r["conv_id"]: r for r in conversation_prefix_dups(df, k=2).collect()}
     assert got["a"]["prefix_hash"] == got["b"]["prefix_hash"]
     assert got["a"]["group_size"] == 2
+
+
+def test_pipeline_validate_ingest_quarantines_bad_conversations(
+    spark, corpus_sf0001, tmp_path
+):
+    """validate_ingest diverts non-contiguous conversations to a quarantine
+    stage and builds the graph from the clean remainder only; resume skips
+    the validation pass like any other stage."""
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    clean = spark.read.parquet(corpus_sf0001["transcripts"])
+    # Corrupt one conversation: duplicate its turn 0 (non-contiguous).
+    victim = clean.select("conv_id").orderBy("conv_id").first()["conv_id"]
+    dup = clean.where((F.col("conv_id") == victim) & (F.col("turn_idx") == 0))
+    src = str(tmp_path / "dirty")
+    clean.unionByName(dup).write.parquet(src)
+
+    out = str(tmp_path / "kg")
+    cfg = PipelineConfig(validate_ingest=True)
+    res = run_pipeline(spark, src, out, config=cfg, resume=False, until="chunks")
+    q = res["quarantine"].collect()
+    assert [r["conv_id"] for r in q] == [victim]
+    assert not q[0]["is_contiguous"] and q[0]["n_distinct_idx"] == q[0]["n_turns"] - 1
+    # The victim never reaches chunking; every other conversation does.
+    chunk_convs = {r["conv_id"] for r in res["chunks"].select("conv_id").distinct().collect()}
+    all_convs = {r["conv_id"] for r in clean.select("conv_id").distinct().collect()}
+    assert chunk_convs == all_convs - {victim}
+    # Resume: the quarantine stage is fingerprint-skipped, results identical.
+    res2 = run_pipeline(spark, src, out, config=cfg, resume=True, until="chunks")
+    assert [r["conv_id"] for r in res2["quarantine"].collect()] == [victim]
+    # Default config has no gate and no quarantine key.
+    res3 = run_pipeline(
+        spark, src, str(tmp_path / "kg_nogate"), resume=False, until="chunks"
+    )
+    assert "quarantine" not in res3
