@@ -95,6 +95,65 @@ def _parquet_stats(path: str) -> dict:
     return out
 
 
+def build_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Queryable face of a build's checkpoint manifest -> one row per
+    completed stage: (stage, sec, rows, files, bytes, max_part_rows).
+    The operator dashboard for "which stage cost what, and is any stage's
+    output skewed" — read from ``_manifest.json`` only (no Spark job over
+    the stage data; the manifest is KB-sized at any corpus scale)."""
+    import pandas as pd
+
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    rows = [
+        {
+            "stage": name,
+            "sec": float(e.get("sec", 0.0)),
+            "rows": int(e.get("rows", 0)),
+            "files": int(e.get("files", 0)),
+            "bytes": int(e.get("bytes", 0)),
+            "max_part_rows": int(e.get("max_part_rows", 0)),
+        }
+        for name, e in manifest.items()
+        if isinstance(e, dict) and "fingerprint" in e
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["stage", "sec", "rows", "files", "bytes", "max_part_rows"],
+        ),
+        schema="stage string, sec double, rows long, files long, bytes long, "
+        "max_part_rows long",
+    )
+
+
+def build_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-partition lineage as a table -> (stage, file, rows, bytes), one
+    row per output file of every completed stage that recorded partition
+    detail (stages beyond _LINEAGE_MAX_FILES files keep aggregates only —
+    surfaced here as zero rows for that stage, not an error)."""
+    import pandas as pd
+
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    rows = [
+        {
+            "stage": name,
+            "file": p["file"],
+            "rows": int(p["rows"]),
+            "bytes": int(p["bytes"]),
+        }
+        for name, e in manifest.items()
+        if isinstance(e, dict)
+        for p in e.get("partitions", [])
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["stage", "file", "rows", "bytes"]),
+        schema="stage string, file string, rows long, bytes long",
+    )
+
+
 def resolution_join(raw: DataFrame, canon: DataFrame, *, broadcast: bool) -> DataFrame:
     """D1: resolve relationship source/target names to canonical ids via two
     hash joins; INNER join semantics drop rows naming unknown entities

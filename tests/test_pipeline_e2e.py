@@ -141,6 +141,20 @@ def test_resume_is_noop(spark, corpus_sf0001, tmp_path):
         assert entry["max_part_rows"] == max(p["rows"] for p in parts)
         assert all(p["file"].endswith(".parquet") for p in parts)
 
+    # Queryable manifest faces: build_report agrees with the raw manifest,
+    # build_lineage explodes the per-partition detail consistently.
+    from graphrag_litex_spark.plans.pipeline import build_lineage, build_report
+
+    report = {r["stage"]: r.asDict() for r in build_report(spark, out).collect()}
+    lineage = build_lineage(spark, out)
+    for stage in ("extractions", "canon_map", "nodes"):
+        assert report[stage]["rows"] == manifest[stage]["rows"]
+        assert report[stage]["files"] == manifest[stage]["files"]
+        assert report[stage]["sec"] >= 0.0
+        lin = lineage.where(F.col("stage") == stage).collect()
+        assert sum(r["rows"] for r in lin) == manifest[stage]["rows"]
+        assert len(lin) == manifest[stage]["files"]
+
 
 def test_incremental_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_factory):
     """Batch incrementality: pipeline(half A) + append(half B) must produce
