@@ -32,6 +32,7 @@ import hashlib
 import json
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -301,6 +302,63 @@ class KGPipeline:
         # the manifest dict + file write are the only shared mutable state.
         self._manifest_lock = threading.Lock()
 
+    # ---- cross-process build lock ----------------------------------------
+    @contextmanager
+    def _build_lock(self):
+        """Exclusive advisory lock on ``out_dir`` for the duration of a
+        build. Two DRIVERS writing the same out_dir interleave their
+        overwrite-mode stage writes into a union of both runs' files with a
+        valid _SUCCESS and a fingerprint-matching manifest — corruption that
+        resume then trusts (observed: doubled mention counts after two
+        concurrent builds raced one stage dir). O_CREAT|O_EXCL is atomic on
+        local/NFS filesystems; a stale lock (dead pid on THIS host) is
+        stolen. On object stores there is no exclusive-create primitive —
+        there the catalog layer (Iceberg commits) owns write concurrency and
+        this lock degrades to best-effort.
+        """
+        lock_path = os.path.join(self.out_dir, "_BUILD_LOCK")
+        while True:
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    holder = int(open(lock_path).read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0
+                alive = False
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)  # signal 0: existence probe only
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True
+                if alive:
+                    raise RuntimeError(
+                        f"out_dir {self.out_dir!r} is being built by pid "
+                        f"{holder} (lock {lock_path}); concurrent builds of "
+                        "one out_dir corrupt stage tables — wait for it or "
+                        "remove the lock if that pid is on another host and "
+                        "known dead"
+                    )
+                # Stale lock from a dead local process: steal it and retry
+                # the atomic create (another waiter may win the race — loop).
+                try:
+                    os.unlink(lock_path)
+                except FileNotFoundError:
+                    pass
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
+
     # ---- checkpoint manifest -------------------------------------------
     def _input_fingerprint(self, extra_inputs: list[str] | None = None) -> str:
         from graphrag_litex_spark.sources.tables import TABLE_PREFIX, input_fingerprint
@@ -409,6 +467,10 @@ class KGPipeline:
         retried append raises (stage no longer up-to-date) rather than
         appending the same items twice.
         """
+        with self._build_lock():
+            return self._append_locked(new_path)
+
+    def _append_locked(self, new_path: str) -> int:
         from graphrag_litex_spark.operators.extraction import extract_items
         from graphrag_litex_spark.sources.tables import read_transcripts
 
@@ -457,6 +519,10 @@ class KGPipeline:
 
     # ---- run -------------------------------------------------------------
     def run(self, resume: bool = True, until: str | None = None) -> dict[str, DataFrame]:
+        with self._build_lock():
+            return self._run_locked(resume, until)
+
+    def _run_locked(self, resume: bool, until: str | None) -> dict[str, DataFrame]:
         cfg = self.config
         manifest = self._load_manifest()
         extras = manifest.get("extra_inputs", [])

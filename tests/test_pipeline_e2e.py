@@ -433,3 +433,40 @@ def test_community_warm_start_refresh(spark, corpus_sf0001, tmp_path):
     assert warm["communities"].where("level = 0").count() == n_members
     q_warm = modularity(warm["communities"], warm["edges"], level=0)
     assert q_warm >= 0.8 * q_cold, f"warm Q={q_warm:.4f} vs cold Q={q_cold:.4f}"
+
+
+def test_concurrent_build_lock(spark, corpus_sf0001, tmp_path):
+    """Two drivers building one out_dir interleave overwrite-mode stage
+    writes into silent corruption; the advisory _BUILD_LOCK makes the second
+    build fail loudly instead. Stale locks from dead local pids are stolen."""
+    import os
+
+    import pytest as _pytest
+
+    from graphrag_litex_spark.plans.pipeline import KGPipeline
+
+    out = str(tmp_path / "kg")
+    pipe = KGPipeline(spark, corpus_sf0001["transcripts"], out)
+    lock = os.path.join(out, "_BUILD_LOCK")
+
+    # A live holder (this very process) blocks the build with a clear error.
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with _pytest.raises(RuntimeError, match="being built by pid"):
+        pipe.run(resume=True, until="chunks")
+    os.unlink(lock)
+
+    # A dead holder's lock is stolen and the build proceeds; the lock is
+    # released afterwards.
+    with open(lock, "w") as f:
+        f.write("999999999")
+    res = pipe.run(resume=True, until="chunks")
+    assert res["chunks"].count() > 0
+    assert not os.path.exists(lock)
+
+    # append_transcripts takes the same lock.
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with _pytest.raises(RuntimeError, match="being built by pid"):
+        pipe.append_transcripts(str(tmp_path / "nonexistent"))
+    os.unlink(lock)

@@ -511,6 +511,38 @@ def main() -> int:
         )
     )
 
+    # Transcript analytics: the per-conversation stats window and aggregate
+    # must share ONE conv_id Exchange; prefix dedup is groupBy + a window
+    # on the hash — no Python, no cartesian anywhere.
+    from graphrag_litex_spark.operators.transcripts import (
+        conversation_prefix_dups,
+        conversation_stats,
+    )
+
+    tr = spark.read.parquet(datagen.ensure_corpus(0.01)["transcripts"])
+    p = plan_of(conversation_stats(tr))
+    assert p.count("Exchange") == 1, "stats window+agg must share one shuffle"
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "Conversation stats (transcript analytics)",
+            "lag window and aggregate both cluster on conv_id -> a single "
+            "Exchange serves both; exact-integer micros, no Python",
+            p,
+        )
+    )
+    p = plan_of(conversation_prefix_dups(tr, k=3))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    assert "md5" in p
+    sections.append(
+        (
+            "Conversation prefix dedup",
+            "turn_idx<k filter pushed to the scan -> groupBy(conv_id) md5 "
+            "prefix -> window on prefix_hash (group-bounded partitions)",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
