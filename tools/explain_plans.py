@@ -520,8 +520,12 @@ def main() -> int:
     )
 
     tr = spark.read.parquet(datagen.ensure_corpus(0.01)["transcripts"])
-    p = plan_of(conversation_stats(tr))
-    assert p.count("Exchange") == 1, "stats window+agg must share one shuffle"
+    stats_df = conversation_stats(tr)
+    # Count Exchanges on the executed-plan TREE: explain("formatted") repeats
+    # every node name in its detail section, so counting there double-counts.
+    tree = stats_df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Exchange") == 1, "stats window+agg must share one shuffle"
+    p = plan_of(stats_df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     sections.append(
         (
