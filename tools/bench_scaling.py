@@ -224,8 +224,11 @@ def main() -> None:
     if "--no-md" in sys.argv:
         return
 
+    # Write the auto-generated report NEXT TO the curated study, never over
+    # it: BENCH/BASELINE.md is hand-merged multi-run evidence (an overwrite
+    # in round 5 silently dropped the round-4 study until git restored it).
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    md = os.path.join(REPO, "BENCH", "BASELINE_auto.md")
     lvl_rows = "\n".join(
         f"| local[{n}] (pinned {n} cores) | {levels[n]['sec']} | {levels[n]['triples_per_sec']} | "
         f"{levels[n]['extract_sec']} | {levels[n]['extract_turns_per_sec']} | {probes[n]} |"
