@@ -362,6 +362,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
         )
 
+    def kg_entity_aliases(spark, sf_dir):
+        """Alias rollup per canonical entity — the queryable face of the
+        linking stage (reference entity_resolver merges these implicitly):
+        (canonical, n_aliases, aliases '|'-joined in sorted order)."""
+        cm = _kg(spark, _sf_from_dir(sf_dir))["canon_map"]
+        return cm.groupBy("canonical").agg(
+            F.count(F.lit(1)).alias("n_aliases"),
+            F.concat_ws("|", F.sort_array(F.collect_list("norm_name"))).alias(
+                "aliases"
+            ),
+        )
+
+    def kg_predicate_stats(spark, sf_dir):
+        """Per-predicate profile over resolved triples: observation count,
+        conversation spread, exactly-rounded mean/max strength — the
+        relation-vocabulary drift dashboard."""
+        t = _kg(spark, _sf_from_dir(sf_dir))["triples"]
+        return t.groupBy("pred").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.round(F.avg("strength"), 6).alias("avg_strength"),
+            F.max("strength").alias("max_strength"),
+        )
+
+    def kg_degree_histogram(spark, sf_dir):
+        """Exact degree histogram over the merged edge set -> (degree,
+        n_nodes). Output cardinality is the number of DISTINCT degrees —
+        thousands at billions of nodes — so the second aggregate is always
+        tiny; the skew planner reads the tail of this table."""
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        deg = (
+            e.select(F.col("src").alias("name"))
+            .unionAll(e.select(F.col("dst").alias("name")))
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
     def _transcripts(spark, sf_dir):
         return spark.read.parquet(
             datagen.ensure_corpus(_sf_from_dir(sf_dir))["transcripts"]
@@ -1145,6 +1183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_ntriples,
         kg_extraction_metrics,
         kg_mention_skew_profile,
+        kg_entity_aliases,
+        kg_predicate_stats,
+        kg_degree_histogram,
         conv_stats,
         conv_integrity,
         conv_role_transitions,
@@ -1370,6 +1411,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.n_mentions, 0) AS n_mentions,
                    coalesce(tr.n_triples, 0) AS n_triples
             FROM t LEFT JOIN m USING (conv_id) LEFT JOIN tr USING (conv_id)
+        """,
+        "kg_entity_aliases": f"""
+            SELECT canonical, count(*) AS n_aliases,
+                   string_agg(norm_name, '|' ORDER BY norm_name) AS aliases
+            FROM read_parquet('{canon}') GROUP BY canonical
+        """,
+        "kg_predicate_stats": f"""
+            SELECT pred, count(*) AS n,
+                   count(DISTINCT conv_id) AS n_convs,
+                   round(avg(strength), 6) AS avg_strength,
+                   max(strength) AS max_strength
+            FROM read_parquet('{triples}') GROUP BY pred
+        """,
+        "kg_degree_histogram": f"""
+            WITH merged AS (
+                SELECT subj AS src, obj AS dst
+                FROM read_parquet('{triples}') GROUP BY subj, obj
+            ), deg AS (
+                SELECT name, count(*) AS degree FROM (
+                    SELECT src AS name FROM merged
+                    UNION ALL
+                    SELECT dst AS name FROM merged
+                ) GROUP BY name
+            )
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
         """,
         "conv_stats": f"""
             WITH g AS (
