@@ -174,6 +174,67 @@ def conversation_progress(transcripts_stream: DataFrame) -> DataFrame:
     )
 
 
+INTEG_STATE_SCHEMA = "seen array<int>, n_turns long"
+INTEG_OUT_SCHEMA = (
+    "conv_id string, n_turns long, n_distinct_idx long, min_idx int, "
+    "max_idx int, is_contiguous boolean"
+)
+
+
+def conversation_integrity_stream(transcripts_stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators/transcripts.conversation_integrity's
+    contiguity gate: per-conversation state accumulates the DISTINCT turn
+    indices seen so far, and every microbatch emits the updated verdict for
+    each conversation touched — is_contiguous flips to True the moment the
+    index set becomes exactly 0..n-1, so a downstream router can divert
+    still-broken conversations while the stream runs instead of waiting
+    for a batch validation pass.
+
+    State is the distinct-index array (bounded by conversation length —
+    session-scale, not corpus-scale — so state size is O(turns/conv), the
+    same order as the built-in dedup state a drop-duplicates would keep).
+    Timestamp-regression checks need cross-batch per-index ordering and
+    stay batch-only (documented divergence; the batch gate reports them).
+    Final state equals the batch operator's contiguity columns — asserted
+    in tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        seen, n = state.get if state.exists else ([], 0)
+        seen_set = set(seen)
+        for pdf in pdfs:
+            n += len(pdf)
+            seen_set.update(int(i) for i in pdf["turn_idx"].dropna())
+        seen_sorted = sorted(seen_set)
+        state.update((seen_sorted, n))
+        n_distinct = len(seen_sorted)
+        mn = seen_sorted[0] if seen_sorted else None
+        mx = seen_sorted[-1] if seen_sorted else None
+        contiguous = bool(
+            seen_sorted and mn == 0 and mx == n - 1 and n_distinct == n
+        )
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "n_distinct_idx": [n_distinct],
+                "min_idx": [mn],
+                "max_idx": [mx],
+                "is_contiguous": [contiguous],
+            }
+        )
+
+    return transcripts_stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        INTEG_OUT_SCHEMA,
+        INTEG_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_session_stats(
     events_stream: DataFrame,
     key_col: str = "user_id",

@@ -257,3 +257,55 @@ def test_streaming_dedup_gate(spark, tmp_path_factory):
         ("b", "something else"),
         ("d", "fresh new content"),
     ]
+
+
+def test_conversation_integrity_stream_matches_batch(spark, split_corpus, tmp_path_factory):
+    """Streaming contiguity gate: with conversations' turns split across two
+    microbatches, intermediate verdicts show holes, and the final per-conv
+    state equals the batch integrity operator's contiguity columns."""
+    from graphrag_litex_spark.operators.transcripts import conversation_integrity
+    from graphrag_litex_spark.sources.tables import TRANSCRIPT_SCHEMA
+    from graphrag_litex_spark.streaming.incremental import (
+        conversation_integrity_stream,
+    )
+
+    input_dir, t, half = split_corpus  # batch_0 + batch_1 on disk by now
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(input_dir, "batch_1.parquet")):
+        pq.write_table(t.slice(half), _os.path.join(input_dir, "batch_1.parquet"))
+    out = str(tmp_path_factory.mktemp("integ_out"))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        conversation_integrity_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    updates = spark.read.parquet(out)
+    cols = ("n_turns", "n_distinct_idx", "min_idx", "max_idx", "is_contiguous")
+    latest = {
+        r["conv_id"]: tuple(r[c] for c in cols)
+        for r in updates.orderBy("n_turns").collect()  # n_turns monotone per conv
+    }
+    batch = conversation_integrity(spark.read.parquet(input_dir))
+    want = {r["conv_id"]: tuple(r[c] for c in cols) for r in batch.collect()}
+    assert latest == want
+    # The shuffled corpus splits conversations across batches, so SOME
+    # intermediate verdict must have been non-contiguous (holes mid-stream)
+    # even though the corpus is clean at the end — cross-batch state worked.
+    assert all(v[4] for v in want.values())  # clean corpus: all contiguous
+    assert updates.where(~F.col("is_contiguous")).count() > 0
