@@ -119,6 +119,42 @@ def save_graph_tables(
     return written
 
 
+def publish_transcripts(
+    transcripts: DataFrame,
+    ident: str = "kg_transcripts",
+    buckets: int = 64,
+    mode: str = "overwrite",
+    location: str | None = None,
+) -> str:
+    """Publish the transcripts CORPUS as a conv_id-bucketed catalog table
+    (sorted by (conv_id, turn_idx) within buckets).
+
+    Every per-conversation operator — reassembly windows, chunking's
+    co-location repartition, transcript analytics (conversation_stats /
+    conversation_integrity), the ingest gate — requires rows clustered on
+    conv_id, and against a plain parquet directory each one pays a
+    corpus-sized Exchange for it. A bucketed scan reports
+    HashPartitioning(conv_id), so those plans drop the Exchange entirely
+    (asserted in tests/test_warehouse.py): at 10^12 turns that shuffle is
+    the single largest non-extraction cost. The pipeline consumes the
+    table via its ``table:<ident>`` input form (Iceberg-snapshot-keyed
+    resume when a real catalog is configured; Iceberg's bucket partition
+    transform replaces Hive bucketing there).
+    """
+    import os
+
+    writer = (
+        transcripts.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+    )
+    if location is not None:
+        writer = writer.option("path", os.path.join(location, ident))
+    writer.saveAsTable(ident)
+    return ident
+
+
 def open_warehouse_graph(
     spark: SparkSession, prefix: str = "kg", tables: list[str] | None = None
 ) -> dict[str, DataFrame]:

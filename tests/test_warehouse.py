@@ -178,3 +178,46 @@ def test_two_hop_self_join_shuffles_one_side_only(spark, warehouse):
         assert plan.count("Exchange") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_transcripts_conv_ops_no_exchange(
+    spark, corpus_sf0001, tmp_path_factory
+):
+    """publish_transcripts buckets the corpus on conv_id: every
+    conv_id-clustered operator (transcript stats, integrity, reassembly
+    windows) then plans with ZERO Exchange, while the same ops over the
+    plain parquet directory shuffle once. Values identical either way."""
+    from pyspark.sql import functions as F
+
+    from graphrag_litex_spark.operators.transcripts import (
+        conversation_integrity,
+        conversation_stats,
+    )
+    from graphrag_litex_spark.sinks.warehouse import publish_transcripts
+
+    wh = str(tmp_path_factory.mktemp("tr_wh"))
+    plain = spark.read.parquet(corpus_sf0001["transcripts"])
+    ident = publish_transcripts(plain, ident="whtr_transcripts", buckets=4, location=wh)
+    try:
+        bucketed = spark.table(ident)
+        for op in (conversation_stats, conversation_integrity):
+            assert _plan(op(bucketed)).count("Exchange") == 0, op.__name__
+            assert _plan(op(plain)).count("Exchange") == 1, op.__name__
+        # Reassembly window: ordered collect per conversation, no shuffle.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        reasm = bucketed.withColumn("rn", F.row_number().over(w))
+        assert _plan(reasm).count("Exchange") == 0
+        # Same values as the plain-parquet path (bucketing is layout only).
+        a = {r["conv_id"]: r["n_turns"] for r in conversation_stats(bucketed).collect()}
+        b = {r["conv_id"]: r["n_turns"] for r in conversation_stats(plain).collect()}
+        assert a == b
+        # And the pipeline ingests the catalog table via its table: form.
+        from graphrag_litex_spark.plans.pipeline import run_pipeline
+
+        out = str(tmp_path_factory.mktemp("tr_wh_kg"))
+        res = run_pipeline(spark, f"table:{ident}", out, resume=False, until="chunks")
+        assert res["chunks"].count() == plain.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
