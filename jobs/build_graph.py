@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--until", default=None, help="stop after this stage")
     p.add_argument(
+        "--report",
+        action="store_true",
+        help="after the build, print per-stage metrics (sec/rows/files/"
+        "bytes/max_part_rows) from the checkpoint manifest as JSON",
+    )
+    p.add_argument(
         "--validate-ingest",
         action="store_true",
         help="quarantine conversations with non-contiguous turn indices "
@@ -94,6 +100,12 @@ def main(argv: list[str] | None = None) -> int:
         )
     for name, df in res.items():
         print(f"stage {name}: written")
+
+    if args.report:
+        from graphrag_litex_spark.plans.pipeline import build_report
+
+        rows = [r.asDict() for r in build_report(spark, args.output).collect()]
+        print(json.dumps({"stages": rows}, indent=1))
 
     if args.question and args.mode in ("local", "drift"):
         from graphrag_litex_spark.querying.answer import drift_search, local_search
