@@ -138,6 +138,9 @@ def main() -> None:
         "dup_span_removal",
         "kg_two_hop",
         "image_dup_pairs",
+        "conv_stats",
+        "conv_prefix_dups",
+        "kg_degree_histogram",
     ):
         t0 = time.time()
         try:
