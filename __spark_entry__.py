@@ -292,6 +292,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def kg_asof_edges(spark, sf_dir):
+        """Temporal snapshot: the merged edge set AS OF the corpus's time
+        midpoint — only observations with ts <= T contribute, so strength/
+        counts are what a consumer at time T would have seen. T derives
+        from the data ((min+max)/2 epoch seconds, broadcast one-row join),
+        making the query sf-invariant; at warehouse scale T is a literal
+        and the ts filter pushes to the scan."""
+        sf = _sf_from_dir(sf_dir)
+        t = _kg(spark, sf)["triples"]
+        tr = spark.read.parquet(_gold(sf, "transcripts")).select(
+            "conv_id", "turn_idx", F.unix_timestamp("ts").cast("long").alias("es")
+        )
+        bounds = tr.agg(
+            ((F.min("es") + F.max("es")) / 2).cast("long").alias("t_mid")
+        )
+        obs = (
+            t.join(tr, ["conv_id", "turn_idx"])
+            .crossJoin(F.broadcast(bounds))
+            .where(F.col("es") <= F.col("t_mid"))
+        )
+        return obs.groupBy(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        ).agg(
+            F.round(F.avg("strength"), 6).alias("strength"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("es").alias("last_seen"),
+        )
+
+    def kg_entity_timeline(spark, sf_dir):
+        """Per-entity mention timeline at day grain (epoch-day integer —
+        engine-exact, no date-type stringification): the drift/burst
+        detector for entity salience. Mentions resolve through the canon
+        map (inner join, reference D1 drop semantics) then bucket on
+        floor(epoch/86400)."""
+        sf = _sf_from_dir(sf_dir)
+        kg = _kg(spark, sf)
+        m = kg["mentions"].select(
+            F.col("source_id").alias("conv_id"), "turn_idx", "norm_name"
+        )
+        cm = kg["canon_map"].select("norm_name", "canonical")
+        tr = spark.read.parquet(_gold(sf, "transcripts")).select(
+            "conv_id", "turn_idx", F.unix_timestamp("ts").cast("long").alias("es")
+        )
+        return (
+            m.join(cm, "norm_name")
+            .join(tr, ["conv_id", "turn_idx"])
+            .withColumn("day", (F.col("es") / 86400).cast("long"))
+            .groupBy("canonical", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_mentions"),
+                F.count_distinct("conv_id").alias("n_convs"),
+            )
+        )
+
     def kg_two_hop(spark, sf_dir):
         """Two-hop reachability over the merged edges (a -> b -> c, a != c):
         path count + strongest path (product of 6dp-rounded edge strengths,
@@ -1186,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_aliases,
         kg_predicate_stats,
         kg_degree_histogram,
+        kg_asof_edges,
+        kg_entity_timeline,
         conv_stats,
         conv_integrity,
         conv_role_transitions,
@@ -1347,6 +1403,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{transcripts}') tr
               USING (conv_id, turn_idx)
             GROUP BY t.subj, t.pred, t.obj
+        """,
+        "kg_asof_edges": f"""
+            WITH tr AS (
+                SELECT conv_id, turn_idx,
+                       cast(floor(epoch(ts)) AS bigint) AS es
+                FROM read_parquet('{transcripts}')
+            ), b AS (
+                -- floor, not bare cast: DuckDB's double->bigint cast rounds
+                -- while Spark's truncates; floor matches for positive epochs
+                SELECT cast(floor((min(es) + max(es)) / 2.0) AS bigint) AS t_mid FROM tr
+            ), obs AS (
+                SELECT t.subj, t.obj, t.strength, tr.es
+                FROM read_parquet('{triples}') t
+                JOIN tr USING (conv_id, turn_idx), b
+                WHERE tr.es <= b.t_mid
+            )
+            SELECT subj AS src, obj AS dst,
+                   round(avg(strength), 6) AS strength,
+                   count(*) AS n_obs,
+                   max(es) AS last_seen
+            FROM obs GROUP BY subj, obj
+        """,
+        "kg_entity_timeline": f"""
+            WITH tr AS (
+                SELECT conv_id, turn_idx,
+                       cast(floor(epoch(ts)) AS bigint) AS es
+                FROM read_parquet('{transcripts}')
+            )
+            SELECT m.canonical,
+                   cast(floor(tr.es / 86400.0) AS bigint) AS day,
+                   count(*) AS n_mentions,
+                   count(DISTINCT m.conv_id) AS n_convs
+            FROM read_parquet('{mentions}') m
+            JOIN tr USING (conv_id, turn_idx)
+            WHERE m.norm_name <> ''
+            GROUP BY m.canonical, day
         """,
         "kg_two_hop": f"""
             WITH e AS (
