@@ -273,6 +273,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.select("src", "dst"), n_sources=8, max_hops=6
         ).orderBy("name")
 
+    def kg_betweenness(spark, sf_dir):
+        """Approximate betweenness (Brandes dependency accumulation over
+        Brandes-Pich sampled pivots): forward multi-source BFS carrying
+        integer shortest-path counts, backward per-level dependency joins.
+        Differential vs the pure-Python Brandes golden (same pivots, same
+        max_hops truncation)."""
+        from graphrag_litex_spark.operators.graph_analytics import betweenness_approx
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return betweenness_approx(
+            e.select("src", "dst"), n_sources=8, max_hops=8
+        ).orderBy("name")
+
     def kg_edge_history(spark, sf_dir):
         """Temporal KG provenance: per merged (subj, pred, obj) triple, the
         first/last transcript timestamp it was observed at and the sighting
@@ -1232,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_link_prediction,
         kg_kcore,
         kg_closeness,
+        kg_betweenness,
         kg_edge_history,
         kg_two_hop,
         kg_ntriples,
@@ -1696,6 +1710,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": f"""
             SELECT name, n_reached, harmonic60, closeness
             FROM read_parquet('{graph["golden_closeness"]}')
+        """,
+        "kg_betweenness": f"""
+            SELECT name, betweenness
+            FROM read_parquet('{graph["golden_betweenness"]}')
         """,
         "kg_drift_search": f"""
             SELECT name, score FROM read_parquet('{graph["golden_drift_search"]}')

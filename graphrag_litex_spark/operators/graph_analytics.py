@@ -344,3 +344,181 @@ def harmonic_closeness(
             F.round(F.col("harmonic60") / F.lit(60 * len(pivots)), 6).alias("closeness"),
         )
     )
+
+
+def betweenness_approx(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    sources: list | None = None,
+) -> DataFrame:
+    """Approximate betweenness centrality (Brandes 2001 dependency
+    accumulation over Brandes-Pich 2007 sampled pivots) -> (name,
+    betweenness), betweenness = sum over pivots s of the dependency
+    delta_s(v) for v != s, rounded to 6dp. Scale by N/(2*k) for the
+    unbiased absolute undirected estimate — like harmonic_closeness, the
+    raw estimator is published and the normalization documented, since the
+    sampled sum is the engine-comparable quantity.
+
+    Pivots: smallest (xxhash64(name), name) — the same deterministic,
+    engine-portable sampling rule as harmonic_closeness, replicated by the
+    pure-Python golden. ``sources`` overrides sampling for tests.
+
+    Plan shape (everything hash joins + aggregates, hard_checkpoint per
+    round like CC/PageRank):
+      * forward: level-synchronous multi-source BFS carrying sigma
+        (shortest-path counts) — sigma(w, level d+1) = SUM of sigma over
+        w's level-d in-frontier neighbors, one join + one map-side-combined
+        agg + one anti-join per level; state O(V x k), never edge-bound.
+      * successor relation: one join of the settled state into the
+        adjacency filtered to dist_w = dist_v + 1, checkpointed once.
+      * backward: levels walked max_d -> 1; per level one equi-join of the
+        level's successor slice with the deeper level's deltas + one agg.
+        delta(v) = sum_w sigma_v/sigma_w * (1 + delta_w). sigma stays
+        integer; delta is double, rounded at publication (same 6dp
+        determinism stance as avg-strength oracles).
+    ``max_hops`` truncates the BFS DAG (paths longer than max_hops
+    contribute nothing — the standard bounded-radius approximation); the
+    golden replicates the same truncation.
+    """
+    spark = edges.sparkSession
+    und = undirected_simple(edges, src, dst)
+    empty = spark.createDataFrame([], "name string, betweenness double")
+    sym = hard_checkpoint(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    if sources is None:
+        verts = (
+            und.select(F.col("a").alias("vertex"))
+            .union(und.select(F.col("b").alias("vertex")))
+            .distinct()
+        )
+        sources = [
+            r["vertex"]
+            for r in verts.orderBy(F.xxhash64("vertex").asc(), F.col("vertex").asc())
+            .limit(n_sources)
+            .collect()
+        ]
+    if not sources:
+        release(sym)
+        return empty
+    import pandas as pd
+
+    state = hard_checkpoint(
+        spark.createDataFrame(
+            pd.DataFrame({"source": [str(s) for s in sources]})
+        ).select(
+            "source",
+            F.col("source").alias("vertex"),
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+    )
+    frontier = state
+    max_d = 0
+    try:
+        # Forward: BFS levels with path counting.
+        for hop in range(1, max_hops + 1):
+            cand = (
+                frontier.join(sym, frontier["vertex"] == sym["u"])
+                .groupBy("source", F.col("v").alias("vx"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .withColumnRenamed("vx", "vertex")
+            )
+            new = hard_checkpoint(
+                cand.join(state, ["source", "vertex"], "left_anti").select(
+                    "source", "vertex", F.lit(hop).alias("dist"), "sigma"
+                )
+            )
+            if new.limit(1).count() == 0:
+                release(new)
+                break
+            nxt = hard_checkpoint(state.union(new))
+            release(state)
+            if frontier is not state:
+                release(frontier)
+            state, frontier = nxt, new
+            max_d = hop
+        if max_d == 0:
+            return empty
+        # Successor relation: (source, v at dist d) -> (w at dist d+1).
+        succ = hard_checkpoint(
+            state.alias("sv")
+            .join(sym, F.col("sv.vertex") == F.col("u"))
+            .select(
+                F.col("sv.source").alias("source"),
+                F.col("sv.vertex").alias("v"),
+                F.col("sv.dist").alias("dist"),
+                F.col("sv.sigma").alias("sigma"),
+                F.col("v").alias("w"),
+            )
+            .join(
+                state.select(
+                    "source",
+                    F.col("vertex").alias("w"),
+                    F.col("dist").alias("dist_w"),
+                    F.col("sigma").alias("sigma_w"),
+                ),
+                ["source", "w"],
+            )
+            .where(F.col("dist_w") == F.col("dist") + 1)
+        )
+        # Backward: deepest level has no successors -> delta 0.
+        delta = hard_checkpoint(
+            state.where(F.col("dist") == max_d).select(
+                "source", "vertex", F.lit(0.0).alias("delta")
+            )
+        )
+        level_deltas = [delta]
+        for d in range(max_d - 1, 0, -1):
+            contrib = (
+                succ.where(F.col("dist") == d)
+                .join(
+                    delta.select(
+                        "source",
+                        F.col("vertex").alias("w"),
+                        F.col("delta").alias("delta_w"),
+                    ),
+                    ["source", "w"],
+                )
+                .groupBy("source", "v")
+                .agg(
+                    F.sum(
+                        F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
+                    ).alias("delta")
+                )
+                .withColumnRenamed("v", "vertex")
+            )
+            lvl = hard_checkpoint(
+                state.where(F.col("dist") == d)
+                .select("source", "vertex")
+                .join(contrib, ["source", "vertex"], "left")
+                .select(
+                    "source", "vertex", F.coalesce("delta", F.lit(0.0)).alias("delta")
+                )
+            )
+            level_deltas.append(lvl)
+            delta = lvl
+        from functools import reduce
+
+        all_deltas = reduce(DataFrame.union, level_deltas)
+        out = (
+            all_deltas.groupBy("vertex")
+            .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+            .select(F.col("vertex").alias("name"), "betweenness")
+        )
+        # Materialize before releasing the checkpoints the plan reads.
+        out = hard_checkpoint(out)
+        for df in level_deltas:
+            release(df)
+        release(succ)
+        return out
+    finally:
+        release(sym)
+        if frontier is not state:
+            release(frontier)
+        release(state)

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 8  # v8: + harmonic closeness
+GRAPH_GOLDEN_VERSION = 9  # v9: + sampled betweenness
 
 
 def _r(x: float, digits: int) -> float:
@@ -149,6 +149,55 @@ def harmonic_closeness_golden(
     return {
         v: (n, h, _r(h / (60 * len(pivots)), 6)) for v, (n, h) in acc.items()
     }
+
+
+def betweenness_golden(
+    und: set[tuple[str, str]],
+    n_sources: int = 8,
+    max_hops: int = 8,
+    sources: list[str] | None = None,
+) -> dict[str, float]:
+    """Sequential replica of operators/graph_analytics.betweenness_approx:
+    Brandes dependency accumulation from the same deterministically-sampled
+    pivots (smallest (xxhash64(name), name)), BFS truncated at ``max_hops``
+    exactly like the operator. Returns {vertex: round(sum of deltas, 6)}
+    over every vertex settled at dist > 0 from some pivot (leaves included
+    at 0.0). FP sum order differs from Spark's shuffle order only at the
+    ~1e-15 tail, far under the published 6dp rounding."""
+    from graphrag_litex_spark.functions.xxh64 import xxhash64_str
+
+    adj = _adj(und)
+    if sources is None:
+        verts = sorted(adj)
+        sources = sorted(verts, key=lambda v: (xxhash64_str(v), v))[:n_sources]
+    acc: dict[str, float] = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels: list[list[str]] = [[s]]
+        for hop in range(1, max_hops + 1):
+            nxt: list[str] = []
+            for u in levels[-1]:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = hop
+                        sigma[v] = 0
+                        nxt.append(v)
+                    if dist[v] == hop:
+                        sigma[v] += sigma[u]
+            if not nxt:
+                break
+            levels.append(nxt)
+        delta = {v: 0.0 for v in dist}
+        for lvl in reversed(levels[1:]):
+            for w in lvl:
+                for u in adj.get(w, ()):
+                    if dist.get(u) == dist[w] - 1:
+                        delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        for v, d in dist.items():
+            if d > 0:
+                acc[v] = acc.get(v, 0.0) + delta[v]
+    return {v: _r(x, 6) for v, x in acc.items()}
 
 
 def pagerank_golden(
@@ -477,6 +526,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_kcore": os.path.join(out_dir, "golden_kcore.parquet"),
         "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
         "golden_closeness": os.path.join(out_dir, "golden_closeness.parquet"),
+        "golden_betweenness": os.path.join(out_dir, "golden_betweenness.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -664,6 +714,18 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_closeness"],
+    )
+
+    btw = betweenness_golden(und_names, n_sources=8, max_hops=8)
+    bnames = sorted(btw)
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array(bnames, pa.string()),
+                "betweenness": pa.array([btw[v] for v in bnames], pa.float64()),
+            }
+        ),
+        gpaths["golden_betweenness"],
     )
 
     core = k_core_golden(und_names, 2)

@@ -206,3 +206,80 @@ def test_harmonic_closeness_empty_graph(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert harmonic_closeness(e).count() == 0
+
+
+def test_betweenness_path_and_star_hand_computed(spark):
+    """Brandes over ALL sources on a path / star: the per-source dependency
+    sum equals exactly 2x the classic unnormalized pair betweenness."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.graph_analytics import betweenness_approx
+
+    path = spark.createDataFrame(
+        pd.DataFrame([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], columns=["src", "dst"])
+    )
+    got = {
+        r["name"]: r["betweenness"]
+        for r in betweenness_approx(path, sources=list("abcde")).collect()
+    }
+    assert got == {"a": 0.0, "b": 6.0, "c": 8.0, "d": 6.0, "e": 0.0}
+
+    star = spark.createDataFrame(
+        pd.DataFrame([("hub", f"l{i}") for i in range(4)], columns=["src", "dst"])
+    )
+    sources = ["hub"] + [f"l{i}" for i in range(4)]
+    got = {
+        r["name"]: r["betweenness"]
+        for r in betweenness_approx(star, sources=sources).collect()
+    }
+    assert got["hub"] == 12.0  # 2 * C(4,2) pairs routed through the hub
+    assert all(got[f"l{i}"] == 0.0 for i in range(4))
+
+
+def test_betweenness_matches_pure_python_golden(spark):
+    """Random-graph differential: distributed forward/backward passes equal
+    the sequential Brandes replica — both with explicit sources and with
+    the shared deterministic pivot sampling."""
+    import random
+
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.graph_analytics import betweenness_approx
+    from graphrag_litex_spark.oracle_graph import betweenness_golden
+
+    rng = random.Random(41)
+    verts = [f"v{i:02d}" for i in range(30)]
+    und = set()
+    for _ in range(55):
+        a, b = rng.sample(verts, 2)
+        und.add((a, b) if a < b else (b, a))
+    edf = spark.createDataFrame(pd.DataFrame(sorted(und), columns=["src", "dst"]))
+
+    for kwargs in ({"sources": verts[:6]}, {"n_sources": 8}):
+        got = {
+            r["name"]: r["betweenness"]
+            for r in betweenness_approx(edf, max_hops=8, **kwargs).collect()
+        }
+        want = betweenness_golden(und, max_hops=8, **kwargs)
+        assert got == want
+
+
+def test_betweenness_truncation_and_empty(spark):
+    """max_hops truncates the DAG identically in both implementations; an
+    empty edge set yields a typed empty frame."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.graph_analytics import betweenness_approx
+    from graphrag_litex_spark.oracle_graph import betweenness_golden
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(9)]
+    edf = spark.createDataFrame(pd.DataFrame(chain, columns=["src", "dst"]))
+    got = {
+        r["name"]: r["betweenness"]
+        for r in betweenness_approx(edf, sources=["c0"], max_hops=3).collect()
+    }
+    want = betweenness_golden(set(chain), sources=["c0"], max_hops=3)
+    assert got == want
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = betweenness_approx(empty, n_sources=4)
+    assert out.columns == ["name", "betweenness"] and out.count() == 0
