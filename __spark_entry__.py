@@ -273,6 +273,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.select("src", "dst"), n_sources=8, max_hops=6
         ).orderBy("name")
 
+    def kg_global_search(spark, sf_dir):
+        """GraphRAG global search's MAP phase as a contract query: top-k
+        community selection (embedded summaries, cosine) -> per-community
+        relevant-findings answer + Jaccard helpfulness (querying/answer.
+        map_answers — reference querying/map_reduce.py). Differential vs
+        the pure-Python replica over the golden top-k."""
+        from graphrag_litex_spark.querying.answer import (
+            embed_summaries,
+            map_answers,
+            select_top_k,
+        )
+
+        s = _kg(spark, _sf_from_dir(sf_dir))["summaries"]
+        sel = select_top_k(
+            embed_summaries(s), "who acquired acme corp", level=0, k=5
+        )
+        return map_answers(sel, "who acquired acme corp").select(
+            "level", "community_id", "title", "answer", "helpfulness", "score"
+        )
+
     def kg_betweenness(spark, sf_dir):
         """Approximate betweenness (Brandes dependency accumulation over
         Brandes-Pich sampled pivots): forward multi-source BFS carrying
@@ -1246,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_kcore,
         kg_closeness,
         kg_betweenness,
+        kg_global_search,
         kg_edge_history,
         kg_two_hop,
         kg_ntriples,
@@ -1714,6 +1735,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_betweenness": f"""
             SELECT name, betweenness
             FROM read_parquet('{graph["golden_betweenness"]}')
+        """,
+        "kg_global_search": f"""
+            SELECT level, community_id, title, answer, helpfulness, score
+            FROM read_parquet('{graph["golden_global_search"]}')
         """,
         "kg_drift_search": f"""
             SELECT name, score FROM read_parquet('{graph["golden_drift_search"]}')

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 9  # v9: + sampled betweenness
+GRAPH_GOLDEN_VERSION = 10  # v10: + global-search map phase
 
 
 def _r(x: float, digits: int) -> float:
@@ -508,6 +508,48 @@ def query_topk(
     return scored[:k]
 
 
+def global_search_golden(
+    summaries: list[dict], topk: list[dict], question: str
+) -> list[dict]:
+    """Sequential replica of querying/answer.map_answers over the golden
+    top-k selection (the J1 map phase of global search): answer = the
+    selected community's findings sharing >=1 token with the question,
+    helpfulness = 100 * Jaccard(question tokens, full_text tokens) rounded
+    HALF_UP to 4dp; empty answers dropped (reference map_reduce.py:35).
+    Token split replicates Spark's ``split(lower(x), '[^a-z0-9]+')`` with
+    limit=-1 — re.split keeps the same leading/trailing '' fragments."""
+    import re
+
+    q_tokens = set(question.lower().split())
+    by_key = {(s["level"], s["community_id"]): s for s in summaries}
+    out = []
+    for r in topk:
+        s = by_key[(r["level"], r["community_id"])]
+        s_tokens = set(re.split(r"[^a-z0-9]+", s["full_text"].lower()))
+        inter = len(s_tokens & q_tokens)
+        union = len(s_tokens | q_tokens)
+        helpful = _r(100.0 * inter / union, 4) if union > 0 else 0.0
+        relevant = [
+            f
+            for f in s["findings"]
+            if set(re.split(r"[^a-z0-9]+", f.lower())) & q_tokens
+        ]
+        answer = " ".join(relevant)
+        if answer == "":
+            continue
+        out.append(
+            {
+                "level": r["level"],
+                "community_id": r["community_id"],
+                "title": r["title"],
+                "answer": answer,
+                "helpfulness": helpful,
+                "score": r["score"],
+            }
+        )
+    return out
+
+
 # ---- driver ----
 
 
@@ -527,6 +569,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
         "golden_closeness": os.path.join(out_dir, "golden_closeness.parquet"),
         "golden_betweenness": os.path.join(out_dir, "golden_betweenness.parquet"),
+        "golden_global_search": os.path.join(out_dir, "golden_global_search.parquet"),
     }
     manifest = os.path.join(out_dir, "_graph_manifest.json")
     want = {
@@ -668,6 +711,20 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_local_search"],
+    )
+    gsearch = global_search_golden(summaries, topk, "who acquired acme corp")
+    pq.write_table(
+        pa.table(
+            {
+                "level": pa.array([g["level"] for g in gsearch], pa.int32()),
+                "community_id": pa.array([g["community_id"] for g in gsearch]),
+                "title": pa.array([g["title"] for g in gsearch], pa.string()),
+                "answer": pa.array([g["answer"] for g in gsearch], pa.string()),
+                "helpfulness": pa.array([g["helpfulness"] for g in gsearch], pa.float64()),
+                "score": pa.array([g["score"] for g in gsearch], pa.float64()),
+            }
+        ),
+        gpaths["golden_global_search"],
     )
     pq.write_table(
         pa.table(
