@@ -522,6 +522,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tool_usage(_transcripts(spark, sf_dir))
 
+    def conv_sessions(spark, sf_dir):
+        """Gap-based sessionization of transcripts (temporal.sessionize with
+        conv_id key + turn_idx tiebreak): a 1-minute inactivity gap opens a
+        new session; per (conv_id, session_idx) -> turn count and integer
+        micros bounds. The segmentation step before packing long agent
+        sessions into training windows."""
+        from graphrag_litex_spark.operators.temporal import sessionize
+
+        tr = _transcripts(spark, sf_dir)
+        s = sessionize(
+            tr, key_col="conv_id", ts_col="ts", gap_minutes=1.0, order_tiebreak="turn_idx"
+        )
+        us = F.unix_micros("ts")
+        return s.groupBy("conv_id", "session_idx").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+
     def conv_prefix_dups(spark, sf_dir):
         """Conversation-level duplicate grouping by exact first-3-turn
         prefix (md5 over chr(31)-joined turn texts), keeper = min conv_id
@@ -1282,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         conv_role_transitions,
         conv_tool_usage,
         conv_prefix_dups,
+        conv_sessions,
         agg_pricing_summary,
         join_customer_orders,
         semi_join_customers,
@@ -1622,6 +1642,29 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(coalesce(length(text), 0)) AS double) / count(*), 6) AS avg_chars
             FROM read_parquet('{transcripts}')
             WHERE tool IS NOT NULL GROUP BY tool
+        """,
+        "conv_sessions": f"""
+            WITH g AS (
+                SELECT conv_id, turn_idx, epoch_us(ts) AS us,
+                       CASE WHEN lag(epoch_us(ts)) OVER (
+                                PARTITION BY conv_id
+                                ORDER BY epoch_us(ts), turn_idx) IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY conv_id
+                                ORDER BY epoch_us(ts), turn_idx) > 60000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM read_parquet('{transcripts}')
+            ), s AS (
+                SELECT conv_id, us,
+                       cast(sum(new_s) OVER (
+                            PARTITION BY conv_id ORDER BY us, turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS bigint) AS session_idx
+                FROM g
+            )
+            SELECT conv_id, session_idx, count(*) AS n_turns,
+                   min(us) AS start_us, max(us) AS end_us
+            FROM s GROUP BY conv_id, session_idx
         """,
         "conv_prefix_dups": f"""
             WITH p AS (
