@@ -379,6 +379,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def kg_snapshot_diff(spark, sf_dir):
+        """Build-over-build graph diff (operators/snapshots.snapshot_diff):
+        the change feed an incremental pipeline publishes after an append —
+        edge snapshots AS OF two corpus-derived cutoffs (1/3 and 2/3 time
+        points) full-outer joined on the pair key with added/changed/stable
+        status. ONE equi-join at entity-pair grain; both sides bucketed in
+        the published warehouse. 'removed' can't occur on an append-only
+        corpus (unit-tested in test_graph_ml.py instead)."""
+        from graphrag_litex_spark.operators.snapshots import snapshot_diff
+
+        sf = _sf_from_dir(sf_dir)
+        t = _kg(spark, sf)["triples"]
+        tr = spark.read.parquet(_gold(sf, "transcripts")).select(
+            "conv_id", "turn_idx", F.unix_timestamp("ts").cast("long").alias("es")
+        )
+        bounds = tr.agg(
+            F.floor(F.min("es") + (F.max("es") - F.min("es")) / 3)
+            .cast("long")
+            .alias("t1"),
+            F.floor(F.min("es") + 2 * (F.max("es") - F.min("es")) / 3)
+            .cast("long")
+            .alias("t2"),
+        )
+        obs = t.join(tr, ["conv_id", "turn_idx"]).crossJoin(F.broadcast(bounds))
+
+        def snap(cutoff):
+            return (
+                obs.where(F.col("es") <= F.col(cutoff))
+                .groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+                .agg(
+                    F.round(F.avg("strength"), 6).alias("strength"),
+                    F.count(F.lit(1)).alias("n_obs"),
+                )
+            )
+
+        return snapshot_diff(
+            snap("t1"), snap("t2"), ["src", "dst"], ["strength", "n_obs"]
+        )
+
+    def kg_integrity_report(spark, sf_dir):
+        """Post-build graph audit (operators/integrity): every invariant the
+        pipeline enforces by construction, counted after the fact — the QA
+        gate a pipeline owner schedules per build. Differential: the Spark
+        report over the distributed stage tables must equal the same checks
+        computed in SQL over the single-process goldens."""
+        from graphrag_litex_spark.operators.integrity import graph_integrity_report
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        return graph_integrity_report(kg["nodes"], kg["edges"], kg["canon_map"])
+
+    def kg_negative_samples(spark, sf_dir):
+        """KG-embedding training negatives (operators/graph_ml): k corrupted
+        objects per distinct (subj, pred), drawn deterministically (md5
+        ranks) from a fixed-size vocabulary pool, anti-joined against true
+        triples so no negative is actually positive."""
+        from graphrag_litex_spark.operators.graph_ml import negative_samples
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        return negative_samples(
+            kg["triples"],
+            kg["nodes"].select(F.col("canonical_name").alias("name")),
+            k=3,
+            pool_size=16,
+        )
+
+    def kg_random_walks(spark, sf_dir):
+        """DeepWalk corpus (operators/graph_ml.random_walks): 2 deterministic
+        3-step walks per node over the undirected merged edge graph; each
+        step one frontier join + md5-min_by pick. The walk sentences feed
+        skip-gram node-embedding training."""
+        from graphrag_litex_spark.operators.graph_ml import random_walks
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
+        return random_walks(e, length=3, walks_per_node=2)
+
     def kg_two_hop(spark, sf_dir):
         """Two-hop reachability over the merged edges (a -> b -> c, a != c):
         path count + strongest path (product of 6dp-rounded edge strengths,
@@ -1365,6 +1440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_degree_histogram,
         kg_asof_edges,
         kg_entity_timeline,
+        kg_snapshot_diff,
+        kg_integrity_report,
+        kg_negative_samples,
+        kg_random_walks,
         conv_stats,
         conv_integrity,
         conv_role_transitions,
@@ -1563,6 +1642,147 @@ def oracle_sql() -> dict[str, str]:
             JOIN tr USING (conv_id, turn_idx)
             WHERE m.norm_name <> ''
             GROUP BY m.canonical, day
+        """,
+        "kg_snapshot_diff": f"""
+            WITH tr AS (
+                SELECT conv_id, turn_idx,
+                       cast(floor(epoch(ts)) AS bigint) AS es
+                FROM read_parquet('{transcripts}')
+            ), b AS (
+                SELECT cast(floor(min(es) + (max(es) - min(es)) / 3.0) AS bigint) AS t1,
+                       cast(floor(min(es) + 2 * (max(es) - min(es)) / 3.0) AS bigint) AS t2
+                FROM tr
+            ), obs AS (
+                SELECT t.subj, t.obj, t.strength, tr.es
+                FROM read_parquet('{triples}') t
+                JOIN tr USING (conv_id, turn_idx)
+            ), old AS (
+                SELECT subj AS src, obj AS dst,
+                       round(avg(strength), 6) AS strength, count(*) AS n_obs
+                FROM obs, b WHERE es <= b.t1 GROUP BY subj, obj
+            ), new AS (
+                SELECT subj AS src, obj AS dst,
+                       round(avg(strength), 6) AS strength, count(*) AS n_obs
+                FROM obs, b WHERE es <= b.t2 GROUP BY subj, obj
+            )
+            SELECT coalesce(o.src, n.src) AS src,
+                   coalesce(o.dst, n.dst) AS dst,
+                   CASE WHEN o.src IS NULL THEN 'added'
+                        WHEN n.src IS NULL THEN 'removed'
+                        WHEN o.strength IS NOT DISTINCT FROM n.strength
+                         AND o.n_obs IS NOT DISTINCT FROM n.n_obs THEN 'stable'
+                        ELSE 'changed' END AS status,
+                   o.strength AS strength_old, n.strength AS strength_new,
+                   o.n_obs AS n_obs_old, n.n_obs AS n_obs_new
+            FROM old o FULL OUTER JOIN new n
+              ON o.src = n.src AND o.dst = n.dst
+        """,
+        "kg_integrity_report": f"""
+            WITH nodes AS (
+                SELECT DISTINCT canonical AS name FROM read_parquet('{mentions}')
+            ), edges AS (
+                SELECT subj AS src, obj AS dst
+                FROM read_parquet('{triples}') GROUP BY subj, obj
+            ), endpoints AS (
+                SELECT DISTINCT name FROM (
+                    SELECT src AS name FROM edges
+                    UNION ALL SELECT dst FROM edges
+                )
+            ), cmap AS (
+                SELECT norm_name, canonical FROM read_parquet('{canon}')
+            )
+            SELECT 'nodes_total' AS "check",
+                   (SELECT count(*) FROM nodes) AS value
+            UNION ALL SELECT 'edges_total', (SELECT count(*) FROM edges)
+            UNION ALL SELECT 'dangling_endpoints',
+                (SELECT count(*) FROM endpoints e
+                 WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.name = e.name))
+            UNION ALL SELECT 'orphan_nodes',
+                (SELECT count(*) FROM nodes n
+                 WHERE NOT EXISTS (SELECT 1 FROM endpoints e WHERE e.name = n.name))
+            UNION ALL SELECT 'self_loops',
+                (SELECT count(*) FROM edges WHERE src = dst)
+            UNION ALL SELECT 'duplicate_edge_keys',
+                (SELECT count(*) FROM (
+                    SELECT src, dst FROM edges GROUP BY src, dst HAVING count(*) > 1
+                ))
+            UNION ALL SELECT 'canon_targets_missing',
+                (SELECT count(*) FROM (SELECT DISTINCT canonical FROM cmap) c
+                 WHERE NOT EXISTS (SELECT 1 FROM nodes n WHERE n.name = c.canonical))
+            UNION ALL SELECT 'canon_non_idempotent',
+                (SELECT count(*)
+                 FROM (SELECT DISTINCT canonical FROM cmap) c
+                 JOIN cmap m
+                   ON m.norm_name = {_DDB_NORM.format(col='c.canonical')}
+                 WHERE m.canonical <> c.canonical)
+        """,
+        "kg_negative_samples": f"""
+            WITH ents AS (
+                SELECT DISTINCT canonical AS name FROM read_parquet('{mentions}')
+            ), pool AS (
+                SELECT name AS neg_obj FROM ents
+                ORDER BY md5('|' || name), name LIMIT 16
+            ), sp AS (
+                SELECT DISTINCT subj, pred FROM read_parquet('{triples}')
+            ), true_t AS (
+                SELECT DISTINCT subj, pred, obj FROM read_parquet('{triples}')
+            ), surv AS (
+                SELECT c.subj, c.pred, c.neg_obj
+                FROM (SELECT sp.subj, sp.pred, p.neg_obj
+                      FROM sp CROSS JOIN pool p
+                      WHERE p.neg_obj <> sp.subj) c
+                LEFT JOIN true_t t
+                  ON t.subj = c.subj AND t.pred = c.pred AND t.obj = c.neg_obj
+                WHERE t.subj IS NULL
+            )
+            SELECT subj, pred, neg_obj, cast(rank AS int) AS rank FROM (
+                SELECT subj, pred, neg_obj,
+                       row_number() OVER (
+                           PARTITION BY subj, pred
+                           ORDER BY md5('|' || subj || '|' || pred || '|' || neg_obj),
+                                    neg_obj
+                       ) AS rank
+                FROM surv
+            ) WHERE rank <= 3
+        """,
+        "kg_random_walks": f"""
+            WITH me AS (
+                SELECT subj AS src, obj AS dst
+                FROM read_parquet('{triples}') GROUP BY subj, obj
+            ), sym AS (
+                SELECT src, dst FROM me WHERE src <> dst
+                UNION
+                SELECT dst, src FROM me WHERE src <> dst
+            ), w AS (
+                SELECT DISTINCT src AS start, widx
+                FROM sym, (VALUES (0), (1)) AS t(widx)
+            ), s1 AS (
+                SELECT w.start, w.widx,
+                       arg_min(e.dst, md5('|' || w.start || '|' ||
+                           cast(w.widx AS varchar) || '|1|' || e.dst)) AS cur
+                FROM w JOIN sym e ON e.src = w.start
+                GROUP BY w.start, w.widx
+            ), s2 AS (
+                SELECT s.start, s.widx,
+                       arg_min(e.dst, md5('|' || s.start || '|' ||
+                           cast(s.widx AS varchar) || '|2|' || e.dst)) AS cur
+                FROM s1 s JOIN sym e ON e.src = s.cur
+                GROUP BY s.start, s.widx
+            ), s3 AS (
+                SELECT s.start, s.widx,
+                       arg_min(e.dst, md5('|' || s.start || '|' ||
+                           cast(s.widx AS varchar) || '|3|' || e.dst)) AS cur
+                FROM s2 s JOIN sym e ON e.src = s.cur
+                GROUP BY s.start, s.widx
+            )
+            SELECT w.start, cast(w.widx AS int) AS walk_idx,
+                   w.start || ' -> ' || s1.cur || ' -> ' || s2.cur
+                           || ' -> ' || s3.cur AS path,
+                   s3.cur AS end_node
+            FROM w
+            JOIN s1 ON s1.start = w.start AND s1.widx = w.widx
+            JOIN s2 ON s2.start = w.start AND s2.widx = w.widx
+            JOIN s3 ON s3.start = w.start AND s3.widx = w.widx
         """,
         "kg_two_hop": f"""
             WITH e AS (

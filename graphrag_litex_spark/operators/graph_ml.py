@@ -1,0 +1,179 @@
+"""Training-data generation over the built KG: negative triples + walks.
+
+Once the graph is materialized, the two standard artifacts a model team asks
+the pipeline for are (a) corrupted-triple negatives for KG-embedding
+training (TransE/DistMult-style: for each observed (subj, pred, ·) replace
+the object with an entity that does NOT form a true triple) and (b) a
+random-walk corpus for skip-gram node embeddings (DeepWalk / node2vec: fixed
+-length walks whose node sequences are the "sentences").
+
+Both are deterministic here — sampling decisions are md5-rank choices over
+(seed, key) strings, so the same corpus always yields byte-identical
+training data (the same reproducibility contract as the rest of the engine:
+reruns and resumes must not shift training sets). md5 is evaluated JVM-side
+(`F.md5`, whole-stage codegen) and matches any ANSI engine's md5() on the
+same string, which is what makes these operators oracle-checkable.
+
+Scale notes:
+- `negative_samples`: the candidate pool is a fixed-size md5-min sample of
+  the entity vocabulary (TakeOrderedAndProject, one scan), broadcast to
+  every task; candidates = |distinct (subj,pred)| x pool (linear, narrow),
+  the anti-join against true triples shuffles on the triple key, and the
+  per-(subj,pred) top-k window is bounded by the pool size. No step is
+  quadratic in the entity count.
+- `random_walks`: each step is ONE frontier-sized hash-join against the
+  symmetric edge list (shuffle on the current node key) followed by a
+  map-side-combinable min_by aggregate; lineage is truncated with an eager
+  checkpoint every ``checkpoint_every`` steps (same loop discipline as
+  operators/cc.py / pagerank.py). Hot nodes cost one skewed join key per
+  step — AQE skew-split applies; walk state is O(#starts x walks_per_node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .iterutils import hard_checkpoint, release
+
+
+def _h(*cols) -> F.Column:
+    """Deterministic md5 rank key over '|'-joined string parts."""
+    return F.md5(F.concat_ws("|", *cols))
+
+
+def negative_samples(
+    triples: DataFrame,
+    entities: DataFrame,
+    k: int = 3,
+    pool_size: int = 32,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    entity_col: str = "name",
+    seed: str = "",
+) -> DataFrame:
+    """k corrupted-object negatives per distinct (subj, pred).
+
+    The candidate pool is the ``pool_size`` entities with the smallest
+    md5(seed|entity) (a deterministic uniform sample of the vocabulary);
+    per (subj, pred) the k smallest md5(seed|subj|pred|candidate) survive
+    after dropping candidates that (a) equal the subject or (b) form a TRUE
+    triple (anti-join). Returns (subj, pred, neg_obj, rank) with rank 1..k.
+
+    A (subj, pred) whose viable candidates all collide with true triples
+    yields fewer than k rows — never a wrong row.
+    """
+    pool = (
+        entities.select(F.col(entity_col).alias("neg_obj"))
+        .distinct()
+        .orderBy(_h(F.lit(seed), "neg_obj"), "neg_obj")
+        .limit(pool_size)
+    )
+    sp = triples.select(
+        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred")
+    ).distinct()
+    cand = sp.join(F.broadcast(pool)).where(F.col("neg_obj") != F.col("subj"))
+    true = triples.select(
+        F.col(subj_col).alias("subj"),
+        F.col(pred_col).alias("pred"),
+        F.col(obj_col).alias("neg_obj"),
+    ).distinct()
+    survivors = cand.join(true, ["subj", "pred", "neg_obj"], "left_anti")
+    w = Window.partitionBy("subj", "pred").orderBy(
+        _h(F.lit(seed), "subj", "pred", "neg_obj"), F.col("neg_obj")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("subj", "pred", "neg_obj", F.col("rank").cast("int"))
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 4,
+    walks_per_node: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: str = "",
+    checkpoint_every: int = 4,
+    sep: str = " -> ",
+) -> DataFrame:
+    """Deterministic fixed-length walks over the undirected simple graph.
+
+    One walk starts at every distinct endpoint, ``walks_per_node`` times
+    (walk_idx 0..W-1). At step s the walk at node c moves to the neighbor d
+    minimizing md5(seed|start|walk_idx|s|d) — a fresh hash draw per step, so
+    distinct walk_idx values diverge and revisits are allowed (as in
+    DeepWalk). Self-loops are dropped from the graph; every endpoint of the
+    remaining edges has >=1 neighbor, so all walks reach full length.
+
+    Returns (start, walk_idx, path, end_node) where ``path`` is the
+    sep-joined node sequence of length+1 nodes.
+    """
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    state = (
+        sym.select(F.col("src").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_idx"),
+        )
+        .select(
+            "start",
+            F.col("walk_idx").cast("int"),
+            F.col("start").alias("cur"),
+            F.col("start").alias("path"),
+        )
+    )
+    # sym is re-joined every step: checkpoint once up front. It stays
+    # persisted (the result's lineage reaches it until the caller consumes
+    # the walks); superseded STATE checkpoints are released as the loop
+    # advances — each eager checkpoint materializes, so its predecessor's
+    # blocks are dead weight.
+    sym = hard_checkpoint(sym)
+    prev_state = None
+    for step in range(1, length + 1):
+        cand = state.join(sym.withColumnRenamed("src", "cur"), "cur")
+        pick = _h(
+            F.lit(seed),
+            "start",
+            F.col("walk_idx").cast("string"),
+            F.lit(str(step)),
+            "dst",
+        )
+        state = (
+            cand.groupBy("start", "walk_idx")
+            .agg(
+                F.min_by("dst", pick).alias("cur"),
+                # path is functionally determined by (start, walk_idx) at
+                # every step — all rows in the group agree, max is just a
+                # deterministic way to say "the" value.
+                F.max("path").alias("path"),
+            )
+            .select(
+                "start",
+                "walk_idx",
+                "cur",
+                F.concat_ws(sep, "path", "cur").alias("path"),
+            )
+        )
+        if step % checkpoint_every == 0 and step < length:
+            state = hard_checkpoint(state)
+            if prev_state is not None:
+                release(prev_state)
+            prev_state = state
+    return state.select(
+        "start", "walk_idx", "path", F.col("cur").alias("end_node")
+    )

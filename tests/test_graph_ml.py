@@ -1,0 +1,228 @@
+"""Units for snapshot_diff, graph_integrity_report, and the graph-ML
+training-data generators (negative_samples, random_walks).
+
+The md5-driven generators are compared against bit-exact pure-Python
+replicas (hashlib.md5 over the same '|'-joined strings) — the same
+differential style as the dedup/fingerprint goldens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from graphrag_litex_spark.operators.graph_ml import negative_samples, random_walks
+from graphrag_litex_spark.operators.integrity import graph_integrity_report
+from graphrag_litex_spark.operators.snapshots import snapshot_diff
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------- snapshot
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 2.0), ("x", "y", 3.0), ("n", "n2", None)],
+        "src string, dst string, w double",
+    )
+    new = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 9.0), ("p", "q", 4.0), ("n", "n2", None)],
+        "src string, dst string, w double",
+    )
+    out = {
+        (r["src"], r["dst"]): (r["status"], r["w_old"], r["w_new"])
+        for r in snapshot_diff(old, new, ["src", "dst"], ["w"]).collect()
+    }
+    assert out[("a", "b")] == ("stable", 1.0, 1.0)
+    assert out[("a", "c")] == ("changed", 2.0, 9.0)
+    assert out[("x", "y")] == ("removed", 3.0, None)
+    assert out[("p", "q")] == ("added", None, 4.0)
+    # null == null is stable (eqNullSafe), not changed
+    assert out[("n", "n2")] == ("stable", None, None)
+
+
+def test_snapshot_diff_null_vs_value_is_changed(spark):
+    old = spark.createDataFrame([("k", None)], "k string, v string")
+    new = spark.createDataFrame([("k", "x")], "k string, v string")
+    [r] = snapshot_diff(old, new, ["k"], ["v"]).collect()
+    assert r["status"] == "changed"
+
+
+def test_snapshot_diff_missing_column_raises(spark):
+    old = spark.createDataFrame([("k", 1)], "k string, v int")
+    new = spark.createDataFrame([("k",)], "k string")
+    try:
+        snapshot_diff(old, new, ["k"], ["v"])
+        raise AssertionError("expected ValueError")
+    except ValueError as ex:
+        assert "v" in str(ex)
+
+
+# ---------------------------------------------------------------- integrity
+
+
+def _report(spark, nodes, edges, canon):
+    n = spark.createDataFrame(nodes, "canonical_name string")
+    e = spark.createDataFrame(edges, "src string, dst string")
+    c = spark.createDataFrame(canon, "norm_name string, canonical string")
+    return {
+        r["check"]: r["value"]
+        for r in graph_integrity_report(n, e, c).collect()
+    }
+
+
+def test_integrity_clean_graph(spark):
+    rep = _report(
+        spark,
+        [("Alpha",), ("Beta",), ("Gamma",)],
+        [("Alpha", "Beta")],
+        [("alpha", "Alpha"), ("beta", "Beta"), ("gamma", "Gamma")],
+    )
+    assert rep["nodes_total"] == 3
+    assert rep["edges_total"] == 1
+    assert rep["dangling_endpoints"] == 0
+    assert rep["orphan_nodes"] == 1  # Gamma has no edge
+    assert rep["self_loops"] == 0
+    assert rep["duplicate_edge_keys"] == 0
+    assert rep["canon_targets_missing"] == 0
+    assert rep["canon_non_idempotent"] == 0
+
+
+def test_integrity_planted_violations(spark):
+    rep = _report(
+        spark,
+        [("Alpha",), ("Beta",)],
+        # Ghost endpoint, a self loop, and a duplicated (src, dst) key.
+        [("Alpha", "Ghost"), ("Alpha", "Alpha"), ("Alpha", "Beta"), ("Alpha", "Beta")],
+        # Zed's canon target has no node; "Alpha" normalizes to "alpha"
+        # which maps to Beta -> non-idempotent.
+        [("alpha", "Alpha"), ("zed", "Zed"), ("alpha", "Beta")],
+    )
+    assert rep["dangling_endpoints"] == 1  # Ghost
+    assert rep["self_loops"] == 1
+    assert rep["duplicate_edge_keys"] == 1
+    assert rep["canon_targets_missing"] == 1  # Zed has no node row
+    # Alpha's norm maps (also) to Beta; Beta's norm row is absent (inner
+    # join -> not counted here); Zed's norm maps to Zed only.
+    assert rep["canon_non_idempotent"] == 1
+
+
+# ----------------------------------------------------------------- negatives
+
+
+TRIPLES = [
+    ("Alpha", "uses", "Tooling"),
+    ("Alpha", "uses", "Beta"),
+    ("Beta", "calls", "Gamma"),
+    ("Gamma", "uses", "Alpha"),
+]
+ENTITIES = ["Alpha", "Beta", "Gamma", "Delta", "Tooling", "Omega"]
+
+
+def _negatives_golden(triples, entities, k, pool_size, seed=""):
+    pool = sorted(set(entities), key=lambda e: (_md5(f"{seed}|{e}"), e))[:pool_size]
+    true = set(triples)
+    out = []
+    for s, p in sorted({(s, p) for s, p, _ in triples}):
+        cands = [
+            c for c in pool if c != s and (s, p, c) not in true
+        ]
+        cands.sort(key=lambda c: (_md5(f"{seed}|{s}|{p}|{c}"), c))
+        out += [(s, p, c, i + 1) for i, c in enumerate(cands[:k])]
+    return sorted(out)
+
+
+def test_negative_samples_matches_golden(spark):
+    t = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    e = spark.createDataFrame([(x,) for x in ENTITIES], "name string")
+    got = sorted(
+        tuple(r) for r in negative_samples(t, e, k=3, pool_size=4).collect()
+    )
+    assert got == _negatives_golden(TRIPLES, ENTITIES, k=3, pool_size=4)
+
+
+def test_negative_samples_never_true_or_reflexive(spark):
+    t = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    e = spark.createDataFrame([(x,) for x in ENTITIES], "name string")
+    rows = negative_samples(t, e, k=10, pool_size=100).collect()
+    true = set(TRIPLES)
+    for r in rows:
+        assert (r["subj"], r["pred"], r["neg_obj"]) not in true
+        assert r["neg_obj"] != r["subj"]
+        assert 1 <= r["rank"] <= 10
+
+
+def test_negative_samples_seed_changes_picks(spark):
+    t = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    e = spark.createDataFrame([(x,) for x in ENTITIES], "name string")
+    a = sorted(tuple(r) for r in negative_samples(t, e, k=2, pool_size=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in negative_samples(t, e, k=2, pool_size=3, seed="s1").collect()
+    )
+    assert a == _negatives_golden(TRIPLES, ENTITIES, 2, 3)
+    assert b == _negatives_golden(TRIPLES, ENTITIES, 2, 3, seed="s1")
+    assert a != b
+
+
+# --------------------------------------------------------------------- walks
+
+
+EDGES = [
+    ("a", "b"),
+    ("b", "c"),
+    ("c", "d"),
+    ("d", "a"),
+    ("b", "d"),
+    ("e", "e"),  # self loop: dropped; e never walks
+]
+
+
+def _walks_golden(edges, length, walks_per_node, seed=""):
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = []
+    for start in sorted(adj):
+        for w in range(walks_per_node):
+            cur, path = start, [start]
+            for step in range(1, length + 1):
+                cur = min(
+                    adj[cur],
+                    key=lambda nb: (_md5(f"{seed}|{start}|{w}|{step}|{nb}"), nb),
+                )
+                path.append(cur)
+            out.append((start, w, " -> ".join(path), cur))
+    return sorted(out)
+
+
+def test_random_walks_matches_golden(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    got = sorted(
+        tuple(r)
+        for r in random_walks(e, length=5, walks_per_node=2, checkpoint_every=2).collect()
+    )
+    assert got == _walks_golden(EDGES, 5, 2)
+    # full length: every path has length+1 nodes; self-loop node absent
+    assert all(p.count(" -> ") == 5 for _, _, p, _ in got)
+    assert not any(s == "e" for s, _, _, _ in got)
+
+
+def test_random_walks_forced_path(spark):
+    # Path graph a-b: from a every step must bounce to b and back.
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = {r["start"]: r["path"] for r in random_walks(e, length=3).collect()}
+    assert rows == {"a": "a -> b -> a -> b", "b": "b -> a -> b -> a"}
+
+
+def test_random_walks_seeded_divergence(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted(tuple(r) for r in random_walks(e, length=4, seed="x").collect())
+    assert a == _walks_golden(EDGES, 4, 1, seed="x")
