@@ -454,6 +454,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
         return random_walks(e, length=3, walks_per_node=2)
 
+    def kg_walk_cooccurrence(spark, sf_dir):
+        """Skip-gram pair counts over the walk corpus (graph_ml.
+        walk_cooccurrence): undirected within-window co-occurrence — the
+        input to PPMI / SGNS node-embedding training. Pair enumeration is
+        one codegen projection (no joins); the only shuffle is the
+        map-side-combined pair count."""
+        from graphrag_litex_spark.operators.graph_ml import (
+            random_walks,
+            walk_cooccurrence,
+        )
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
+        return walk_cooccurrence(random_walks(e, length=3, walks_per_node=2), window=2)
+
+    def kg_ontology(spark, sf_dir):
+        """Induced schema (operators/ontology.predicate_signatures): which
+        (subj_type, predicate, obj_type) signatures the extractor produced,
+        with triple and entity spread counts — the extractor-drift /
+        de-facto-ontology table. Node-type map is entity-cardinality (AQE
+        join); output bounded by |types|^2 x |preds|."""
+        from graphrag_litex_spark.operators.ontology import predicate_signatures
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
+        return predicate_signatures(kg["triples"], ty)
+
     def kg_two_hop(spark, sf_dir):
         """Two-hop reachability over the merged edges (a -> b -> c, a != c):
         path count + strongest path (product of 6dp-rounded edge strengths,
@@ -1444,6 +1470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_integrity_report,
         kg_negative_samples,
         kg_random_walks,
+        kg_walk_cooccurrence,
+        kg_ontology,
         conv_stats,
         conv_integrity,
         conv_role_transitions,
@@ -1783,6 +1811,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN s1 ON s1.start = w.start AND s1.widx = w.widx
             JOIN s2 ON s2.start = w.start AND s2.widx = w.widx
             JOIN s3 ON s3.start = w.start AND s3.widx = w.widx
+        """,
+        "kg_walk_cooccurrence": f"""
+            WITH me AS (
+                SELECT subj AS src, obj AS dst
+                FROM read_parquet('{triples}') GROUP BY subj, obj
+            ), sym AS (
+                SELECT src, dst FROM me WHERE src <> dst
+                UNION
+                SELECT dst, src FROM me WHERE src <> dst
+            ), w AS (
+                SELECT DISTINCT src AS start, widx
+                FROM sym, (VALUES (0), (1)) AS t(widx)
+            ), s1 AS (
+                SELECT w.start, w.widx,
+                       arg_min(e.dst, md5('|' || w.start || '|' ||
+                           cast(w.widx AS varchar) || '|1|' || e.dst)) AS cur
+                FROM w JOIN sym e ON e.src = w.start
+                GROUP BY w.start, w.widx
+            ), s2 AS (
+                SELECT s.start, s.widx,
+                       arg_min(e.dst, md5('|' || s.start || '|' ||
+                           cast(s.widx AS varchar) || '|2|' || e.dst)) AS cur
+                FROM s1 s JOIN sym e ON e.src = s.cur
+                GROUP BY s.start, s.widx
+            ), s3 AS (
+                SELECT s.start, s.widx,
+                       arg_min(e.dst, md5('|' || s.start || '|' ||
+                           cast(s.widx AS varchar) || '|3|' || e.dst)) AS cur
+                FROM s2 s JOIN sym e ON e.src = s.cur
+                GROUP BY s.start, s.widx
+            ), wn AS (
+                SELECT w.start AS n0, s1.cur AS n1, s2.cur AS n2, s3.cur AS n3
+                FROM w
+                JOIN s1 ON s1.start = w.start AND s1.widx = w.widx
+                JOIN s2 ON s2.start = w.start AND s2.widx = w.widx
+                JOIN s3 ON s3.start = w.start AND s3.widx = w.widx
+            ), p AS (
+                -- all index pairs (i, j), i < j <= i + 2, over n0..n3
+                SELECT least(n0, n1) AS a, greatest(n0, n1) AS b FROM wn
+                UNION ALL SELECT least(n1, n2), greatest(n1, n2) FROM wn
+                UNION ALL SELECT least(n2, n3), greatest(n2, n3) FROM wn
+                UNION ALL SELECT least(n0, n2), greatest(n0, n2) FROM wn
+                UNION ALL SELECT least(n1, n3), greatest(n1, n3) FROM wn
+            )
+            SELECT a AS node_a, b AS node_b, count(*) AS n_cooc
+            FROM p WHERE a <> b GROUP BY a, b
+        """,
+        "kg_ontology": f"""
+            WITH ty AS (
+                SELECT canonical AS name, min(type) AS type
+                FROM read_parquet('{mentions}') GROUP BY canonical
+            ), t AS (
+                SELECT DISTINCT subj, pred, obj FROM read_parquet('{triples}')
+            )
+            SELECT st.type AS subj_type, t.pred, ot.type AS obj_type,
+                   count(*) AS n_triples,
+                   count(DISTINCT t.subj) AS n_subjects,
+                   count(DISTINCT t.obj) AS n_objects
+            FROM t
+            JOIN ty st ON st.name = t.subj
+            JOIN ty ot ON ot.name = t.obj
+            GROUP BY st.type, t.pred, ot.type
         """,
         "kg_two_hop": f"""
             WITH e AS (

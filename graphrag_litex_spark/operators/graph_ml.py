@@ -91,6 +91,63 @@ def negative_samples(
     )
 
 
+def walk_cooccurrence(
+    walks: DataFrame,
+    window: int = 2,
+    path_col: str = "path",
+    sep: str = " -> ",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts over a random-walk corpus.
+
+    The walk sentences from :func:`random_walks` train node embeddings the
+    same way word2vec trains word embeddings: every (center, context) pair
+    within ``window`` positions co-occurs. This emits the UNDIRECTED pair
+    counts (node_a < node_b lexicographically, self-pairs from revisits
+    dropped) -> (node_a, node_b, n_cooc) — the input to a PPMI matrix or
+    any SGNS trainer.
+
+    Execution: pair enumeration is a single whole-stage-codegen projection
+    (split -> nested ``transform`` over index pairs -> explode), so fan-out
+    is bounded by walk_length x window per row and NOTHING is joined; the
+    only shuffle is the final (node_a, node_b) count aggregate, which is
+    map-side combined. At 10^12-turn scale the pair-key agg is the same
+    shape as the edge merge (E2) and shares its skew story: hot hub nodes
+    are hot AGGREGATE keys (combiner-absorbed), never join keys.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    import re as _re
+
+    pairs = (
+        # split()'s pattern is a Java regex — escape so any literal sep works
+        walks.select(
+            F.split(F.col(path_col), _re.escape(sep), -1).alias("__l")
+        )
+        # sequence(0, -1) would DESCEND (Spark infers step -1), emitting
+        # bogus indices for 1-node paths — guard the degenerate row out.
+        .where(F.size("__l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"""
+                    flatten(transform(sequence(0, size(__l) - 2), i ->
+                        transform(
+                            sequence(i + 1, least(i + {int(window)}, size(__l) - 1)),
+                            j -> struct(
+                                least(__l[i], __l[j]) AS a,
+                                greatest(__l[i], __l[j]) AS b))))
+                    """
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("node_a"), F.col("p.b").alias("node_b"))
+        .where(F.col("node_a") != F.col("node_b"))
+    )
+    return pairs.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_cooc")
+    )
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 4,

@@ -12,7 +12,11 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from graphrag_litex_spark.operators.graph_ml import negative_samples, random_walks
+from graphrag_litex_spark.operators.graph_ml import (
+    negative_samples,
+    random_walks,
+    walk_cooccurrence,
+)
 from graphrag_litex_spark.operators.integrity import graph_integrity_report
 from graphrag_litex_spark.operators.snapshots import snapshot_diff
 
@@ -226,3 +230,116 @@ def test_random_walks_seeded_divergence(spark):
     e = spark.createDataFrame(EDGES, "src string, dst string")
     a = sorted(tuple(r) for r in random_walks(e, length=4, seed="x").collect())
     assert a == _walks_golden(EDGES, 4, 1, seed="x")
+
+
+# ------------------------------------------------------------- cooccurrence
+
+
+def _cooc_golden(paths, window):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for p in paths:
+        toks = p.split(" -> ")
+        for i in range(len(toks) - 1):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                a, b = sorted((toks[i], toks[j]))
+                if a != b:
+                    c[(a, b)] += 1
+    return sorted((a, b, n) for (a, b), n in c.items())
+
+
+def test_walk_cooccurrence_hand_computed(spark):
+    w = spark.createDataFrame(
+        [("a -> b -> c -> d",), ("x -> y",)], "path string"
+    )
+    got = sorted(
+        tuple(r) for r in walk_cooccurrence(w, window=2).collect()
+    )
+    assert got == [
+        ("a", "b", 1),
+        ("a", "c", 1),
+        ("b", "c", 1),
+        ("b", "d", 1),
+        ("c", "d", 1),
+        ("x", "y", 1),
+    ]
+
+
+def test_walk_cooccurrence_revisits_and_window(spark):
+    # Revisit a->b->a: (a,b) twice within window 1; self-pair (a,a) at
+    # distance 2 must be DROPPED at window 2.
+    w = spark.createDataFrame([("a -> b -> a",)], "path string")
+    got1 = sorted(tuple(r) for r in walk_cooccurrence(w, window=1).collect())
+    got2 = sorted(tuple(r) for r in walk_cooccurrence(w, window=2).collect())
+    assert got1 == [("a", "b", 2)]
+    assert got2 == [("a", "b", 2)]  # (a,a) dropped
+
+
+def test_walk_cooccurrence_matches_golden_on_real_walks(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    walks = random_walks(e, length=5, walks_per_node=2)
+    paths = [r["path"] for r in walks.collect()]
+    got = sorted(
+        tuple(r) for r in walk_cooccurrence(walks, window=3).collect()
+    )
+    assert got == _cooc_golden(paths, 3)
+
+
+def test_walk_cooccurrence_degenerate_rows(spark):
+    # Single-node paths produce nothing (and must not trip the descending-
+    # sequence trap); empty frame stays typed.
+    w = spark.createDataFrame([("solo",), ("a -> b",)], "path string")
+    got = sorted(tuple(r) for r in walk_cooccurrence(w, window=4).collect())
+    assert got == [("a", "b", 1)]
+
+
+# ----------------------------------------------------------------- ontology
+
+
+def test_predicate_signatures_hand_computed(spark):
+    from graphrag_litex_spark.operators.ontology import predicate_signatures
+
+    t = spark.createDataFrame(
+        [
+            ("Alpha", "uses", "Tool1"),
+            ("Alpha", "uses", "Tool1"),  # duplicate observation: counts once
+            ("Alpha", "uses", "Tool2"),
+            ("Beta", "uses", "Tool1"),
+            ("Alpha", "calls", "Beta"),
+            ("Alpha", "uses", "Ghost"),  # endpoint without a type: dropped
+        ],
+        "subj string, pred string, obj string",
+    )
+    ty = spark.createDataFrame(
+        [("Alpha", "person"), ("Beta", "person"), ("Tool1", "tool"), ("Tool2", "tool")],
+        "name string, type string",
+    )
+    got = {
+        (r["subj_type"], r["pred"], r["obj_type"]): (
+            r["n_triples"],
+            r["n_subjects"],
+            r["n_objects"],
+        )
+        for r in predicate_signatures(t, ty).collect()
+    }
+    assert got == {
+        ("person", "uses", "tool"): (3, 2, 2),
+        ("person", "calls", "person"): (1, 1, 1),
+    }
+
+
+def test_type_cooccurrence_symmetric_collapse(spark):
+    from graphrag_litex_spark.operators.ontology import type_cooccurrence
+
+    t = spark.createDataFrame(
+        [("A", "p", "T"), ("T2", "q", "B")],
+        "subj string, pred string, obj string",
+    )
+    ty = spark.createDataFrame(
+        [("A", "person"), ("B", "person"), ("T", "tool"), ("T2", "tool")],
+        "name string, type string",
+    )
+    got = sorted(tuple(r) for r in type_cooccurrence(t, ty).collect())
+    # person->tool and tool->person collapse to one undirected pair
+    assert got == [("person", "tool", 2)]
