@@ -480,6 +480,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
         return predicate_signatures(kg["triples"], ty)
 
+    def kg_bfs_distances(spark, sf_dir):
+        """Single-source BFS hop distances (graph_analytics.hop_distances)
+        from the top-degree entity (ties -> min name): the path-query
+        primitive behind closeness/betweenness, exposed directly. The
+        oracle is DuckDB's WITH RECURSIVE over the same undirected simple
+        graph — a genuinely independent BFS implementation, so this is a
+        cross-engine differential of the frontier loop itself. Seed fetch
+        is one 1-row driver read; each hop joins only the frontier."""
+        from graphrag_litex_spark.operators.graph_analytics import (
+            hop_distances,
+            undirected_simple,
+        )
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
+        und = undirected_simple(e)
+        deg = (
+            und.select(F.col("a").alias("u"))
+            .unionAll(und.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        [seed_row] = deg.orderBy(F.desc("n"), F.asc("u")).limit(1).collect()
+        return hop_distances(e, [seed_row["u"]], max_hops=6).select(
+            "vertex", F.col("dist").cast("int").alias("dist")
+        )
+
     def kg_two_hop(spark, sf_dir):
         """Two-hop reachability over the merged edges (a -> b -> c, a != c):
         path count + strongest path (product of 6dp-rounded edge strengths,
@@ -1472,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_random_walks,
         kg_walk_cooccurrence,
         kg_ontology,
+        kg_bfs_distances,
         conv_stats,
         conv_integrity,
         conv_role_transitions,
@@ -1857,6 +1884,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS node_a, b AS node_b, count(*) AS n_cooc
             FROM p WHERE a <> b GROUP BY a, b
+        """,
+        "kg_bfs_distances": f"""
+            WITH RECURSIVE und AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM read_parquet('{triples}') WHERE subj <> obj
+            ), sym AS (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und
+            ), deg AS (
+                SELECT u, count(*) AS n FROM sym GROUP BY u
+            ), seed AS (
+                SELECT u FROM deg ORDER BY n DESC, u LIMIT 1
+            ), bfs AS (
+                SELECT u AS vertex, 0 AS dist FROM seed
+                UNION
+                SELECT s.v, b.dist + 1 FROM bfs b
+                JOIN sym s ON s.u = b.vertex WHERE b.dist < 6
+            )
+            SELECT vertex, cast(min(dist) AS int) AS dist
+            FROM bfs GROUP BY vertex
         """,
         "kg_ontology": f"""
             WITH ty AS (

@@ -148,6 +148,62 @@ def walk_cooccurrence(
     )
 
 
+def ppmi_weights(
+    cooc: DataFrame,
+    a_col: str = "node_a",
+    b_col: str = "node_b",
+    n_col: str = "n_cooc",
+) -> DataFrame:
+    """Positive PMI over undirected co-occurrence counts ->
+    (node_a, node_b, n_cooc, ppmi).
+
+    With T = total pair count and m(x) = sum of counts of pairs containing
+    x, ppmi(a,b) = max(0, ln(n * T / (m_a * m_b))) — the classic
+    Levy-Goldberg result that SGNS implicitly factorizes a shifted PMI
+    matrix, so (walks -> cooccurrence -> PPMI) IS DeepWalk's training
+    signal in closed form.
+
+    Plan: one map-side-combined marginal aggregate (node-cardinality,
+    rejoined under AQE — broadcast when small), the grand total as a
+    broadcast one-row cross join, and the ln as a codegen expression.
+    Like trigram_logprob, the ln keeps this out of the cross-engine value
+    contract (libm last-bit divergence); the INTEGER inputs (n, T, m_a,
+    m_b) are contract-checkable via kg_walk_cooccurrence.
+    """
+    pairs = cooc.select(
+        F.col(a_col).alias("node_a"),
+        F.col(b_col).alias("node_b"),
+        F.col(n_col).alias("n_cooc"),
+    )
+    marg = (
+        pairs.select(F.col("node_a").alias("node"), "n_cooc")
+        .unionAll(pairs.select(F.col("node_b").alias("node"), "n_cooc"))
+        .groupBy("node")
+        .agg(F.sum("n_cooc").alias("m"))
+    )
+    total = pairs.agg(F.sum("n_cooc").alias("T"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .join(marg.select(F.col("node").alias("node_a"), F.col("m").alias("m_a")), "node_a")
+        .join(marg.select(F.col("node").alias("node_b"), F.col("m").alias("m_b")), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_cooc",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    # doubles throughout: m_a * m_b overflows int64 once
+                    # marginals pass ~3e9 (guaranteed at corpus scale)
+                    F.col("n_cooc").cast("double")
+                    * F.col("T").cast("double")
+                    / (F.col("m_a").cast("double") * F.col("m_b").cast("double"))
+                ),
+            ).alias("ppmi"),
+        )
+    )
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 4,

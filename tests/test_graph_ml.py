@@ -294,6 +294,42 @@ def test_walk_cooccurrence_degenerate_rows(spark):
     assert got == [("a", "b", 1)]
 
 
+def test_ppmi_matches_math_log(spark):
+    import math
+
+    from graphrag_litex_spark.operators.graph_ml import ppmi_weights
+
+    rows = [("a", "b", 4), ("a", "c", 1), ("c", "d", 1)]
+    cooc = spark.createDataFrame(rows, "node_a string, node_b string, n_cooc long")
+    t = sum(n for _, _, n in rows)
+    m: dict[str, int] = {}
+    for x, y, n in rows:
+        m[x] = m.get(x, 0) + n
+        m[y] = m.get(y, 0) + n
+    got = {(r["node_a"], r["node_b"]): r for r in ppmi_weights(cooc).collect()}
+    assert len(got) == 3
+    for x, y, n in rows:
+        want = max(0.0, math.log(n * t / (m[x] * m[y])))
+        assert abs(got[(x, y)]["ppmi"] - want) < 1e-12
+        assert got[(x, y)]["n_cooc"] == n
+    # the exclusive rare pair (c,d) is more informative than the hub pair
+    assert got[("c", "d")]["ppmi"] > got[("a", "b")]["ppmi"] > 0.0
+
+
+def test_ppmi_negative_pmi_clamped_to_zero(spark):
+    import math
+
+    from graphrag_litex_spark.operators.graph_ml import ppmi_weights
+
+    rows = [("a", "b", 8), ("a", "c", 1), ("b", "c", 1)]
+    # raw PMI of (a, b) is negative (8*10 / (9*9) < 1) -> must clamp to 0
+    assert math.log(8 * 10 / (9 * 9)) < 0
+    cooc = spark.createDataFrame(rows, "node_a string, node_b string, n_cooc long")
+    got = {(r["node_a"], r["node_b"]): r["ppmi"] for r in ppmi_weights(cooc).collect()}
+    assert got[("a", "b")] == 0.0
+    assert all(v >= 0.0 for v in got.values())
+
+
 # ----------------------------------------------------------------- ontology
 
 
