@@ -547,6 +547,86 @@ def main() -> int:
         )
     )
 
+    # Graph-ML training data: co-occurrence must be join-free (one agg
+    # Exchange), PPMI's grand total a broadcast 1-row join, snapshot diff
+    # one full-outer equi-join, ontology two AQE joins — no cartesians or
+    # Python anywhere.
+    from graphrag_litex_spark.operators.graph_ml import (
+        ppmi_weights,
+        walk_cooccurrence,
+    )
+    from graphrag_litex_spark.operators.ontology import predicate_signatures
+    from graphrag_litex_spark.operators.snapshots import snapshot_diff
+
+    walks = spark.createDataFrame(
+        [("a -> b -> c -> d",), ("b -> a -> d -> c",)], "path string"
+    )
+    cooc_df = walk_cooccurrence(walks, window=2)
+    tree = cooc_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in tree, "pair enumeration must be join-free"
+    assert tree.count("Exchange") == 1, "only the pair-count agg shuffles"
+    p = plan_of(cooc_df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "Walk co-occurrence (skip-gram pairs)",
+            "pair enumeration is one codegen projection (split -> nested "
+            "transform -> explode), NO joins; the single Exchange is the "
+            "map-side-combined pair count",
+            p,
+        )
+    )
+
+    ppmi_df = ppmi_weights(cooc_df)
+    p = plan_of(ppmi_df)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "PPMI weighting",
+            "marginals = one map-side-combined agg rejoined under AQE; the "
+            "grand total rides a broadcast 1-row join; ln is codegen",
+            p,
+        )
+    )
+
+    snap_old = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, strength double"
+    )
+    snap_new = spark.createDataFrame(
+        [("a", "b", 2.0)], "src string, dst string, strength double"
+    )
+    p = plan_of(snapshot_diff(snap_old, snap_new, ["src", "dst"], ["strength"]))
+    assert "CartesianProduct" not in p
+    assert p.count("FullOuter") >= 1, "diff is ONE full-outer equi-join"
+    sections.append(
+        (
+            "Snapshot diff (build-over-build change feed)",
+            "one full-outer hash join on the pair key; status derivation is "
+            "a codegen CASE over null-safe column pairs",
+            p,
+        )
+    )
+
+    tri = spark.createDataFrame(
+        [("A", "p", "B")], "subj string, pred string, obj string"
+    )
+    tys = spark.createDataFrame(
+        [("A", "person"), ("B", "tool")], "name string, type string"
+    )
+    p = plan_of(predicate_signatures(tri, tys))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "Ontology induction (predicate signatures)",
+            "distinct triple keys join the entity-cardinality type map "
+            "twice (AQE: broadcast when small); final agg keyspace bounded "
+            "by |types|^2 x |preds|",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
