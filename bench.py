@@ -141,6 +141,10 @@ def main() -> None:
         "conv_stats",
         "conv_prefix_dups",
         "kg_degree_histogram",
+        "kg_walk_cooccurrence",
+        "kg_ontology",
+        "kg_integrity_report",
+        "kg_bfs_distances",
     ):
         t0 = time.time()
         try:

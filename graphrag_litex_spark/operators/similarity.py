@@ -498,46 +498,87 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: list[str] | None = None,
+    unroll_term_limit: int = 512,
 ) -> DataFrame:
     """-> (id, code array<int>): per subspace, the argmin-L2 centroid
     (ties to the larger centroid id, array_max struct compare). One
-    whole-stage-codegen projection — m*ksub literal-centroid distance
-    expressions, no join, no Python; at 100 TB this runs once at ingest
-    and the codes table (m small ints per vector) replaces the corpus."""
+    projection — no join, no Python; at 100 TB this runs once at ingest
+    and the codes table (m small ints per vector) replaces the corpus.
+    ``unroll_term_limit`` picks the expression strategy (see below)."""
     m = len(codebooks)
-    dim = m * len(codebooks[0][0])
-    # The m*ksub distance expressions are generated as ONE SQL string and
-    # parsed JVM-side in a single call: building the same tree through the
-    # Column API costs one py4j round-trip per operator node (~8s of pure
-    # plan construction at m=8, ksub=16; far worse at the realistic
-    # ksub=256). Semantics are byte-identical to the Column form — same
-    # zip_with/aggregate fold, same array_max struct tie-break. Double
-    # literals use the D suffix (repr round-trips exactly; bare decimals
-    # would parse as DECIMAL).
+    ksub = len(codebooks[0])
+    d = len(codebooks[0][0])
+    dim = m * d
+    # Two expression strategies with IDENTICAL semantics (same left-assoc
+    # double fold, same array_max struct tie-break to the larger cid):
+    #
+    #   * UNROLLED (small books): every squared-diff term inlined as plain
+    #     arithmetic — parses fast, whole-stage codegen end to end.
+    #   * FOLDED (large books): the codebook as ONE nested-array literal
+    #     (ConstantFolding collapses the all-literal CreateArray tree into
+    #     a single Literal before codegen) scanned by higher-order
+    #     functions. The HOF is a CodegenFallback EXPRESSION — the stage
+    #     itself still whole-stage-codegens around one eval call per row.
+    #
+    # The switch exists because the unrolled form stops compiling past
+    # ~64 KB of generated bytecode per method: at m=8/ksub=16/d=8 (1024
+    # terms) Janino dies with "Code grows beyond 64 KB" and Spark silently
+    # re-runs the WHOLE stage interpreted — strictly slower than the HOF
+    # form — and the realistic FAISS shape (ksub=256) is 16x past the
+    # cliff. The default 512-term threshold keeps the unrolled path well
+    # inside the limit. Both paths produce bit-identical codes
+    # (differentially tested).
+    if m * ksub * d <= unroll_term_limit:
+        # Generated as ONE SQL string, parsed JVM-side in a single call:
+        # the Column API costs a py4j round-trip per operator node (~8s of
+        # plan construction at m=8, ksub=16). Double literals use the D
+        # suffix (repr round-trips exactly; bare decimals parse DECIMAL).
+        def _score(start: int, cent: list[float], cid: int) -> str:
+            terms = "".join(
+                f" + (element_at(_v, {start + i}) - {y!r}D)"
+                f" * (element_at(_v, {start + i}) - {y!r}D)"
+                for i, y in enumerate(cent)
+            )
+            return f"named_struct('s', -(0.0D{terms}), 'cid', {cid})"
 
-    def _score(start: int, length: int, cent: list[float], cid: int) -> str:
-        # The zip_with/aggregate fold, UNROLLED: + is left-associative, so
-        # 0.0 + t1 + t2 + ... evaluates in exactly the fold's order —
-        # bit-identical doubles — while plain arithmetic (no higher-order
-        # functions) parses/analyzes faster AND stays inside whole-stage
-        # codegen instead of interpreted lambda evaluation per row.
-        terms = "".join(
-            f" + (element_at(_v, {start + i}) - {y!r}D)"
-            f" * (element_at(_v, {start + i}) - {y!r}D)"
-            for i, y in enumerate(cent)
+        subs = [
+            "array_max(array("
+            + ",".join(_score(start, cent, c) for c, cent in enumerate(codebooks[j]))
+            + ")).cid"
+            for j, (start, _length) in enumerate(_subspaces(dim, m))
+        ]
+        code = F.expr("array(" + ",".join(subs) + ")")
+    else:
+        book_lit = ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{y!r}D" for y in cent) + ")"
+                for cent in codebooks[j]
+            ) + ")"
+            for j in range(m)
         )
-        return f"named_struct('s', -(0.0D{terms}), 'cid', {cid})"
-
-    subs = [
-        "array_max(array("
-        + ",".join(_score(start, length, cent, c) for c, cent in enumerate(codebooks[j]))
-        + ")).cid"
-        for j, (start, length) in enumerate(_subspaces(dim, m))
-    ]
-    code = F.expr("array(" + ",".join(subs) + ")")
-    return embeddings.withColumn(
+        # aggregate's (acc + term) fold over ascending i == the unrolled
+        # left-assoc sum == the pure-Python golden, bit for bit.
+        code = F.expr(
+            f"""
+            transform(sequence(0, {m - 1}), j ->
+                array_max(transform(sequence(0, {ksub - 1}), c ->
+                    named_struct(
+                        's', -aggregate(sequence(1, {d}), cast(0.0 as double),
+                            (acc, i) -> acc +
+                                (element_at(_v, j * {d} + i)
+                                 - element_at(element_at(element_at(_books, j + 1), c + 1), i))
+                              * (element_at(_v, j * {d} + i)
+                                 - element_at(element_at(element_at(_books, j + 1), c + 1), i))),
+                        'cid', c))).cid)
+            """
+        )
+        embeddings = embeddings.withColumn(
+            "_books", F.expr(f"array({book_lit})")
+        )
+    out = embeddings.withColumn(
         "_v", F.col(vec_col).cast("array<double>")
     ).select(F.col(id_col), *(keep_cols or []), code.alias("code"))
+    return out
 
 
 def pq_adc_topk(

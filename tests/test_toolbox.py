@@ -519,6 +519,23 @@ def test_pq_golden_matches_spark(rand_vecs):
     )
 
 
+def test_pq_encode_unrolled_equals_folded(rand_vecs):
+    """The two expression strategies (unrolled literals vs constant-folded
+    codebook + HOF argmin) must emit bit-identical codes — the folded path
+    is what runs past the 64 KB codegen cliff (e.g. ksub=256)."""
+    _rows, df = rand_vecs
+    books = S.pq_codebooks(df, m=4, ksub=8)
+    unrolled = {
+        r["vec_id"]: list(r["code"])
+        for r in S.pq_encode(df, books, unroll_term_limit=10**9).collect()
+    }
+    folded = {
+        r["vec_id"]: list(r["code"])
+        for r in S.pq_encode(df, books, unroll_term_limit=0).collect()
+    }
+    assert unrolled == folded and len(unrolled) > 0
+
+
 def test_pq_adc_recall_vs_exact_l2(rand_vecs):
     """ADC is an approximation of L2: with m=4 subspaces over 16 dims the
     top-10 by ADC must recover a healthy share of the true L2 top-10
