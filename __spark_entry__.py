@@ -452,7 +452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from graphrag_litex_spark.operators.graph_ml import random_walks
 
         e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
-        return random_walks(e, length=3, walks_per_node=2)
+        return random_walks(e, length=3, walks_per_node=2).select(
+            "start", "walk_idx", "path", "end_node"
+        )
 
     def kg_walk_cooccurrence(spark, sf_dir):
         """Skip-gram pair counts over the walk corpus (graph_ml.

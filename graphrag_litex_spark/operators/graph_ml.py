@@ -94,6 +94,7 @@ def negative_samples(
 def walk_cooccurrence(
     walks: DataFrame,
     window: int = 2,
+    nodes_col: str = "nodes",
     path_col: str = "path",
     sep: str = " -> ",
 ) -> DataFrame:
@@ -106,9 +107,13 @@ def walk_cooccurrence(
     dropped) -> (node_a, node_b, n_cooc) — the input to a PPMI matrix or
     any SGNS trainer.
 
+    Consumes the lossless ``nodes_col`` array when present (node names may
+    contain the separator); splitting ``path_col`` is only a fallback for
+    walk corpora that arrive as rendered strings.
+
     Execution: pair enumeration is a single whole-stage-codegen projection
-    (split -> nested ``transform`` over index pairs -> explode), so fan-out
-    is bounded by walk_length x window per row and NOTHING is joined; the
+    (nested ``transform`` over index pairs -> explode), so fan-out is
+    bounded by walk_length x window per row and NOTHING is joined; the
     only shuffle is the final (node_a, node_b) count aggregate, which is
     map-side combined. At 10^12-turn scale the pair-key agg is the same
     shape as the edge merge (E2) and shares its skew story: hot hub nodes
@@ -118,11 +123,13 @@ def walk_cooccurrence(
         raise ValueError("window must be >= 1")
     import re as _re
 
-    pairs = (
+    if nodes_col in walks.columns:
+        seq = F.col(nodes_col)
+    else:
         # split()'s pattern is a Java regex — escape so any literal sep works
-        walks.select(
-            F.split(F.col(path_col), _re.escape(sep), -1).alias("__l")
-        )
+        seq = F.split(F.col(path_col), _re.escape(sep), -1)
+    pairs = (
+        walks.select(seq.alias("__l"))
         # sequence(0, -1) would DESCEND (Spark infers step -1), emitting
         # bogus indices for 1-node paths — guard the degenerate row out.
         .where(F.size("__l") >= 2)
@@ -169,11 +176,18 @@ def ppmi_weights(
     Like trigram_logprob, the ln keeps this out of the cross-engine value
     contract (libm last-bit divergence); the INTEGER inputs (n, T, m_a,
     m_b) are contract-checkable via kg_walk_cooccurrence.
+
+    ``cooc`` feeds FOUR plan branches (output, grand total, two marginal
+    joins), so it is eagerly checkpointed here — otherwise the upstream
+    walk + co-occurrence pipeline would recompute per branch. Pass the
+    result to ``iterutils.release`` after consuming it.
     """
-    pairs = cooc.select(
-        F.col(a_col).alias("node_a"),
-        F.col(b_col).alias("node_b"),
-        F.col(n_col).alias("n_cooc"),
+    pairs = hard_checkpoint(
+        cooc.select(
+            F.col(a_col).alias("node_a"),
+            F.col(b_col).alias("node_b"),
+            F.col(n_col).alias("n_cooc"),
+        )
     )
     marg = (
         pairs.select(F.col("node_a").alias("node"), "n_cooc")
@@ -223,11 +237,22 @@ def random_walks(
     DeepWalk). Self-loops are dropped from the graph; every endpoint of the
     remaining edges has >=1 neighbor, so all walks reach full length.
 
-    Returns (start, walk_idx, path, end_node) where ``path`` is the
-    sep-joined node sequence of length+1 nodes.
+    Returns (start, walk_idx, nodes, path, end_node): ``nodes`` is the
+    lossless array<string> sequence of length+1 nodes (what downstream
+    operators should consume — :func:`walk_cooccurrence` does), ``path``
+    its sep-joined rendering for humans/oracles.
+
+    The result is eagerly checkpointed and the loop's intermediates
+    (including the edge-sized symmetric adjacency) are released before
+    returning — pass the result to ``iterutils.release`` after consuming
+    it to free the last checkpoint's blocks too.
     """
     if length < 1:
         raise ValueError("length must be >= 1")
+    if walks_per_node < 1:
+        # sequence(0, walks_per_node - 1) would DESCEND for 0 (Spark
+        # infers step -1), silently emitting walk_idx 0 AND -1.
+        raise ValueError("walks_per_node must be >= 1")
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = (
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -247,14 +272,12 @@ def random_walks(
             "start",
             F.col("walk_idx").cast("int"),
             F.col("start").alias("cur"),
-            F.col("start").alias("path"),
+            F.array("start").alias("nodes"),
         )
     )
-    # sym is re-joined every step: checkpoint once up front. It stays
-    # persisted (the result's lineage reaches it until the caller consumes
-    # the walks); superseded STATE checkpoints are released as the loop
-    # advances — each eager checkpoint materializes, so its predecessor's
-    # blocks are dead weight.
+    # sym is re-joined every step: checkpoint once up front; superseded
+    # STATE checkpoints are released as the loop advances — each eager
+    # checkpoint materializes, so its predecessor's blocks are dead weight.
     sym = hard_checkpoint(sym)
     prev_state = None
     for step in range(1, length + 1):
@@ -270,16 +293,16 @@ def random_walks(
             cand.groupBy("start", "walk_idx")
             .agg(
                 F.min_by("dst", pick).alias("cur"),
-                # path is functionally determined by (start, walk_idx) at
+                # nodes is functionally determined by (start, walk_idx) at
                 # every step — all rows in the group agree, max is just a
                 # deterministic way to say "the" value.
-                F.max("path").alias("path"),
+                F.max("nodes").alias("nodes"),
             )
             .select(
                 "start",
                 "walk_idx",
                 "cur",
-                F.concat_ws(sep, "path", "cur").alias("path"),
+                F.concat("nodes", F.array("cur")).alias("nodes"),
             )
         )
         if step % checkpoint_every == 0 and step < length:
@@ -287,6 +310,19 @@ def random_walks(
             if prev_state is not None:
                 release(prev_state)
             prev_state = state
-    return state.select(
-        "start", "walk_idx", "path", F.col("cur").alias("end_node")
+    # Materialize the result, then free every loop intermediate: without
+    # this, each call pins an edge-sized checkpoint for the session's
+    # lifetime (the leak the other iterative operators already avoid).
+    out = hard_checkpoint(
+        state.select(
+            "start",
+            "walk_idx",
+            "nodes",
+            F.array_join("nodes", sep).alias("path"),
+            F.col("cur").alias("end_node"),
+        )
     )
+    release(sym)
+    if prev_state is not None:
+        release(prev_state)
+    return out

@@ -506,7 +506,7 @@ def pq_encode(
     and the codes table (m small ints per vector) replaces the corpus.
     ``unroll_term_limit`` picks the expression strategy (see below)."""
     m = len(codebooks)
-    ksub = len(codebooks[0])
+    ksub = max(len(b) for b in codebooks)  # max: ragged books must not unroll-undercount
     d = len(codebooks[0][0])
     dim = m * d
     # Two expression strategies with IDENTICAL semantics (same left-assoc
@@ -558,10 +558,13 @@ def pq_encode(
         )
         # aggregate's (acc + term) fold over ascending i == the unrolled
         # left-assoc sum == the pure-Python golden, bit for bit.
+        # centroid count read per subspace via size() (not the literal
+        # ksub), so ragged codebooks encode identically to the unrolled
+        # path instead of silently scoring a truncated centroid set.
         code = F.expr(
             f"""
             transform(sequence(0, {m - 1}), j ->
-                array_max(transform(sequence(0, {ksub - 1}), c ->
+                array_max(transform(sequence(0, size(element_at(_books, j + 1)) - 1), c ->
                     named_struct(
                         's', -aggregate(sequence(1, {d}), cast(0.0 as double),
                             (acc, i) -> acc +

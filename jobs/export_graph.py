@@ -59,50 +59,31 @@ def export_graph(
     """Programmatic API: write each requested table (present in ``graph``)
     as JSONL shards + manifest under ``out_path``/<table>. Returns the
     report dict (also written to ``out_path``/report.json)."""
-    from pyspark.sql import functions as F
+    from graphrag_litex_spark.sinks.manifest import write_manifest
 
+    # The report must be writable even when nothing exports (e.g. a table
+    # list that this build doesn't have — until="edges" builds carry no
+    # claims stage), so the directory can't be left to the table writes.
+    os.makedirs(out_path, exist_ok=True)
     report: dict[str, dict] = {}
-    spark = None
     for name in tables:
         df = graph.get(name)
         if df is None:
             continue
-        spark = df.sparkSession
         key = _SHARD_KEYS.get(name, df.columns[0])
         if key not in df.columns:
             key = df.columns[0]
         tdir = os.path.join(out_path, name)
         df.repartition(shard_files, key).write.mode("overwrite").json(tdir)
-
-        file_rows = (
-            spark.read.format("binaryFile")
-            .load(os.path.join(tdir, "part-*"))
-            .select(
-                F.element_at(F.split("path", "/"), -1).alias("file"),
-                F.col("length").alias("bytes"),
-                F.sha2("content", 256).alias("sha256"),
-            )
-            .orderBy("file")
-            .collect()
+        files = write_manifest(
+            df.sparkSession,
+            tdir,
+            {"table": name, "format": "jsonl", "shard_key": key},
         )
-        with open(os.path.join(tdir, "_manifest.json"), "w") as fh:
-            json.dump(
-                {
-                    "table": name,
-                    "format": "jsonl",
-                    "shard_key": key,
-                    "files": [
-                        {"file": r["file"], "bytes": r["bytes"], "sha256": r["sha256"]}
-                        for r in file_rows
-                    ],
-                },
-                fh,
-                indent=1,
-            )
         report[name] = {
             "rows": df.count(),
-            "files": len(file_rows),
-            "bytes": int(sum(r["bytes"] for r in file_rows)),
+            "files": len(files),
+            "bytes": int(sum(e["bytes"] for e in files)),
         }
     with open(os.path.join(out_path, "report.json"), "w") as fh:
         json.dump(report, fh, indent=1)

@@ -72,36 +72,16 @@ def export_shards(
     )
     bins.repartition(shard_files, "bin_id").write.mode("overwrite").json(out_path)
 
-    # Integrity manifest: per-shard-file byte length + sha256, computed as a
-    # DISTRIBUTED job (binaryFile source + F.sha2 — each executor hashes its
-    # own files; shard files are ~MBs so whole-file rows are fine), then the
-    # file-count-sized result lands in one small manifest.json a trainer's
-    # loader verifies against / resumes from.
-    spark = docs.sparkSession
-    file_rows = (
-        spark.read.format("binaryFile")
-        .load(os.path.join(out_path, "part-*"))
-        .select(
-            F.element_at(F.split("path", "/"), -1).alias("file"),
-            F.col("length").alias("bytes"),
-            F.sha2("content", 256).alias("sha256"),
-        )
-        .orderBy("file")
-        .collect()
+    # Integrity manifest (shared loader contract — sinks/manifest.py):
+    # distributed per-file bytes + sha256 a trainer's loader verifies
+    # against / resumes from.
+    from graphrag_litex_spark.sinks.manifest import write_manifest
+
+    file_rows = write_manifest(
+        docs.sparkSession,
+        out_path,
+        {"format": "jsonl", "budget": budget, "separator": separator},
     )
-    manifest = {
-        "format": "jsonl",
-        "budget": budget,
-        "separator": separator,
-        "files": [
-            {"file": r["file"], "bytes": r["bytes"], "sha256": r["sha256"]}
-            for r in file_rows
-        ],
-    }
-    # underscore prefix: Spark/Hadoop readers skip _-prefixed files (like
-    # _SUCCESS), so reading the shard dir as JSONL never ingests the manifest
-    with open(os.path.join(out_path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1)
 
     stats = bins.agg(
         F.count(F.lit(1)).alias("n_bins"),

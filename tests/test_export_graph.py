@@ -71,6 +71,13 @@ def test_export_graph_shard_assignment_is_stable(pipeline_sf0001, tmp_path):
     assert by_file(a) == by_file(b)
 
 
+def test_export_graph_no_matching_tables_writes_empty_report(pipeline_sf0001, tmp_path):
+    out = str(tmp_path / "none")
+    report = export_graph(pipeline_sf0001, out, tables=("not_a_stage",))
+    assert report == {}
+    assert json.load(open(os.path.join(out, "report.json"))) == {}
+
+
 def test_export_graph_cli_round_trip(pipeline_sf0001, tmp_path, capsys):
     # the fixture's out_dir holds the stage parquet the CLI re-opens
     kg_dir = os.path.dirname(

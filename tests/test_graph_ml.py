@@ -209,11 +209,15 @@ def _walks_golden(edges, length, walks_per_node, seed=""):
 
 def test_random_walks_matches_golden(spark):
     e = spark.createDataFrame(EDGES, "src string, dst string")
+    walks = random_walks(e, length=5, walks_per_node=2, checkpoint_every=2)
     got = sorted(
         tuple(r)
-        for r in random_walks(e, length=5, walks_per_node=2, checkpoint_every=2).collect()
+        for r in walks.select("start", "walk_idx", "path", "end_node").collect()
     )
     assert got == _walks_golden(EDGES, 5, 2)
+    # the lossless array agrees with its rendered path
+    for r in walks.collect():
+        assert " -> ".join(r["nodes"]) == r["path"]
     # full length: every path has length+1 nodes; self-loop node absent
     assert all(p.count(" -> ") == 5 for _, _, p, _ in got)
     assert not any(s == "e" for s, _, _, _ in got)
@@ -228,7 +232,12 @@ def test_random_walks_forced_path(spark):
 
 def test_random_walks_seeded_divergence(spark):
     e = spark.createDataFrame(EDGES, "src string, dst string")
-    a = sorted(tuple(r) for r in random_walks(e, length=4, seed="x").collect())
+    a = sorted(
+        tuple(r)
+        for r in random_walks(e, length=4, seed="x")
+        .select("start", "walk_idx", "path", "end_node")
+        .collect()
+    )
     assert a == _walks_golden(EDGES, 4, 1, seed="x")
 
 
@@ -284,6 +293,29 @@ def test_walk_cooccurrence_matches_golden_on_real_walks(spark):
         tuple(r) for r in walk_cooccurrence(walks, window=3).collect()
     )
     assert got == _cooc_golden(paths, 3)
+
+
+def test_walks_per_node_zero_raises(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    try:
+        random_walks(e, length=2, walks_per_node=0)
+        raise AssertionError("expected ValueError")
+    except ValueError as ex:
+        assert "walks_per_node" in str(ex)
+
+
+def test_walk_cooccurrence_separator_in_node_names(spark):
+    # A node literally named 'a -> b' must not be split into phantom
+    # nodes: the lossless array column wins over the rendered path.
+    e = spark.createDataFrame(
+        [("a -> b", "c"), ("c", "d")], "src string, dst string"
+    )
+    walks = random_walks(e, length=2, walks_per_node=1)
+    got = sorted(
+        tuple(r) for r in walk_cooccurrence(walks, window=2).collect()
+    )
+    names = {n for a, b, _ in got for n in (a, b)}
+    assert "a -> b" in names and "a" not in names and "b" not in names
 
 
 def test_walk_cooccurrence_degenerate_rows(spark):
