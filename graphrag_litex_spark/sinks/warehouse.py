@@ -59,12 +59,32 @@ def _catalog_bucket_count(spark: SparkSession, ident: str) -> int | None:
     return None
 
 
+def analyze_tables(
+    spark: SparkSession, idents: dict[str, str] | list[str]
+) -> None:
+    """Compute catalog statistics for published tables: table-level
+    (row count / size) plus column stats on each bucketed table's join
+    key. These feed the cost-based optimizer — join reordering and
+    static broadcast decisions read catalog stats, and while AQE fixes
+    broadcast choices at runtime from shuffle sizes, the INITIAL plan
+    (join order, bucketed-scan vs shuffle choice) is still CBO's call.
+    One metadata scan per table; run it once per publish, not per query.
+    """
+    items = idents.items() if isinstance(idents, dict) else [(None, i) for i in idents]
+    for name, ident in items:
+        spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS")
+        key = BUCKET_KEYS.get(name or "")
+        if key is not None:
+            spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS FOR COLUMNS {key}")
+
+
 def save_graph_tables(
     graph: dict[str, DataFrame],
     prefix: str = "kg",
     buckets: int = 64,
     mode: str = "overwrite",
     location: str | None = None,
+    analyze: bool = False,
 ) -> dict[str, str]:
     """Persist graph collections as catalog tables, bucketing the id-keyed
     ones; returns {collection: table_identifier}.
@@ -78,6 +98,9 @@ def save_graph_tables(
     (external tables — bucketing metadata still lives in the catalog);
     without it tables are managed under ``spark.sql.warehouse.dir``, which
     is a static conf fixed at session start.
+
+    ``analyze``: also compute catalog stats (:func:`analyze_tables`) —
+    one extra scan per table at publish time, so it is opt-in.
     """
     import os
 
@@ -116,6 +139,8 @@ def save_graph_tables(
             writer = writer.bucketBy(buckets, key).sortBy(key)
         writer.saveAsTable(ident)
         written[name] = ident
+    if analyze:
+        analyze_tables(spark, written)
     return written
 
 

@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--prefix", default="kg", help="table identifier prefix")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--location", default=None, help="external-table root (optional)")
+    p.add_argument(
+        "--analyze",
+        action="store_true",
+        help="also ANALYZE the published tables (CBO row/size + join-key column stats)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -44,7 +49,11 @@ def main(argv: list[str] | None = None) -> int:
 
     graph = open_graph(spark, args.graph)
     written = save_graph_tables(
-        graph, prefix=args.prefix, buckets=args.buckets, location=args.location
+        graph,
+        prefix=args.prefix,
+        buckets=args.buckets,
+        location=args.location,
+        analyze=args.analyze,
     )
     for name, ident in sorted(written.items()):
         print(f"table {ident}: published ({name})")

@@ -153,6 +153,37 @@ def test_cli_publish_warehouse(spark, corpus_sf0001, tmp_path, capsys):
             spark.sql(f"DROP TABLE IF EXISTS whcli_{t}")
 
 
+def test_analyze_publish_records_catalog_stats(spark, pipeline_sf0001, tmp_path):
+    from graphrag_litex_spark.sinks.warehouse import save_graph_tables
+
+    idents = save_graph_tables(
+        {"nodes": pipeline_sf0001["nodes"]},
+        prefix="whstats",
+        buckets=8,
+        location=str(tmp_path),
+        analyze=True,
+    )
+    try:
+        ident = idents["nodes"]
+        stats = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {ident}").collect()
+        }
+        # table-level stats (size + row count) land in the catalog...
+        assert "Statistics" in stats
+        n = pipeline_sf0001["nodes"].count()
+        assert f"{n} rows" in stats["Statistics"]
+        # ...and the bucket key carries column stats (distinct-count etc.)
+        col = spark.sql(
+            f"DESCRIBE EXTENDED {ident} entity_id"
+        ).collect()
+        got = {r.info_name: r.info_value for r in col}
+        assert got.get("distinct_count") not in (None, "NULL")
+    finally:
+        for i in idents.values():
+            spark.sql(f"DROP TABLE IF EXISTS {i}")
+
+
 def test_empty_graph_is_noop(spark):
     from graphrag_litex_spark.sinks.warehouse import save_graph_tables
 
