@@ -360,14 +360,27 @@ class KGPipeline:
                 pass
 
     # ---- checkpoint manifest -------------------------------------------
-    def _input_fingerprint(self, extra_inputs: list[str] | None = None) -> str:
+    def _input_fingerprint(
+        self,
+        extra_inputs: list[str] | None = None,
+        forgotten: list[str] | None = None,
+    ) -> str:
         from graphrag_litex_spark.sources.tables import TABLE_PREFIX, input_fingerprint
 
-        if extra_inputs is None:
-            extra_inputs = self._load_manifest().get("extra_inputs", [])
+        if extra_inputs is None or forgotten is None:
+            manifest = self._load_manifest()
+            if extra_inputs is None:
+                extra_inputs = manifest.get("extra_inputs", [])
+            if forgotten is None:
+                forgotten = manifest.get("forgotten_conv_ids", [])
         h = hashlib.sha256()
         h.update(str(PIPELINE_VERSION).encode())
         h.update(json.dumps(asdict(self.config), sort_keys=True).encode())
+        if forgotten:
+            # The forget list is build input: the same corpus minus a
+            # deletion is a different graph, and stages checkpointed before
+            # the deletion must not be trusted after it.
+            h.update(json.dumps(sorted(forgotten)).encode())
         for p in [self.transcripts_path, *extra_inputs]:
             if p.startswith(TABLE_PREFIX):
                 # catalog table: Iceberg snapshot id when available, else the
@@ -490,6 +503,14 @@ class KGPipeline:
             )
 
         new_tr = read_transcripts(self.spark, new_path)  # schema-validated
+        # An append whose input contains a previously-forgotten
+        # conversation must not re-ingest it.
+        forgotten = manifest.get("forgotten_conv_ids", [])
+        if forgotten:
+            fdf = self.spark.createDataFrame(
+                [(c,) for c in forgotten], "conv_id string"
+            )
+            new_tr = new_tr.join(F.broadcast(fdf), "conv_id", "left_anti")
         n_part = max(self.spark.sparkContext.defaultParallelism * 2, 8)
         if new_tr.rdd.getNumPartitions() < n_part // 2:
             new_tr = new_tr.repartition(n_part, "conv_id")
@@ -517,6 +538,87 @@ class KGPipeline:
         self._save_manifest(manifest)  # downstream entries now stale -> rebuild
         return n_new
 
+    # ---- incremental delete (right-to-be-forgotten) ----------------------
+    def forget_conversations(self, conv_ids: list[str]) -> int:
+        """Remove conversations from every DERIVED stage without
+        re-extracting anything: the extraction item table is rewritten
+        minus the forgotten source_ids (one scan + filtered write — no
+        LLM/extraction compute), downstream stages are invalidated and
+        rebuild from the filtered items on the next ``run(resume=True)``.
+        Returns how many of the ids were actually present.
+
+        The forget list is recorded in the manifest BEFORE any data moves
+        (write-ahead, like append's pending marker) and participates in
+        the input fingerprint, so: a crash mid-rewrite leaves an invalid
+        extractions fingerprint and the next run rebuilds extraction from
+        the inputs WITH the exclusion applied (forgotten data cannot be
+        resurrected by a crash); later appends whose input happens to
+        contain a forgotten conversation are filtered too; and a stage
+        checkpointed before the deletion can never be trusted after it.
+
+        The INPUT corpus files are the caller's to delete — this removes
+        the data from the graph's stages, not from the source. Deleting
+        input files afterwards changes the input fingerprint and triggers
+        a full rebuild (which still honors the forget list).
+        """
+        with self._build_lock():
+            return self._forget_locked(conv_ids)
+
+    def _forget_locked(self, conv_ids: list[str]) -> int:
+        import shutil
+
+        manifest = self._load_manifest()
+        extras = list(manifest.get("extra_inputs", []))
+        old = list(manifest.get("forgotten_conv_ids", []))
+        target = sorted(set(old) | {str(c) for c in conv_ids})
+        if target == sorted(old):
+            return 0  # idempotent: nothing new to forget
+        entry = manifest.get("extractions")
+        path = self._stage_path("extractions")
+        if (
+            not entry
+            or entry.get("fingerprint") != self._input_fingerprint(extras, old)
+            or not os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            raise ValueError(
+                "forget requires an up-to-date extractions stage; run() first"
+            )
+
+        t0 = time.time()
+        # Write-ahead intent: record the NEW forget list and distrust the
+        # stage before touching any data.
+        manifest["forgotten_conv_ids"] = target
+        manifest["extractions"] = {
+            **entry,
+            "fingerprint": f"pending-forget:{len(target)}",
+        }
+        self._save_manifest(manifest)
+
+        items = self.spark.read.parquet(path)
+        new_ids = sorted(set(target) - set(old))
+        drop = self.spark.createDataFrame([(c,) for c in new_ids], "source_id string")
+        n_present = (
+            items.select("source_id")
+            .join(F.broadcast(drop), "source_id", "left_semi")
+            .select("source_id")
+            .distinct()
+            .count()
+        )
+        kept = items.join(F.broadcast(drop), "source_id", "left_anti")
+        tmp = path + ".__forget_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
+        manifest["extractions"] = {
+            "fingerprint": self._input_fingerprint(extras, target),
+            "sec": round(time.time() - t0, 2),
+            **_parquet_stats(path),
+        }
+        self._save_manifest(manifest)  # downstream entries now stale -> rebuild
+        return n_present
+
     # ---- run -------------------------------------------------------------
     def run(self, resume: bool = True, until: str | None = None) -> dict[str, DataFrame]:
         with self._build_lock():
@@ -539,6 +641,17 @@ class KGPipeline:
             DataFrame.unionByName,
             [load_input(self.spark, p) for p in [self.transcripts_path, *extras]],
         )
+
+        # Right-to-be-forgotten exclusion (forget_conversations): applies
+        # at the source, so a from-scratch rebuild (crash recovery, config
+        # change, input-file deletion) can never resurrect forgotten
+        # conversations. The list is deletion-batch-sized — broadcast.
+        forgotten = manifest.get("forgotten_conv_ids", [])
+        if forgotten:
+            fdf = self.spark.createDataFrame(
+                [(c,) for c in forgotten], "conv_id string"
+            )
+            transcripts = transcripts.join(F.broadcast(fdf), "conv_id", "left_anti")
 
         # S0 (optional) ingest gate: quarantine non-contiguous conversations
         # before anything downstream sees them. Materialized as a stage so

@@ -62,6 +62,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--level", type=int, default=0)
     p.add_argument("--top-k", type=int, default=10)
+    p.add_argument(
+        "--forget",
+        default=None,
+        help="comma-separated conv_ids to remove from every derived stage "
+        "(right-to-be-forgotten) before rebuilding; extraction is rewritten "
+        "by filter, never recomputed",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -82,7 +89,15 @@ def main(argv: list[str] | None = None) -> int:
     cfg = PipelineConfig(
         min_strength=args.min_strength, validate_ingest=args.validate_ingest
     )
-    if args.append:
+    if args.forget:
+        from graphrag_litex_spark.plans.pipeline import KGPipeline
+
+        pipe = KGPipeline(spark, args.transcripts, args.output, config=cfg)
+        ids = [c.strip() for c in args.forget.split(",") if c.strip()]
+        n_gone = pipe.forget_conversations(ids)
+        print(f"forgot {n_gone} conversations; rebuilding downstream stages")
+        res = pipe.run(resume=True, until=args.until)
+    elif args.append:
         from graphrag_litex_spark.plans.pipeline import KGPipeline
 
         pipe = KGPipeline(spark, args.transcripts, args.output, config=cfg)

@@ -1,0 +1,126 @@
+"""Incremental deletion (right-to-be-forgotten): forget_conversations must
+remove conversations from every derived stage WITHOUT re-extraction, be
+idempotent, survive crashes without resurrecting data, and exclude
+forgotten conversations from later appends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from graphrag_litex_spark.plans.pipeline import KGPipeline, run_pipeline
+
+
+def _triple_keys(res):
+    return {
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in res["triples"].collect()
+    }
+
+
+def _manifest(out):
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        return json.load(fh)
+
+
+def test_forget_equals_filtered_rebuild_without_reextraction(
+    spark, corpus_sf0001, tmp_path_factory
+):
+    d = tmp_path_factory.mktemp("forget")
+    out = str(d / "kg")
+    res = run_pipeline(
+        spark, corpus_sf0001["transcripts"], out, resume=False, until="claims"
+    )
+    ids = [
+        r["conv_id"]
+        for r in res["triples"].select("conv_id").distinct().orderBy("conv_id").limit(2).collect()
+    ]
+
+    pipe = KGPipeline(spark, corpus_sf0001["transcripts"], out)
+    assert pipe.forget_conversations(ids) == 2
+    assert pipe.forget_conversations(ids) == 0  # idempotent
+    ext_entry = _manifest(out)["extractions"]
+    assert not ext_entry["fingerprint"].startswith("pending")
+
+    res2 = pipe.run(resume=True, until="claims")
+    # run() rebuilt downstream stages but did NOT touch extraction
+    assert _manifest(out)["extractions"] == ext_entry
+
+    # equivalence: same graph as a from-scratch build on the filtered corpus
+    t = pq.read_table(corpus_sf0001["transcripts"])
+    keep = pc.invert(pc.is_in(t.column("conv_id"), value_set=pa.array(ids)))
+    fdir = str(d / "filtered")
+    os.makedirs(fdir)
+    pq.write_table(t.filter(keep), os.path.join(fdir, "part-0.parquet"))
+    res3 = run_pipeline(spark, fdir, str(d / "kg_scratch"), resume=False, until="claims")
+    got = _triple_keys(res2)
+    assert got == _triple_keys(res3)
+    assert not {c for (c, *_rest) in got} & set(ids)
+    # mentions view (over the rewritten item table) is clean too
+    assert (
+        res2["mentions"].where(res2["mentions"]["source_id"].isin(ids)).count() == 0
+    )
+
+
+def test_forget_crash_recovery_does_not_resurrect(
+    spark, corpus_sf0001, tmp_path_factory
+):
+    d = tmp_path_factory.mktemp("forget_crash")
+    out = str(d / "kg")
+    run_pipeline(spark, corpus_sf0001["transcripts"], out, resume=False, until="claims")
+    pipe = KGPipeline(spark, corpus_sf0001["transcripts"], out)
+    res = pipe.run(resume=True, until="claims")
+    victim = (
+        res["triples"].select("conv_id").distinct().orderBy("conv_id").limit(1).collect()[0]["conv_id"]
+    )
+    assert pipe.forget_conversations([victim]) == 1
+
+    # Simulate a crash mid-rewrite: the write-ahead marker is on disk but
+    # the stage is not trusted. The rebuild must re-extract WITH the
+    # exclusion applied — the forgotten conversation stays gone.
+    man = _manifest(out)
+    man["extractions"]["fingerprint"] = "pending-forget:crashed"
+    with open(os.path.join(out, "_manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    res2 = pipe.run(resume=True, until="claims")
+    assert victim not in {c for (c, *_rest) in _triple_keys(res2)}
+    assert victim in man["forgotten_conv_ids"]
+
+
+def test_append_of_forgotten_conversation_is_excluded(
+    spark, corpus_sf0001, tmp_path_factory
+):
+    d = tmp_path_factory.mktemp("forget_append")
+    t = pq.read_table(corpus_sf0001["transcripts"])
+    convs = pc.unique(t.column("conv_id")).to_pylist()
+    victim, fresh = sorted(convs)[0], sorted(convs)[1]
+    base = t.filter(
+        pc.invert(pc.is_in(t.column("conv_id"), value_set=pa.array([fresh])))
+    )
+    a_dir = str(d / "a")
+    os.makedirs(a_dir)
+    pq.write_table(base, os.path.join(a_dir, "part-0.parquet"))
+
+    out = str(d / "kg")
+    run_pipeline(spark, a_dir, out, resume=False, until="claims")
+    pipe = KGPipeline(spark, a_dir, out)
+    assert pipe.forget_conversations([victim]) == 1
+
+    # the appended batch contains BOTH the forgotten conversation and a
+    # genuinely new one: only the new one's turns may be ingested
+    b = t.filter(pc.is_in(t.column("conv_id"), value_set=pa.array([victim, fresh])))
+    b_dir = str(d / "b")
+    os.makedirs(b_dir)
+    pq.write_table(b, os.path.join(b_dir, "part-0.parquet"))
+    n_fresh = len(t.filter(pc.is_in(t.column("conv_id"), value_set=pa.array([fresh]))))
+    assert pipe.append_transcripts(b_dir) == n_fresh
+
+    res = pipe.run(resume=True, until="claims")
+    convs_in_graph = {c for (c, *_rest) in _triple_keys(res)}
+    assert victim not in convs_in_graph
+    assert fresh in convs_in_graph
