@@ -261,6 +261,15 @@ class PipelineConfig:
     # off: warehouse inputs that already enforce the invariant shouldn't
     # pay a validation pass per build.
     validate_ingest: bool = False
+    # Privacy gate (operators/scrub.pii_redact_text): when True, turn text
+    # is PII-redacted (<EMAIL>/<CC>/<SSN>/<PHONE>/<IPV4>) BEFORE chunking,
+    # so raw identifiers never reach any derived stage — extraction,
+    # chunks, claims, or exports. Map-only regex projection fused into the
+    # corpus scan (zero extra shuffle). Opt-in: redaction deliberately
+    # breaks the "per-turn text equality vs the source" invariant — the
+    # redacted text IS the pipeline's text from this point on, and the
+    # config flag is part of the input fingerprint so toggling it rebuilds.
+    redact_pii: bool = False
 
 
 class KGPipeline:
@@ -511,6 +520,10 @@ class KGPipeline:
                 [(c,) for c in forgotten], "conv_id string"
             )
             new_tr = new_tr.join(F.broadcast(fdf), "conv_id", "left_anti")
+        if self.config.redact_pii:
+            from graphrag_litex_spark.operators.scrub import pii_redact_text
+
+            new_tr = pii_redact_text(new_tr).drop("n_pii")
         n_part = max(self.spark.sparkContext.defaultParallelism * 2, 8)
         if new_tr.rdd.getNumPartitions() < n_part // 2:
             new_tr = new_tr.repartition(n_part, "conv_id")
@@ -672,6 +685,11 @@ class KGPipeline:
             transcripts = transcripts.join(
                 results["quarantine"].select("conv_id"), "conv_id", "left_anti"
             )
+
+        if cfg.redact_pii:
+            from graphrag_litex_spark.operators.scrub import pii_redact_text
+
+            transcripts = pii_redact_text(transcripts).drop("n_pii")
 
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).

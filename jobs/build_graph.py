@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--level", type=int, default=0)
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="redact PII (<EMAIL>/<CC>/<SSN>/<PHONE>/<IPV4>) from turn text "
+        "before chunking, so raw identifiers never reach derived stages",
+    )
+    p.add_argument(
         "--forget",
         default=None,
         help="comma-separated conv_ids to remove from every derived stage "
@@ -87,7 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     from graphrag_litex_spark.plans.pipeline import PipelineConfig, run_pipeline
 
     cfg = PipelineConfig(
-        min_strength=args.min_strength, validate_ingest=args.validate_ingest
+        min_strength=args.min_strength,
+        validate_ingest=args.validate_ingest,
+        redact_pii=args.redact_pii,
     )
     if args.forget:
         from graphrag_litex_spark.plans.pipeline import KGPipeline

@@ -92,6 +92,51 @@ def test_forget_crash_recovery_does_not_resurrect(
     assert victim in man["forgotten_conv_ids"]
 
 
+def test_redact_pii_keeps_raw_identifiers_out_of_every_stage(spark, tmp_path):
+    import datetime
+
+    import pandas as pd
+
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        (
+            "c1",
+            0,
+            "user",
+            "Alice Johnson works at Acme Corp. Reach her at alice@example.com "
+            "or 555-123-4567; SSN 123-45-6789.",
+            None,
+            ts,
+        ),
+        ("c1", 1, "assistant", "Noted. Acme Corp acquired Initech.", None, ts),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    src = str(tmp_path / "pii_transcripts")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    res = run_pipeline(
+        spark,
+        src,
+        str(tmp_path / "kg"),
+        config=PipelineConfig(redact_pii=True),
+        resume=False,
+        until="claims",
+    )
+    chunk_text = " ".join(r["text"] for r in res["chunks"].collect())
+    assert "<EMAIL>" in chunk_text and "<SSN>" in chunk_text and "<PHONE>" in chunk_text
+    for df in (res["chunks"], res["mentions"], res["claims"]):
+        blob = str(df.collect())
+        assert "alice@example.com" not in blob
+        assert "123-45-6789" not in blob
+        assert "555-123-4567" not in blob
+    # extraction still works on the redacted text
+    assert res["triples"].count() > 0
+
+
 def test_append_of_forgotten_conversation_is_excluded(
     spark, corpus_sf0001, tmp_path_factory
 ):
