@@ -155,6 +155,59 @@ def build_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def stage_checksums(
+    spark: SparkSession, out_dir: str, stages: list[str] | None = None
+) -> dict[str, dict]:
+    """Build attestation: {stage: {rows, checksum}} with checksum = the
+    SUM of xxhash64 over every column of every row (decimal(38,0), immune
+    to int64 overflow under ANSI) — order-free and partitioning-free, so
+    two builds of the same input hash IDENTICALLY regardless of cluster
+    size, task layout, or file count, and duplicate rows cannot cancel
+    (the bit_xor alternative zeroes out row PAIRS). This is the cheap
+    proof of the engine's determinism contract: diff two builds
+    (yesterday/today, local[8]/local[32], pre/post-upgrade) by comparing
+    KB-sized attestations instead of data. One map-side-combined scan per
+    stage; no rows reach the driver.
+
+    Floating-point columns hash their IEEE bit patterns — the pipeline's
+    documented determinism boundary (strengths are 6dp-rounded at stage
+    write time) keeps those bit-stable across partitionings.
+
+    A stage dir can survive on disk from an EARLIER build (e.g. community
+    stages after a claims-only rebuild, or pre-deletion stages after a
+    forget): its manifest fingerprint then disagrees with the current
+    build's. Such stages are attested with ``"stale": true`` — their
+    checksums describe old data and must not be compared as current.
+    """
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    entries: dict = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            entries = {
+                k: v for k, v in json.load(fh).items() if isinstance(v, dict)
+            }
+    fp_ref = entries.get("extractions", {}).get("fingerprint")
+    out: dict[str, dict] = {}
+    for name in stages or KGPipeline.STAGES:
+        path = os.path.join(out_dir, name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        df = spark.read.parquet(path)
+        cols = ", ".join(f"`{c}`" for c in df.columns)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"sum(cast(xxhash64({cols}) as decimal(38, 0)))"
+            ).alias("x"),
+        ).first()
+        entry = {"rows": int(row["n"]), "checksum": str(row["x"] or 0)}
+        stage_fp = entries.get(name, {}).get("fingerprint")
+        if fp_ref is not None and stage_fp != fp_ref:
+            entry["stale"] = True
+        out[name] = entry
+    return out
+
+
 def resolution_join(raw: DataFrame, canon: DataFrame, *, broadcast: bool) -> DataFrame:
     """D1: resolve relationship source/target names to canonical ids via two
     hash joins; INNER join semantics drop rows naming unknown entities

@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--level", type=int, default=0)
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument(
+        "--attest",
+        action="store_true",
+        help="print per-stage order-free content checksums (rows + "
+        "xxhash64 sum) — diff two builds without reading their data",
+    )
+    p.add_argument(
         "--redact-pii",
         action="store_true",
         help="redact PII (<EMAIL>/<CC>/<SSN>/<PHONE>/<IPV4>) from turn text "
@@ -129,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
 
         rows = [r.asDict() for r in build_report(spark, args.output).collect()]
         print(json.dumps({"stages": rows}, indent=1))
+
+    if args.attest:
+        from graphrag_litex_spark.plans.pipeline import stage_checksums
+
+        print(json.dumps({"attestation": stage_checksums(spark, args.output)}, indent=1))
 
     if args.question and args.mode in ("local", "drift"):
         from graphrag_litex_spark.querying.answer import drift_search, local_search

@@ -92,6 +92,34 @@ def test_forget_crash_recovery_does_not_resurrect(
     assert victim in man["forgotten_conv_ids"]
 
 
+def test_stage_checksums_attest_determinism(spark, corpus_sf0001, tmp_path_factory):
+    """Two independent builds of the same input must attest identically;
+    any row change must move the checksum. The attestation is the cheap
+    cross-build determinism proof (order-free xxhash64 sum per stage)."""
+    from graphrag_litex_spark.plans.pipeline import stage_checksums
+
+    d = tmp_path_factory.mktemp("attest")
+    out_a, out_b = str(d / "a"), str(d / "b")
+    run_pipeline(spark, corpus_sf0001["transcripts"], out_a, resume=False, until="claims")
+    run_pipeline(spark, corpus_sf0001["transcripts"], out_b, resume=False, until="claims")
+    a = stage_checksums(spark, out_a)
+    b = stage_checksums(spark, out_b)
+    assert a == b and a  # identical, and non-empty
+    # chunks/mentions/raw_* are views — only materialized stages attest
+    assert {"extractions", "canon_map", "nodes", "edges", "triples"} <= set(a)
+
+    # sensitivity: drop one row from a stage copy -> different checksum
+    nodes = spark.read.parquet(os.path.join(out_a, "nodes"))
+    victim = nodes.orderBy("canonical_name").limit(1)
+    mut_root = str(d / "mut")
+    nodes.join(victim.select("canonical_name"), "canonical_name", "left_anti").write.parquet(
+        os.path.join(mut_root, "nodes")
+    )
+    mutated = stage_checksums(spark, mut_root, stages=["nodes"])["nodes"]
+    assert mutated["rows"] == a["nodes"]["rows"] - 1
+    assert mutated["checksum"] != a["nodes"]["checksum"]
+
+
 def test_redact_pii_keeps_raw_identifiers_out_of_every_stage(spark, tmp_path):
     import datetime
 
