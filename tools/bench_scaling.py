@@ -91,6 +91,13 @@ for rep in range({reps}):
     res = run_pipeline(spark, paths["transcripts"], out, resume=False, until="claims")
     rep_sec = time.time() - t0
     n_triples = res["triples"].count()
+    if rep == 0:
+        # Value-level parallelism invariance: the order-free content
+        # checksum must be IDENTICAL at every parallelism level — a far
+        # stronger cross-level correctness witness than equal row counts.
+        from graphrag_litex_spark.plans.pipeline import stage_checksums
+        triples_checksum = stage_checksums(
+            spark, out, stages=["triples"])["triples"]["checksum"]
     # Per-stage wall from the manifest (written at each stage commit) for
     # the best rep — decomposes the non-extraction tail in the report.
     # Note: nodes/triples/claims build CONCURRENTLY, so their secs overlap.
@@ -108,6 +115,7 @@ print("RESULT " + json.dumps({{"cores": cores, "sec": round(sec, 2),
       "triples_per_sec": round(n_triples / sec, 2),
       "turns_per_sec": round(n_turns / sec, 2),
       "extract_turns_per_sec": round(n_turns / extract_sec, 2),
+      "triples_checksum": triples_checksum,
       "stage_secs": stage_secs}}))
 """
 
@@ -210,9 +218,18 @@ def main() -> None:
             }
         )
 
+    # Cross-level value attestation: every level must produce the SAME
+    # order-free triples checksum, not just the same count.
+    sums = {n: lv.get("triples_checksum") for n, lv in levels.items()}
+    checksums_equal = len(set(sums.values())) == 1
+    if not checksums_equal:
+        print(f"WARNING: triples checksum differs across levels: {sums}", file=sys.stderr)
+
     report = {
         "sf": sf,
         "ramdisk": ramdisk,
+        "triples_checksum_invariant": checksums_equal,
+        "triples_checksums": sums,
         "levels": levels,
         "probes": probes,
         "probes_pre": probes_pre,
@@ -257,7 +274,7 @@ drops (hypervisor overcommit / frequency scaling; /proc/stat shows no
 steal). A real 4N-executor cluster provides 4N full cores, so each pair's
 job efficiency must be read against the SAME pair's hardware ceiling.
 
-## Per-level results (sf={sf}, {levels[n0]['n_turns']} turns, {levels[n0]['n_triples']} triples at every level — correctness is parallelism-invariant)
+## Per-level results (sf={sf}, {levels[n0]['n_turns']} turns, {levels[n0]['n_triples']} triples at every level; order-free triples CHECKSUM identical at every level: {checksums_equal} — correctness is parallelism-invariant at value level, not just count level)
 
 | parallelism | pipeline sec | triples/sec | extract sec | extract turns/sec | hw probe sec |
 |---|---|---|---|---|---|
