@@ -159,25 +159,35 @@ def stage_checksums(
     spark: SparkSession, out_dir: str, stages: list[str] | None = None
 ) -> dict[str, dict]:
     """Build attestation: {stage: {rows, checksum}} with checksum = the
-    SUM of xxhash64 over every column of every row (decimal(38,0), immune
-    to int64 overflow under ANSI) — order-free and partitioning-free, so
-    two builds of the same input hash IDENTICALLY regardless of cluster
-    size, task layout, or file count, and duplicate rows cannot cancel
-    (the bit_xor alternative zeroes out row PAIRS). This is the cheap
-    proof of the engine's determinism contract: diff two builds
-    (yesterday/today, local[8]/local[32], pre/post-upgrade) by comparing
-    KB-sized attestations instead of data. One map-side-combined scan per
-    stage; no rows reach the driver.
+    SUM of xxhash64 over every row's canonicalized columns (decimal(38,0),
+    immune to int64 overflow under ANSI) — order-free and
+    partitioning-free, so two builds of the same input hash IDENTICALLY
+    regardless of cluster size, task layout, or file count, and duplicate
+    rows cannot cancel (the bit_xor alternative zeroes out row PAIRS).
+    This is the cheap proof of the engine's determinism contract: diff two
+    builds (yesterday/today, local[8]/local[32], pre/post-upgrade) by
+    comparing KB-sized attestations instead of data. One map-side-combined
+    scan per stage; no rows reach the driver.
 
-    Floating-point columns hash their IEEE bit patterns — the pipeline's
-    documented determinism boundary (strengths are 6dp-rounded at stage
-    write time) keeps those bit-stable across partitionings.
+    Canonicalization before hashing (semantic, not physical, equality):
+      * array columns are ``array_sort``-ed — provenance arrays
+        (``instances``) are built by ``collect_list`` whose element order
+        is task-schedule-dependent;
+      * float/double columns round to 6dp — aggregate strengths
+        accumulate in shuffle order, identical only to ~1e-15;
+      * each column's null flag hashes alongside its value — xxhash64
+        SKIPS null inputs, so (``'CEO'``, NULL) and (NULL, ``'CEO'``)
+        would otherwise alias across adjacent nullable columns.
+    (Element-level nulls inside arrays still hash positionally through the
+    sorted array itself.)
 
     A stage dir can survive on disk from an EARLIER build (e.g. community
     stages after a claims-only rebuild, or pre-deletion stages after a
     forget): its manifest fingerprint then disagrees with the current
-    build's. Such stages are attested with ``"stale": true`` — their
-    checksums describe old data and must not be compared as current.
+    build's — and the extractions stage itself may carry a ``pending-``
+    write-ahead marker (mid-append/forget crash). Both are attested with
+    ``"stale": true``: their checksums describe data the build does not
+    currently trust and must not be compared as current.
     """
     manifest_path = os.path.join(out_dir, "_manifest.json")
     entries: dict = {}
@@ -193,16 +203,27 @@ def stage_checksums(
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             continue
         df = spark.read.parquet(path)
-        cols = ", ".join(f"`{c}`" for c in df.columns)
+        parts = []
+        for fld in df.schema.fields:
+            c = f"`{fld.name}`"
+            t = fld.dataType.simpleString()
+            if t.startswith("array"):
+                parts.append(f"array_sort({c})")
+            elif t in ("double", "float"):
+                parts.append(f"round(cast({c} as double), 6)")
+            else:
+                parts.append(c)
+            parts.append(f"cast(isnull({c}) as int)")
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr(
-                f"sum(cast(xxhash64({cols}) as decimal(38, 0)))"
+                f"sum(cast(xxhash64({', '.join(parts)}) as decimal(38, 0)))"
             ).alias("x"),
         ).first()
         entry = {"rows": int(row["n"]), "checksum": str(row["x"] or 0)}
         stage_fp = entries.get(name, {}).get("fingerprint")
-        if fp_ref is not None and stage_fp != fp_ref:
+        is_pending = isinstance(stage_fp, str) and stage_fp.startswith("pending")
+        if is_pending or (fp_ref is not None and stage_fp != fp_ref):
             entry["stale"] = True
         out[name] = entry
     return out
@@ -565,18 +586,10 @@ class KGPipeline:
             )
 
         new_tr = read_transcripts(self.spark, new_path)  # schema-validated
-        # An append whose input contains a previously-forgotten
-        # conversation must not re-ingest it.
-        forgotten = manifest.get("forgotten_conv_ids", [])
-        if forgotten:
-            fdf = self.spark.createDataFrame(
-                [(c,) for c in forgotten], "conv_id string"
-            )
-            new_tr = new_tr.join(F.broadcast(fdf), "conv_id", "left_anti")
-        if self.config.redact_pii:
-            from graphrag_litex_spark.operators.scrub import pii_redact_text
-
-            new_tr = pii_redact_text(new_tr).drop("n_pii")
+        # Same hygiene as a full rebuild — in particular, an append whose
+        # input contains a previously-forgotten conversation must not
+        # re-ingest it.
+        new_tr = self._ingest_filters(new_tr, manifest)
         n_part = max(self.spark.sparkContext.defaultParallelism * 2, 8)
         if new_tr.rdd.getNumPartitions() < n_part // 2:
             new_tr = new_tr.repartition(n_part, "conv_id")
@@ -603,6 +616,24 @@ class KGPipeline:
         }
         self._save_manifest(manifest)  # downstream entries now stale -> rebuild
         return n_new
+
+    # ---- shared ingest hygiene -------------------------------------------
+    def _ingest_filters(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Source-side hygiene shared by full rebuilds AND incremental
+        appends (the two ingest paths must never diverge): the
+        right-to-be-forgotten exclusion (deletion-batch-sized broadcast
+        anti join) and the optional PII redaction (map-only)."""
+        forgotten = manifest.get("forgotten_conv_ids", [])
+        if forgotten:
+            fdf = self.spark.createDataFrame(
+                [(c,) for c in forgotten], "conv_id string"
+            )
+            df = df.join(F.broadcast(fdf), "conv_id", "left_anti")
+        if self.config.redact_pii:
+            from graphrag_litex_spark.operators.scrub import pii_redact_text
+
+            df = pii_redact_text(df).drop("n_pii")
+        return df
 
     # ---- incremental delete (right-to-be-forgotten) ----------------------
     def forget_conversations(self, conv_ids: list[str]) -> int:
@@ -651,15 +682,6 @@ class KGPipeline:
             )
 
         t0 = time.time()
-        # Write-ahead intent: record the NEW forget list and distrust the
-        # stage before touching any data.
-        manifest["forgotten_conv_ids"] = target
-        manifest["extractions"] = {
-            **entry,
-            "fingerprint": f"pending-forget:{len(target)}",
-        }
-        self._save_manifest(manifest)
-
         items = self.spark.read.parquet(path)
         new_ids = sorted(set(target) - set(old))
         drop = self.spark.createDataFrame([(c,) for c in new_ids], "source_id string")
@@ -670,6 +692,31 @@ class KGPipeline:
             .distinct()
             .count()
         )
+        old_fp = entry["fingerprint"]
+        new_fp = self._input_fingerprint(extras, target)
+        if n_present == 0:
+            # Provably-no-op deletion (none of the ids exist in the graph):
+            # record the ids and RE-STAMP every stage checkpointed under the
+            # old fingerprint to the new one — absent conversations cannot
+            # have influenced any stage, so rewriting the corpus-sized item
+            # table and rebuilding downstream would produce bit-identical
+            # outputs for hours of work at scale.
+            manifest["forgotten_conv_ids"] = target
+            for e in manifest.values():
+                if isinstance(e, dict) and e.get("fingerprint") == old_fp:
+                    e["fingerprint"] = new_fp
+            self._save_manifest(manifest)
+            return 0
+
+        # Write-ahead intent: record the NEW forget list and distrust the
+        # stage before touching any data.
+        manifest["forgotten_conv_ids"] = target
+        manifest["extractions"] = {
+            **entry,
+            "fingerprint": f"pending-forget:{len(target)}",
+        }
+        self._save_manifest(manifest)
+
         kept = items.join(F.broadcast(drop), "source_id", "left_anti")
         tmp = path + ".__forget_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -678,7 +725,7 @@ class KGPipeline:
         os.rename(tmp, path)
 
         manifest["extractions"] = {
-            "fingerprint": self._input_fingerprint(extras, target),
+            "fingerprint": new_fp,
             "sec": round(time.time() - t0, 2),
             **_parquet_stats(path),
         }
@@ -708,16 +755,11 @@ class KGPipeline:
             [load_input(self.spark, p) for p in [self.transcripts_path, *extras]],
         )
 
-        # Right-to-be-forgotten exclusion (forget_conversations): applies
+        # Right-to-be-forgotten exclusion + optional PII redaction: applied
         # at the source, so a from-scratch rebuild (crash recovery, config
         # change, input-file deletion) can never resurrect forgotten
-        # conversations. The list is deletion-batch-sized — broadcast.
-        forgotten = manifest.get("forgotten_conv_ids", [])
-        if forgotten:
-            fdf = self.spark.createDataFrame(
-                [(c,) for c in forgotten], "conv_id string"
-            )
-            transcripts = transcripts.join(F.broadcast(fdf), "conv_id", "left_anti")
+        # conversations or leak raw identifiers.
+        transcripts = self._ingest_filters(transcripts, manifest)
 
         # S0 (optional) ingest gate: quarantine non-contiguous conversations
         # before anything downstream sees them. Materialized as a stage so
@@ -738,11 +780,6 @@ class KGPipeline:
             transcripts = transcripts.join(
                 results["quarantine"].select("conv_id"), "conv_id", "left_anti"
             )
-
-        if cfg.redact_pii:
-            from graphrag_litex_spark.operators.scrub import pii_redact_text
-
-            transcripts = pii_redact_text(transcripts).drop("n_pii")
 
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).

@@ -74,7 +74,10 @@ def analyze_tables(
     for name, ident in items:
         spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS")
         key = BUCKET_KEYS.get(name or "")
-        if key is not None:
+        # Same guard as the writer: a collection may be legitimately saved
+        # without its nominal bucket key (then unbucketed) — analyzing a
+        # missing column would abort the publish after tables were written.
+        if key is not None and key in spark.table(ident).columns:
             spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS FOR COLUMNS {key}")
 
 

@@ -103,20 +103,20 @@ def main(argv: list[str] | None = None) -> int:
         validate_ingest=args.validate_ingest,
         redact_pii=args.redact_pii,
     )
-    if args.forget:
+    if args.forget or args.append:
         from graphrag_litex_spark.plans.pipeline import KGPipeline
 
         pipe = KGPipeline(spark, args.transcripts, args.output, config=cfg)
-        ids = [c.strip() for c in args.forget.split(",") if c.strip()]
-        n_gone = pipe.forget_conversations(ids)
-        print(f"forgot {n_gone} conversations; rebuilding downstream stages")
-        res = pipe.run(resume=True, until=args.until)
-    elif args.append:
-        from graphrag_litex_spark.plans.pipeline import KGPipeline
-
-        pipe = KGPipeline(spark, args.transcripts, args.output, config=cfg)
-        n_new = pipe.append_transcripts(args.append)
-        print(f"appended {n_new} new turns; rebuilding downstream stages")
+        # Both flags compose: forget FIRST, so an append batch that still
+        # contains a just-forgotten conversation is filtered on ingest.
+        if args.forget:
+            ids = [c.strip() for c in args.forget.split(",") if c.strip()]
+            n_gone = pipe.forget_conversations(ids)
+            print(f"forgot {n_gone} conversations")
+        if args.append:
+            n_new = pipe.append_transcripts(args.append)
+            print(f"appended {n_new} new turns")
+        print("rebuilding downstream stages")
         res = pipe.run(resume=True, until=args.until)
     else:
         res = run_pipeline(

@@ -49,13 +49,25 @@ def diff_graphs(
     report: dict = {"stages": {}}
     for name in sorted(set(a) | set(b)):
         ea, eb = a.get(name), b.get(name)
-        report["stages"][name] = {
+        stale = bool((ea or {}).get("stale") or (eb or {}).get("stale"))
+        entry = {
             "old": ea,
             "new": eb,
+            # A stale side holds data its own build no longer trusts (e.g.
+            # pre-forget stages before the rebuild) — matching checksums
+            # there prove nothing about the CURRENT builds, so stale
+            # stages are never reported identical.
             "identical": bool(
-                ea and eb and ea["checksum"] == eb["checksum"] and ea["rows"] == eb["rows"]
+                not stale
+                and ea
+                and eb
+                and ea["checksum"] == eb["checksum"]
+                and ea["rows"] == eb["rows"]
             ),
         }
+        if stale:
+            entry["stale"] = True
+        report["stages"][name] = entry
 
     edges_entry = report["stages"].get("edges", {})
     if edges_entry.get("old") and edges_entry.get("new") and not edges_entry["identical"]:
@@ -74,6 +86,8 @@ def diff_graphs(
         report["edges"] = {
             s: int(counts.get(s, 0)) for s in ("added", "removed", "changed", "stable")
         }
+        if edges_entry.get("stale"):
+            report["edges"]["stale"] = True
     elif edges_entry.get("identical"):
         n = edges_entry["old"]["rows"]
         report["edges"] = {"added": 0, "removed": 0, "changed": 0, "stable": n}

@@ -53,3 +53,24 @@ def test_diff_identical_and_after_forget(spark, corpus_sf0001, tmp_path_factory,
     assert rc == 0
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["stages"]["edges"]["identical"]
+
+
+def test_diff_never_trusts_stale_stages(spark, corpus_sf0001, tmp_path_factory):
+    """A forget WITHOUT its rebuild leaves downstream stages stale: their
+    bytes still match the old build, but the diff must refuse to call them
+    identical (they hold data the new build no longer trusts)."""
+    from graphrag_litex_spark.plans.pipeline import KGPipeline, run_pipeline
+
+    d = tmp_path_factory.mktemp("diffstale")
+    old = str(d / "old")
+    res = run_pipeline(spark, corpus_sf0001["transcripts"], old, resume=False, until="claims")
+    new = str(d / "new")
+    shutil.copytree(old, new)
+    pipe = KGPipeline(spark, corpus_sf0001["transcripts"], new)
+    assert pipe.forget_conversations([_first_conv(res)]) == 1
+    # NO pipe.run(): edges/_SUCCESS on disk still holds pre-forget data
+
+    rep = diff_graphs(spark, old, new, stages=["edges"])
+    e = rep["stages"]["edges"]
+    assert e["stale"] is True and e["identical"] is False
+    assert rep.get("edges", {}).get("stale") is True  # change feed flagged too

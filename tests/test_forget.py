@@ -120,6 +120,74 @@ def test_stage_checksums_attest_determinism(spark, corpus_sf0001, tmp_path_facto
     assert mutated["checksum"] != a["nodes"]["checksum"]
 
 
+def test_forget_unknown_ids_is_metadata_only(spark, corpus_sf0001, tmp_path_factory):
+    """Forgetting ids absent from the graph must not rewrite the item
+    table or invalidate downstream stages — fingerprints are re-stamped
+    in place and the next run resumes everything."""
+    d = tmp_path_factory.mktemp("forget_noop")
+    out = str(d / "kg")
+    run_pipeline(spark, corpus_sf0001["transcripts"], out, resume=False, until="claims")
+    before = _manifest(out)
+    pipe = KGPipeline(spark, corpus_sf0001["transcripts"], out)
+    assert pipe.forget_conversations(["no-such-conv"]) == 0
+    after = _manifest(out)
+    assert after["forgotten_conv_ids"] == ["no-such-conv"]
+    # every stage kept its stats (sec/rows/bytes) — only fingerprints moved
+    for name, e in before.items():
+        if isinstance(e, dict) and "rows" in e:
+            assert after[name]["rows"] == e["rows"]
+            assert after[name]["sec"] == e["sec"]
+            assert after[name]["fingerprint"] != e["fingerprint"]
+    # and the next run is a pure resume: manifest untouched
+    pipe.run(resume=True, until="claims")
+    assert _manifest(out) == after
+
+
+def test_stage_checksums_canonicalization_and_null_positions(spark, tmp_path):
+    from graphrag_litex_spark.plans.pipeline import stage_checksums
+
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    # same rows, array elements in different collect order -> SAME checksum
+    spark.createDataFrame(
+        [("k1", ["x", "y"], 0.30000000001), ("k2", ["z"], 1.5)],
+        "k string, arr array<string>, s double",
+    ).write.parquet(os.path.join(root_a, "t"))
+    spark.createDataFrame(
+        [("k2", ["z"], 1.5), ("k1", ["y", "x"], 0.30000000002)],
+        "k string, arr array<string>, s double",
+    ).write.parquet(os.path.join(root_b, "t"))
+    ca = stage_checksums(spark, root_a, stages=["t"])["t"]
+    cb = stage_checksums(spark, root_b, stages=["t"])["t"]
+    assert ca == cb  # array order + sub-6dp float noise canonicalized away
+
+    # a value migrating between adjacent nullable columns -> DIFFERENT
+    # checksum (null flags hash alongside values)
+    root_c, root_d = str(tmp_path / "c"), str(tmp_path / "d")
+    spark.createDataFrame(
+        [("k", "CEO", None)], "k string, f2 string, f3 string"
+    ).write.parquet(os.path.join(root_c, "t"))
+    spark.createDataFrame(
+        [("k", None, "CEO")], "k string, f2 string, f3 string"
+    ).write.parquet(os.path.join(root_d, "t"))
+    cc = stage_checksums(spark, root_c, stages=["t"])["t"]
+    cd = stage_checksums(spark, root_d, stages=["t"])["t"]
+    assert cc["checksum"] != cd["checksum"]
+
+
+def test_stage_checksums_pending_marker_is_stale(spark, corpus_sf0001, tmp_path_factory):
+    from graphrag_litex_spark.plans.pipeline import stage_checksums
+
+    d = tmp_path_factory.mktemp("attest_pending")
+    out = str(d / "kg")
+    run_pipeline(spark, corpus_sf0001["transcripts"], out, resume=False, until="extractions")
+    man = _manifest(out)
+    man["extractions"]["fingerprint"] = "pending-forget:1"
+    with open(os.path.join(out, "_manifest.json"), "w") as fh:
+        json.dump(man, fh)
+    att = stage_checksums(spark, out, stages=["extractions"])
+    assert att["extractions"].get("stale") is True
+
+
 def test_redact_pii_keeps_raw_identifiers_out_of_every_stage(spark, tmp_path):
     import datetime
 

@@ -184,6 +184,29 @@ def test_analyze_publish_records_catalog_stats(spark, pipeline_sf0001, tmp_path)
             spark.sql(f"DROP TABLE IF EXISTS {i}")
 
 
+def test_analyze_tolerates_missing_bucket_key(spark, pipeline_sf0001, tmp_path):
+    from graphrag_litex_spark.sinks.warehouse import save_graph_tables
+
+    # nodes without its nominal bucket key saves unbucketed; analyze must
+    # not abort the publish on the missing column
+    idents = save_graph_tables(
+        {"nodes": pipeline_sf0001["nodes"].drop("entity_id")},
+        prefix="whnokey",
+        buckets=8,
+        location=str(tmp_path),
+        analyze=True,
+    )
+    try:
+        stats = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE EXTENDED {idents['nodes']}").collect()
+        }
+        assert "Statistics" in stats  # table-level stats still computed
+    finally:
+        for i in idents.values():
+            spark.sql(f"DROP TABLE IF EXISTS {i}")
+
+
 def test_empty_graph_is_noop(spark):
     from graphrag_litex_spark.sinks.warehouse import save_graph_tables
 
