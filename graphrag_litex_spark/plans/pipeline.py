@@ -155,6 +155,32 @@ def build_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def frame_checksum(df: DataFrame) -> dict:
+    """{rows, checksum} for any DataFrame under the attestation's
+    canonical hash (see :func:`stage_checksums` for the canonicalization
+    rules). Two frames with the same semantic content — any row order, any
+    partitioning, any provenance-array element order, FP noise under 6dp —
+    produce the same checksum."""
+    parts = []
+    for fld in df.schema.fields:
+        c = f"`{fld.name}`"
+        t = fld.dataType.simpleString()
+        if t.startswith("array"):
+            parts.append(f"array_sort({c})")
+        elif t in ("double", "float"):
+            parts.append(f"round(cast({c} as double), 6)")
+        else:
+            parts.append(c)
+        parts.append(f"cast(isnull({c}) as int)")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            f"sum(cast(xxhash64({', '.join(parts)}) as decimal(38, 0)))"
+        ).alias("x"),
+    ).first()
+    return {"rows": int(row["n"]), "checksum": str(row["x"] or 0)}
+
+
 def stage_checksums(
     spark: SparkSession, out_dir: str, stages: list[str] | None = None
 ) -> dict[str, dict]:
@@ -202,25 +228,7 @@ def stage_checksums(
         path = os.path.join(out_dir, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             continue
-        df = spark.read.parquet(path)
-        parts = []
-        for fld in df.schema.fields:
-            c = f"`{fld.name}`"
-            t = fld.dataType.simpleString()
-            if t.startswith("array"):
-                parts.append(f"array_sort({c})")
-            elif t in ("double", "float"):
-                parts.append(f"round(cast({c} as double), 6)")
-            else:
-                parts.append(c)
-            parts.append(f"cast(isnull({c}) as int)")
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                f"sum(cast(xxhash64({', '.join(parts)}) as decimal(38, 0)))"
-            ).alias("x"),
-        ).first()
-        entry = {"rows": int(row["n"]), "checksum": str(row["x"] or 0)}
+        entry = frame_checksum(spark.read.parquet(path))
         stage_fp = entries.get(name, {}).get("fingerprint")
         is_pending = isinstance(stage_fp, str) and stage_fp.startswith("pending")
         if is_pending or (fp_ref is not None and stage_fp != fp_ref):

@@ -81,6 +81,34 @@ def analyze_tables(
             spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS FOR COLUMNS {key}")
 
 
+def verify_publish(
+    spark: SparkSession, graph: dict[str, DataFrame], idents: dict[str, str]
+) -> dict[str, dict]:
+    """Publish-fidelity attestation: for every published collection that
+    has a source frame in ``graph``, compare the canonical content
+    checksum (plans.pipeline.frame_checksum — order-, partitioning-, and
+    provenance-array-order-free) of the CATALOG table against its source.
+    Returns {name: {source, published, identical}}; a False anywhere means
+    the warehouse does not faithfully reflect the build it was published
+    from (torn write, concurrent mutation, wrong prefix). Cost: one scan
+    per side per table — run it after a publish, not per query."""
+    from graphrag_litex_spark.plans.pipeline import frame_checksum
+
+    out: dict[str, dict] = {}
+    for name, ident in idents.items():
+        src = graph.get(name)
+        if src is None:
+            continue  # derived at publish time (e.g. claim_entities)
+        a = frame_checksum(src)
+        b = frame_checksum(spark.table(ident))
+        out[name] = {
+            "source": a,
+            "published": b,
+            "identical": a == b,
+        }
+    return out
+
+
 def save_graph_tables(
     graph: dict[str, DataFrame],
     prefix: str = "kg",

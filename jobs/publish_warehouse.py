@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also ANALYZE the published tables (CBO row/size + join-key column stats)",
     )
+    p.add_argument(
+        "--verify",
+        action="store_true",
+        help="after publishing, attest each catalog table's content checksum "
+        "against its source stage; exit nonzero on any mismatch",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -57,6 +63,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     for name, ident in sorted(written.items()):
         print(f"table {ident}: published ({name})")
+    if args.verify:
+        import json
+
+        from graphrag_litex_spark.sinks.warehouse import verify_publish
+
+        rep = verify_publish(spark, graph, written)
+        print(json.dumps({"verify": rep}))
+        if not all(v["identical"] for v in rep.values()):
+            print("publish verification FAILED", file=sys.stderr)
+            return 1
     return 0
 
 

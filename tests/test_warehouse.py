@@ -184,6 +184,23 @@ def test_analyze_publish_records_catalog_stats(spark, pipeline_sf0001, tmp_path)
             spark.sql(f"DROP TABLE IF EXISTS {i}")
 
 
+def test_verify_publish_attests_fidelity(spark, warehouse, pipeline_sf0001):
+    from graphrag_litex_spark.sinks.warehouse import verify_publish
+
+    graph = {
+        k: pipeline_sf0001[k]
+        for k in ("nodes", "edges", "triples", "summaries", "claims")
+    }
+    rep = verify_publish(spark, graph, warehouse)
+    assert rep and all(v["identical"] for v in rep.values())
+    # fidelity check actually discriminates: verify against the WRONG
+    # source frame and it must fail
+    bad = dict(graph)
+    bad["nodes"] = graph["nodes"].limit(5)
+    rep2 = verify_publish(spark, bad, {"nodes": warehouse["nodes"]})
+    assert rep2["nodes"]["identical"] is False
+
+
 def test_analyze_tolerates_missing_bucket_key(spark, pipeline_sf0001, tmp_path):
     from graphrag_litex_spark.sinks.warehouse import save_graph_tables
 
