@@ -482,6 +482,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
         return predicate_signatures(kg["triples"], ty)
 
+    def kg_type_cooccurrence(spark, sf_dir):
+        """Coarse ontology view (operators/ontology.type_cooccurrence):
+        undirected type-pair edge counts — which KINDS of things relate at
+        all, the first chart on a KG dashboard. Same join/agg shape as
+        predicate_signatures with the predicate collapsed."""
+        from graphrag_litex_spark.operators.ontology import type_cooccurrence
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
+        return type_cooccurrence(kg["triples"], ty)
+
     def kg_bfs_distances(spark, sf_dir):
         """Single-source BFS hop distances (graph_analytics.hop_distances)
         from the top-degree entity (ties -> min name): the path-query
@@ -1500,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_random_walks,
         kg_walk_cooccurrence,
         kg_ontology,
+        kg_type_cooccurrence,
         kg_bfs_distances,
         conv_stats,
         conv_integrity,
@@ -1886,6 +1898,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS node_a, b AS node_b, count(*) AS n_cooc
             FROM p WHERE a <> b GROUP BY a, b
+        """,
+        "kg_type_cooccurrence": f"""
+            WITH ty AS (
+                SELECT canonical AS name, min(type) AS type
+                FROM read_parquet('{mentions}') GROUP BY canonical
+            ), t AS (
+                SELECT DISTINCT subj, pred, obj FROM read_parquet('{triples}')
+            ), sig AS (
+                SELECT st.type AS subj_type, t.pred, ot.type AS obj_type,
+                       count(*) AS n_triples
+                FROM t
+                JOIN ty st ON st.name = t.subj
+                JOIN ty ot ON ot.name = t.obj
+                GROUP BY st.type, t.pred, ot.type
+            )
+            SELECT least(subj_type, obj_type) AS type_a,
+                   greatest(subj_type, obj_type) AS type_b,
+                   sum(n_triples) AS n_edges
+            FROM sig GROUP BY 1, 2
         """,
         "kg_bfs_distances": f"""
             WITH RECURSIVE und AS (
