@@ -626,18 +626,25 @@ class KGPipeline:
         return n_new
 
     # ---- shared ingest hygiene -------------------------------------------
-    def _ingest_filters(self, df: DataFrame, manifest: dict) -> DataFrame:
+    def _ingest_filters(
+        self, df: DataFrame, manifest: dict, redact: bool = True
+    ) -> DataFrame:
         """Source-side hygiene shared by full rebuilds AND incremental
         appends (the two ingest paths must never diverge): the
         right-to-be-forgotten exclusion (deletion-batch-sized broadcast
-        anti join) and the optional PII redaction (map-only)."""
+        anti join) and, when ``redact``, the optional PII redaction
+        (map-only). The rebuild path applies redaction SEPARATELY after
+        the quarantine gate — the gate's aggregates don't read text
+        content, and redacting first would run the regex chain over the
+        corpus twice (once under the gate's scan, once under chunking's).
+        """
         forgotten = manifest.get("forgotten_conv_ids", [])
         if forgotten:
             fdf = self.spark.createDataFrame(
                 [(c,) for c in forgotten], "conv_id string"
             )
             df = df.join(F.broadcast(fdf), "conv_id", "left_anti")
-        if self.config.redact_pii:
+        if redact and self.config.redact_pii:
             from graphrag_litex_spark.operators.scrub import pii_redact_text
 
             df = pii_redact_text(df).drop("n_pii")
@@ -690,6 +697,16 @@ class KGPipeline:
             )
 
         t0 = time.time()
+        # Write-ahead intent FIRST — before any Spark job runs. From this
+        # save on, every rebuild/append computes its fingerprint WITH the
+        # new forget list, so even a crash during the presence count below
+        # leaves the deletion honored (at worst via a from-scratch
+        # re-extraction that applies the exclusion at the source).
+        old_fp = entry["fingerprint"]
+        new_fp = self._input_fingerprint(extras, target)
+        manifest["forgotten_conv_ids"] = target
+        self._save_manifest(manifest)
+
         items = self.spark.read.parquet(path)
         new_ids = sorted(set(target) - set(old))
         drop = self.spark.createDataFrame([(c,) for c in new_ids], "source_id string")
@@ -700,25 +717,26 @@ class KGPipeline:
             .distinct()
             .count()
         )
-        old_fp = entry["fingerprint"]
-        new_fp = self._input_fingerprint(extras, target)
         if n_present == 0:
-            # Provably-no-op deletion (none of the ids exist in the graph):
-            # record the ids and RE-STAMP every stage checkpointed under the
-            # old fingerprint to the new one — absent conversations cannot
-            # have influenced any stage, so rewriting the corpus-sized item
-            # table and rebuilding downstream would produce bit-identical
-            # outputs for hours of work at scale.
-            manifest["forgotten_conv_ids"] = target
-            for e in manifest.values():
-                if isinstance(e, dict) and e.get("fingerprint") == old_fp:
+            # No-op deletion as far as the ITEM TABLE is concerned: the ids
+            # produced no extraction items, so every items-derived stage is
+            # already exclusion-clean — RE-STAMP those to the new
+            # fingerprint instead of rewriting the corpus for bit-identical
+            # outputs. The quarantine stage is the exception: it derives
+            # from TRANSCRIPTS (a quarantined conversation has no items but
+            # does have a quarantine row), so it keeps its old fingerprint
+            # and rebuilds with the exclusion on the next run.
+            for name, e in manifest.items():
+                if (
+                    name != "quarantine"
+                    and isinstance(e, dict)
+                    and e.get("fingerprint") == old_fp
+                ):
                     e["fingerprint"] = new_fp
             self._save_manifest(manifest)
             return 0
 
-        # Write-ahead intent: record the NEW forget list and distrust the
-        # stage before touching any data.
-        manifest["forgotten_conv_ids"] = target
+        # Distrust the stage across the rewrite itself.
         manifest["extractions"] = {
             **entry,
             "fingerprint": f"pending-forget:{len(target)}",
@@ -763,11 +781,12 @@ class KGPipeline:
             [load_input(self.spark, p) for p in [self.transcripts_path, *extras]],
         )
 
-        # Right-to-be-forgotten exclusion + optional PII redaction: applied
-        # at the source, so a from-scratch rebuild (crash recovery, config
-        # change, input-file deletion) can never resurrect forgotten
-        # conversations or leak raw identifiers.
-        transcripts = self._ingest_filters(transcripts, manifest)
+        # Right-to-be-forgotten exclusion: applied at the source, so a
+        # from-scratch rebuild (crash recovery, config change, input-file
+        # deletion) can never resurrect forgotten conversations. PII
+        # redaction is applied AFTER the quarantine gate below (one corpus
+        # regex pass, not two — the gate never reads text content).
+        transcripts = self._ingest_filters(transcripts, manifest, redact=False)
 
         # S0 (optional) ingest gate: quarantine non-contiguous conversations
         # before anything downstream sees them. Materialized as a stage so
@@ -788,6 +807,11 @@ class KGPipeline:
             transcripts = transcripts.join(
                 results["quarantine"].select("conv_id"), "conv_id", "left_anti"
             )
+
+        if cfg.redact_pii:
+            from graphrag_litex_spark.operators.scrub import pii_redact_text
+
+            transcripts = pii_redact_text(transcripts).drop("n_pii")
 
         # S1 chunks (B1/B3): per-turn grain — chunk_id = conv_id||'_'||turn_idx
         # (deterministic ids, reference extraction/text_chunker.py:92,107).

@@ -70,7 +70,12 @@ def diff_graphs(
         report["stages"][name] = entry
 
     edges_entry = report["stages"].get("edges", {})
-    if edges_entry.get("old") and edges_entry.get("new") and not edges_entry["identical"]:
+    if edges_entry.get("stale"):
+        # Row-level diffing stale data would overwrite --edge-diff-out
+        # with counts the report itself declares untrustworthy; emit only
+        # the flag — rebuild the stale side, then diff.
+        report["edges"] = {"stale": True}
+    elif edges_entry.get("old") and edges_entry.get("new") and not edges_entry["identical"]:
         old_e = spark.read.parquet(os.path.join(old_dir, "edges"))
         new_e = spark.read.parquet(os.path.join(new_dir, "edges"))
         keys = ["src", "dst"]
@@ -86,8 +91,6 @@ def diff_graphs(
         report["edges"] = {
             s: int(counts.get(s, 0)) for s in ("added", "removed", "changed", "stable")
         }
-        if edges_entry.get("stale"):
-            report["edges"]["stale"] = True
     elif edges_entry.get("identical"):
         n = edges_entry["old"]["rows"]
         report["edges"] = {"added": 0, "removed": 0, "changed": 0, "stable": n}

@@ -70,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
 
         rep = verify_publish(spark, graph, written)
         print(json.dumps({"verify": rep}))
+        if not rep:
+            # all() over an empty report would pass vacuously — attesting
+            # nothing is a failure, not a success
+            print("publish verification FAILED: no tables to verify", file=sys.stderr)
+            return 1
         if not all(v["identical"] for v in rep.values()):
             print("publish verification FAILED", file=sys.stderr)
             return 1

@@ -143,6 +143,43 @@ def test_forget_unknown_ids_is_metadata_only(spark, corpus_sf0001, tmp_path_fact
     assert _manifest(out) == after
 
 
+def test_forget_quarantined_conversation_leaves_quarantine_stage(spark, tmp_path):
+    """A quarantined conversation has NO extraction items, so forgetting it
+    takes the metadata-only path — but the quarantine stage derives from
+    transcripts, so it must still rebuild and drop the row (RTBF covers
+    the quarantine record too)."""
+    import datetime
+
+    import pandas as pd
+
+    from graphrag_litex_spark.plans.pipeline import PipelineConfig
+
+    ts = datetime.datetime(2025, 1, 1)
+    rows = [
+        ("good", 0, "user", "Alice Johnson works at Acme Corp.", None, ts),
+        ("good", 1, "assistant", "Noted. Acme Corp acquired Initech.", None, ts),
+        # duplicate turn_idx -> quarantined, never extracted
+        ("bad", 0, "user", "Bob Stone met Carol Danvers.", None, ts),
+        ("bad", 0, "user", "Bob Stone met Carol Danvers again.", None, ts),
+    ]
+    src = str(tmp_path / "tr")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    ).write.parquet(src)
+
+    out = str(tmp_path / "kg")
+    cfg = PipelineConfig(validate_ingest=True)
+    res = run_pipeline(spark, src, out, config=cfg, resume=False, until="claims")
+    assert [r["conv_id"] for r in res["quarantine"].select("conv_id").collect()] == ["bad"]
+
+    pipe = KGPipeline(spark, src, out, config=cfg)
+    assert pipe.forget_conversations(["bad"]) == 0  # no items — metadata path
+    res2 = pipe.run(resume=True, until="claims")
+    # the quarantine record itself is gone; the graph is untouched
+    assert res2["quarantine"].count() == 0
+    assert res2["triples"].count() == res["triples"].count()
+
+
 def test_stage_checksums_canonicalization_and_null_positions(spark, tmp_path):
     from graphrag_litex_spark.plans.pipeline import stage_checksums
 
