@@ -482,6 +482,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
         return predicate_signatures(kg["triples"], ty)
 
+    def kg_filtered_triples(spark, sf_dir):
+        """Schema-support noise gate (ontology.filter_by_signature_support):
+        triples kept only when their induced (subj_type, pred, obj_type)
+        signature is attested by >= 8 distinct triples — the open-IE
+        cleanup that drops one-off extractor hallucinations. The signature
+        table is types²x-preds-bounded -> broadcast join back, no extra
+        corpus shuffle."""
+        from graphrag_litex_spark.operators.ontology import (
+            filter_by_signature_support,
+        )
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
+        out = filter_by_signature_support(kg["triples"], ty, min_support=8)
+        return out.select(
+            "conv_id",
+            "turn_idx",
+            "subj",
+            "pred",
+            "obj",
+            "subj_type",
+            "obj_type",
+            F.col("sig_support").cast("long").alias("sig_support"),
+        )
+
     def kg_type_cooccurrence(spark, sf_dir):
         """Coarse ontology view (operators/ontology.type_cooccurrence):
         undirected type-pair edge counts — which KINDS of things relate at
@@ -1511,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_random_walks,
         kg_walk_cooccurrence,
         kg_ontology,
+        kg_filtered_triples,
         kg_type_cooccurrence,
         kg_bfs_distances,
         conv_stats,
@@ -1898,6 +1924,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS node_a, b AS node_b, count(*) AS n_cooc
             FROM p WHERE a <> b GROUP BY a, b
+        """,
+        "kg_filtered_triples": f"""
+            WITH ty AS (
+                SELECT canonical AS name, min(type) AS type
+                FROM read_parquet('{mentions}') GROUP BY canonical
+            ), dt AS (
+                SELECT DISTINCT subj, pred, obj FROM read_parquet('{triples}')
+            ), sig AS (
+                SELECT st.type AS subj_type, dt.pred, ot.type AS obj_type,
+                       count(*) AS n
+                FROM dt
+                JOIN ty st ON st.name = dt.subj
+                JOIN ty ot ON ot.name = dt.obj
+                GROUP BY st.type, dt.pred, ot.type
+            )
+            SELECT tr.conv_id, tr.turn_idx, tr.subj, tr.pred, tr.obj,
+                   st.type AS subj_type, ot.type AS obj_type,
+                   cast(sig.n AS bigint) AS sig_support
+            FROM read_parquet('{triples}') tr
+            JOIN ty st ON st.name = tr.subj
+            JOIN ty ot ON ot.name = tr.obj
+            JOIN sig ON sig.pred = tr.pred
+                    AND sig.subj_type = st.type AND sig.obj_type = ot.type
+            WHERE sig.n >= 8
         """,
         "kg_type_cooccurrence": f"""
             WITH ty AS (

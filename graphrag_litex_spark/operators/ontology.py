@@ -66,6 +66,64 @@ def predicate_signatures(
     )
 
 
+def filter_by_signature_support(
+    triples: DataFrame,
+    node_types: DataFrame,
+    min_support: int = 2,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    name_col: str = "name",
+    type_col: str = "type",
+) -> DataFrame:
+    """Schema-based noise gate: keep triples whose induced
+    (subj_type, pred, obj_type) signature is attested by at least
+    ``min_support`` DISTINCT triples corpus-wide — the standard open-IE
+    cleanup that drops one-off extractor hallucinations (a predicate
+    appearing once between implausible types) while keeping everything the
+    corpus repeatedly asserts. Returns the kept triples with their
+    signature columns attached (subj_type, obj_type, sig_support).
+
+    Execution: :func:`predicate_signatures` (two entity-cardinality AQE
+    joins + a types²x-preds-bounded agg) then ONE broadcast-sized join
+    back — the signature table is tiny at any corpus size, so the gate
+    costs a map-side hash join over the triples, no extra shuffle of the
+    corpus.
+    """
+    sig = predicate_signatures(
+        triples,
+        node_types,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+        name_col=name_col,
+        type_col=type_col,
+    ).select(
+        "subj_type",
+        F.col("pred").alias("__pred"),
+        "obj_type",
+        F.col("n_triples").alias("sig_support"),
+    )
+    ty = node_types.select(
+        F.col(name_col).alias("__name"), F.col(type_col).alias("__type")
+    )
+    st = ty.select(F.col("__name").alias(subj_col), F.col("__type").alias("subj_type"))
+    ot = ty.select(F.col("__name").alias(obj_col), F.col("__type").alias("obj_type"))
+    typed = triples.join(st, subj_col).join(ot, obj_col)
+    kept = typed.join(
+        F.broadcast(sig.where(F.col("sig_support") >= min_support)),
+        (F.col(pred_col) == F.col("__pred"))
+        & (typed["subj_type"] == sig["subj_type"])
+        & (typed["obj_type"] == sig["obj_type"]),
+    )
+    return kept.select(
+        *[typed[c] for c in triples.columns],
+        typed["subj_type"],
+        typed["obj_type"],
+        F.col("sig_support"),
+    )
+
+
 def type_cooccurrence(
     triples: DataFrame,
     node_types: DataFrame,

@@ -397,6 +397,41 @@ def test_predicate_signatures_hand_computed(spark):
     }
 
 
+def test_filter_by_signature_support(spark):
+    from graphrag_litex_spark.operators.ontology import filter_by_signature_support
+
+    t = spark.createDataFrame(
+        [
+            ("A", "uses", "T1"),
+            ("A", "uses", "T1"),  # duplicate observation: one DISTINCT triple
+            ("B", "uses", "T2"),
+            ("A", "ate", "T1"),  # singleton signature: dropped at min_support=2
+            ("A", "uses", "Ghost"),  # untyped endpoint: dropped
+        ],
+        "subj string, pred string, obj string",
+    )
+    ty = spark.createDataFrame(
+        [("A", "person"), ("B", "person"), ("T1", "tool"), ("T2", "tool")],
+        "name string, type string",
+    )
+    kept = filter_by_signature_support(t, ty, min_support=2).collect()
+    # both observations of (A,uses,T1) survive, plus (B,uses,T2): the
+    # person-uses-tool signature has support 2 (distinct triples)
+    assert sorted((r["subj"], r["pred"], r["obj"]) for r in kept) == [
+        ("A", "uses", "T1"),
+        ("A", "uses", "T1"),
+        ("B", "uses", "T2"),
+    ]
+    assert all(r["sig_support"] == 2 for r in kept)
+    assert all(
+        (r["subj_type"], r["obj_type"]) == ("person", "tool") for r in kept
+    )
+    # min_support=1 keeps the singleton signature too (but never Ghost)
+    k1 = filter_by_signature_support(t, ty, min_support=1).collect()
+    assert ("A", "ate", "T1") in {(r["subj"], r["pred"], r["obj"]) for r in k1}
+    assert "Ghost" not in {r["obj"] for r in k1}
+
+
 def test_type_cooccurrence_symmetric_collapse(spark):
     from graphrag_litex_spark.operators.ontology import type_cooccurrence
 
