@@ -203,6 +203,45 @@ def test_stream_kg_append_equals_full_rebuild(spark, corpus_sf0001, tmp_path_fac
     assert len(pipe._load_manifest()["extra_inputs"]) == 2
 
 
+def test_stream_kg_append_respects_forgotten_conversations(
+    spark, corpus_sf0001, tmp_path_factory
+):
+    """The streaming ingest path shares the batch path's hygiene: a
+    conversation forgotten via RTBF arriving again ON THE STREAM must be
+    filtered by append_transcripts' ingest filters, not re-enter the KG."""
+    import pyarrow.compute as pc
+
+    from graphrag_litex_spark.plans.pipeline import KGPipeline, run_pipeline
+    from graphrag_litex_spark.streaming.incremental import stream_kg_append
+
+    d = tmp_path_factory.mktemp("stream_forget")
+    t = pq.read_table(corpus_sf0001["transcripts"])
+    convs = sorted(pc.unique(t.column("conv_id")).to_pylist())
+    victim = convs[0]
+    base_dir, arrivals = str(d / "base"), str(d / "arrivals")
+    os.makedirs(base_dir), os.makedirs(arrivals)
+    pq.write_table(t.slice(0, t.num_rows // 2), os.path.join(base_dir, "part-0.parquet"))
+
+    out = str(d / "kg")
+    run_pipeline(spark, base_dir, out, resume=False, until="claims")
+    pipe = KGPipeline(spark, base_dir, out)
+    assert pipe.forget_conversations([victim]) == 1
+
+    # the victim's turns arrive (again) on the stream
+    import pyarrow as pa
+
+    pq.write_table(
+        t.filter(pc.is_in(t.column("conv_id"), value_set=pa.array([victim]))),
+        os.path.join(arrivals, "arrive_victim.parquet"),
+    )
+    q = stream_kg_append(spark, arrivals, pipe, trigger_once=True)
+    q.awaitTermination(180)
+
+    res = pipe.run(resume=True, until="claims")
+    convs_in_graph = {r["conv_id"] for r in res["triples"].select("conv_id").distinct().collect()}
+    assert victim not in convs_in_graph
+
+
 def test_streaming_dedup_gate(spark, tmp_path_factory):
     """streaming_dedup emits each distinct normalized text exactly once
     across microbatches: within-batch dups pick the min id, cross-batch
