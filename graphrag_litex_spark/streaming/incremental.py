@@ -43,6 +43,13 @@ def stream_extract(
     Returns the StreamingQuery. Exactly-once per input file via the file
     source + checkpointLocation; each microbatch appends to
     ``{out_dir}/{mentions,raw_edges,raw_claims}_delta``.
+
+    This is the RAW analytics delta feed: it applies no ingest hygiene.
+    The KG BUILD path for streams is :func:`stream_kg_append`, which
+    routes every microbatch through ``KGPipeline.append_transcripts`` and
+    therefore inherits the forgotten-conversation exclusion and the
+    optional PII redaction (tested: a forgotten conversation re-arriving
+    on the stream never re-enters the graph).
     """
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
