@@ -456,6 +456,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "start", "walk_idx", "path", "end_node"
         )
 
+    def kg_negative_samples_subj(spark, sf_dir):
+        """Subject-side corruption (TransE corrupts BOTH slots): k
+        corrupted subjects per distinct (pred, obj), same deterministic
+        md5-rank machinery as the object side with independent draws."""
+        from graphrag_litex_spark.operators.graph_ml import negative_samples
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        return negative_samples(
+            kg["triples"],
+            kg["nodes"].select(F.col("canonical_name").alias("name")),
+            k=3,
+            pool_size=16,
+            corrupt="subj",
+        )
+
+    def kg_ppmi(spark, sf_dir):
+        """PPMI weights over the walk co-occurrence matrix (graph_ml.
+        ppmi_weights) — the closed-form DeepWalk training signal. The ln
+        keeps the value out of the cross-engine contract (libm; same
+        policy as trigram_logprob), so the driver records the weaker
+        rows-only check here; the INTEGER inputs are fully value-checked
+        via kg_walk_cooccurrence and the ln itself unit-tested vs
+        math.log at 1e-12."""
+        from graphrag_litex_spark.operators.graph_ml import (
+            ppmi_weights,
+            random_walks,
+            walk_cooccurrence,
+        )
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
+        return ppmi_weights(
+            walk_cooccurrence(random_walks(e, length=3, walks_per_node=2), window=2)
+        )
+
     def kg_walk_cooccurrence(spark, sf_dir):
         """Skip-gram pair counts over the walk corpus (graph_ml.
         walk_cooccurrence): undirected within-window co-occurrence — the
@@ -1533,8 +1567,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_snapshot_diff,
         kg_integrity_report,
         kg_negative_samples,
+        kg_negative_samples_subj,
         kg_random_walks,
         kg_walk_cooccurrence,
+        kg_ppmi,
         kg_ontology,
         kg_filtered_triples,
         kg_type_cooccurrence,
@@ -1836,6 +1872,35 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY subj, pred
                            ORDER BY md5('|' || subj || '|' || pred || '|' || neg_obj),
                                     neg_obj
+                       ) AS rank
+                FROM surv
+            ) WHERE rank <= 3
+        """,
+        "kg_negative_samples_subj": f"""
+            WITH ents AS (
+                SELECT DISTINCT canonical AS name FROM read_parquet('{mentions}')
+            ), pool AS (
+                SELECT name AS neg_subj FROM ents
+                ORDER BY md5('|' || name), name LIMIT 16
+            ), po AS (
+                SELECT DISTINCT pred, obj FROM read_parquet('{triples}')
+            ), true_t AS (
+                SELECT DISTINCT subj, pred, obj FROM read_parquet('{triples}')
+            ), surv AS (
+                SELECT c.neg_subj, c.pred, c.obj
+                FROM (SELECT po.pred, po.obj, p.neg_subj
+                      FROM po CROSS JOIN pool p
+                      WHERE p.neg_subj <> po.obj) c
+                LEFT JOIN true_t t
+                  ON t.subj = c.neg_subj AND t.pred = c.pred AND t.obj = c.obj
+                WHERE t.subj IS NULL
+            )
+            SELECT neg_subj, pred, obj, cast(rank AS int) AS rank FROM (
+                SELECT neg_subj, pred, obj,
+                       row_number() OVER (
+                           PARTITION BY pred, obj
+                           ORDER BY md5('|' || obj || '|' || pred || '|' || neg_subj),
+                                    neg_subj
                        ) AS rank
                 FROM surv
             ) WHERE rank <= 3

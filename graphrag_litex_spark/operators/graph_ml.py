@@ -53,41 +53,63 @@ def negative_samples(
     obj_col: str = "obj",
     entity_col: str = "name",
     seed: str = "",
+    corrupt: str = "obj",
 ) -> DataFrame:
-    """k corrupted-object negatives per distinct (subj, pred).
+    """k corrupted negatives per distinct (anchor, pred).
+
+    ``corrupt="obj"`` (default) corrupts the OBJECT per distinct
+    (subj, pred) -> (subj, pred, neg_obj, rank); ``corrupt="subj"``
+    corrupts the SUBJECT per distinct (pred, obj) ->
+    (neg_subj, pred, obj, rank). TransE-family training corrupts both
+    sides — call once per side (independent hash draws: the corrupted
+    slot's name enters the rank hash).
 
     The candidate pool is the ``pool_size`` entities with the smallest
     md5(seed|entity) (a deterministic uniform sample of the vocabulary);
-    per (subj, pred) the k smallest md5(seed|subj|pred|candidate) survive
-    after dropping candidates that (a) equal the subject or (b) form a TRUE
-    triple (anti-join). Returns (subj, pred, neg_obj, rank) with rank 1..k.
+    per anchor the k smallest md5(seed|anchor...|candidate) survive after
+    dropping candidates that (a) equal the anchor entity or (b) form a
+    TRUE triple (anti-join).
 
-    A (subj, pred) whose viable candidates all collide with true triples
-    yields fewer than k rows — never a wrong row.
+    An anchor whose viable candidates all collide with true triples yields
+    fewer than k rows — never a wrong row.
     """
+    if corrupt not in ("obj", "subj"):
+        raise ValueError("corrupt must be 'obj' or 'subj'")
+    # Symmetric formulation: anchor = the kept entity slot, neg = the
+    # corrupted slot. For corrupt="obj": anchor=subj, neg=neg_obj; for
+    # corrupt="subj": anchor=obj, neg=neg_subj.
+    anchor_src = subj_col if corrupt == "obj" else obj_col
+    true_neg_src = obj_col if corrupt == "obj" else subj_col
+    neg_name = "neg_obj" if corrupt == "obj" else "neg_subj"
+
     pool = (
-        entities.select(F.col(entity_col).alias("neg_obj"))
+        entities.select(F.col(entity_col).alias(neg_name))
         .distinct()
-        .orderBy(_h(F.lit(seed), "neg_obj"), "neg_obj")
+        .orderBy(_h(F.lit(seed), neg_name), neg_name)
         .limit(pool_size)
     )
-    sp = triples.select(
-        F.col(subj_col).alias("subj"), F.col(pred_col).alias("pred")
+    ap = triples.select(
+        F.col(anchor_src).alias("__anchor"), F.col(pred_col).alias("pred")
     ).distinct()
-    cand = sp.join(F.broadcast(pool)).where(F.col("neg_obj") != F.col("subj"))
+    cand = ap.join(F.broadcast(pool)).where(F.col(neg_name) != F.col("__anchor"))
     true = triples.select(
-        F.col(subj_col).alias("subj"),
+        F.col(anchor_src).alias("__anchor"),
         F.col(pred_col).alias("pred"),
-        F.col(obj_col).alias("neg_obj"),
+        F.col(true_neg_src).alias(neg_name),
     ).distinct()
-    survivors = cand.join(true, ["subj", "pred", "neg_obj"], "left_anti")
-    w = Window.partitionBy("subj", "pred").orderBy(
-        _h(F.lit(seed), "subj", "pred", "neg_obj"), F.col("neg_obj")
+    survivors = cand.join(true, ["__anchor", "pred", neg_name], "left_anti")
+    w = Window.partitionBy("__anchor", "pred").orderBy(
+        _h(F.lit(seed), "__anchor", "pred", neg_name), F.col(neg_name)
     )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("subj", "pred", "neg_obj", F.col("rank").cast("int"))
+    ranked = survivors.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    if corrupt == "obj":
+        return ranked.select(
+            F.col("__anchor").alias("subj"), "pred", neg_name, F.col("rank").cast("int")
+        )
+    return ranked.select(
+        F.col(neg_name), "pred", F.col("__anchor").alias("obj"), F.col("rank").cast("int")
     )
 
 

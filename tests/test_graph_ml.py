@@ -160,6 +160,35 @@ def test_negative_samples_never_true_or_reflexive(spark):
         assert 1 <= r["rank"] <= 10
 
 
+def _negatives_subj_golden(triples, entities, k, pool_size, seed=""):
+    pool = sorted(set(entities), key=lambda e: (_md5(f"{seed}|{e}"), e))[:pool_size]
+    true = set(triples)
+    out = []
+    for p, o in sorted({(p, o) for _, p, o in triples}):
+        cands = [c for c in pool if c != o and (c, p, o) not in true]
+        cands.sort(key=lambda c: (_md5(f"{seed}|{o}|{p}|{c}"), c))
+        out += [(c, p, o, i + 1) for i, c in enumerate(cands[:k])]
+    return sorted(out)
+
+
+def test_negative_samples_subject_corruption(spark):
+    t = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+    e = spark.createDataFrame([(x,) for x in ENTITIES], "name string")
+    got = sorted(
+        tuple(r)
+        for r in negative_samples(t, e, k=3, pool_size=4, corrupt="subj").collect()
+    )
+    assert got == _negatives_subj_golden(TRIPLES, ENTITIES, k=3, pool_size=4)
+    true = set(TRIPLES)
+    for s, p, o, rank in got:
+        assert (s, p, o) not in true and s != o and 1 <= rank <= 3
+    try:
+        negative_samples(t, e, corrupt="both")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_negative_samples_seed_changes_picks(spark):
     t = spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
     e = spark.createDataFrame([(x,) for x in ENTITIES], "name string")
