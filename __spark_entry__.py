@@ -552,6 +552,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
         return type_cooccurrence(kg["triples"], ty)
 
+    def kg_assortativity(spark, sf_dir):
+        """Degree-assortativity sufficient statistics (graph_analytics.
+        degree_assortativity_components): exact integer sums over ordered
+        endpoint-degree stub pairs — whether hubs connect to hubs (r from
+        these is one driver-side FP step, unit-tested; the integers are
+        engine-exact, same out-of-contract-FP policy as trigram LM)."""
+        from graphrag_litex_spark.operators.graph_analytics import (
+            degree_assortativity_components,
+        )
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
+        return degree_assortativity_components(e)
+
     def kg_bfs_distances(spark, sf_dir):
         """Single-source BFS hop distances (graph_analytics.hop_distances)
         from the top-degree entity (ties -> min name): the path-query
@@ -1574,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_ontology,
         kg_filtered_triples,
         kg_type_cooccurrence,
+        kg_assortativity,
         kg_bfs_distances,
         conv_stats,
         conv_integrity,
@@ -2032,6 +2046,27 @@ def oracle_sql() -> dict[str, str]:
                    greatest(subj_type, obj_type) AS type_b,
                    sum(n_triples) AS n_edges
             FROM sig GROUP BY 1, 2
+        """,
+        "kg_assortativity": f"""
+            WITH und AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM read_parquet('{triples}') WHERE subj <> obj
+            ), sym AS (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und
+            ), deg AS (
+                SELECT u, count(*) AS d FROM sym GROUP BY u
+            ), stubs AS (
+                SELECT du.d AS dx, dv.d AS dy
+                FROM sym
+                JOIN deg du ON du.u = sym.u
+                JOIN deg dv ON dv.u = sym.v
+            )
+            SELECT count(*) AS m2,
+                   sum(dx * dy) AS s_xy,
+                   sum(dx) AS s_x,
+                   sum(dx * dx) AS s_x2
+            FROM stubs
         """,
         "kg_bfs_distances": f"""
             WITH RECURSIVE und AS (

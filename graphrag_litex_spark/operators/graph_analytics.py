@@ -234,6 +234,54 @@ def k_core(
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
 
 
+def degree_assortativity_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Newman degree-assortativity (r) sufficient statistics over the
+    undirected simple graph -> ONE row of exact INTEGER sums
+    (m2 = 2|E| ordered stubs, s_xy, s_x, s_x2, over ordered endpoint-degree
+    pairs; the graph is symmetric so the y-sums equal the x-sums):
+
+        r = (s_xy/m2 - (s_x/m2)^2) / (s_x2/m2 - (s_x/m2)^2)
+
+    Keeping the output integer makes it engine/partitioning-exact (the
+    division/squares are the caller's one FP step — same policy as
+    trigram_novelty); :func:`degree_assortativity` does that step.
+
+    Plan: degrees = one agg; each edge joins the degree map twice (degree
+    map is vertex-cardinality — AQE/broadcast); one final 1-row aggregate.
+    """
+    und = undirected_simple(edges, src, dst)
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    stubs = sym.join(du, "u").join(dv, "v")
+    return stubs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("dx") * F.col("dy")).alias("s_xy"),
+        F.sum("dx").alias("s_x"),
+        F.sum(F.col("dx") * F.col("dx")).alias("s_x2"),
+    )
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> float:
+    """Newman's r from the integer components (driver-side single FP
+    step). Returns nan for degenerate graphs (regular graphs have zero
+    degree variance)."""
+    row = degree_assortativity_components(edges, src, dst).first()
+    m2 = row["m2"]
+    if not m2:
+        return float("nan")
+    mean = row["s_x"] / m2
+    var = row["s_x2"] / m2 - mean * mean
+    if var == 0:
+        return float("nan")
+    return (row["s_xy"] / m2 - mean * mean) / var
+
+
 def hop_distances(
     edges: DataFrame,
     sources: list,

@@ -283,3 +283,55 @@ def test_betweenness_truncation_and_empty(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     out = betweenness_approx(empty, n_sources=4)
     assert out.columns == ["name", "betweenness"] and out.count() == 0
+
+
+def test_degree_assortativity_hand_computed(spark):
+    import math
+
+    from graphrag_litex_spark.operators.graph_analytics import (
+        degree_assortativity,
+        degree_assortativity_components,
+    )
+
+    # path a-b-c: stubs (1,2)x2 and (2,1)x2 -> perfectly disassortative
+    path = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    row = degree_assortativity_components(path).first()
+    assert (row["m2"], row["s_xy"], row["s_x"], row["s_x2"]) == (4, 8, 6, 10)
+    assert degree_assortativity(path) == -1.0
+
+    # star K1,3: hubs only ever pair with leaves -> -1 as well
+    star = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("h", "c")], "src string, dst string"
+    )
+    assert degree_assortativity(star) == -1.0
+
+    # regular graph (triangle): zero degree variance -> nan
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert math.isnan(degree_assortativity(tri))
+    # empty graph -> nan, typed empty components row
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert math.isnan(degree_assortativity(empty))
+
+
+def test_degree_assortativity_matches_pure_python(spark):
+    from graphrag_litex_spark.operators.graph_analytics import degree_assortativity
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d"), ("a", "e")]
+    adj: dict[str, set] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    stubs = [
+        (len(adj[u]), len(adj[v])) for u in adj for v in adj[u]
+    ]
+    m2 = len(stubs)
+    sx = sum(x for x, _ in stubs)
+    sxy = sum(x * y for x, y in stubs)
+    sx2 = sum(x * x for x, _ in stubs)
+    mean = sx / m2
+    var = sx2 / m2 - mean * mean
+    want = (sxy / m2 - mean * mean) / var
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert abs(degree_assortativity(df) - want) < 1e-12
