@@ -261,6 +261,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vertex").alias("name"), "core_degree"
         )
 
+    def kg_ktruss(spark, sf_dir):
+        """4-truss of the entity graph (iterative distributed edge peeling:
+        every surviving edge closes >= 2 triangles within the truss),
+        differential vs the pure-Python sequential-peel golden."""
+        from graphrag_litex_spark.operators.graph_analytics import k_truss
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return k_truss(e.select("src", "dst"), 4)
+
+    def kg_wl_roles(spark, sf_dir):
+        """Weisfeiler-Lehman structural-role histogram (2 refinement
+        rounds): how many entities share each radius-2 neighborhood shape —
+        the rename-invariant structural profile of the KG, differential vs
+        the pure-Python xxhash64-replica golden."""
+        from graphrag_litex_spark.operators.graph_analytics import wl_signatures
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return (
+            wl_signatures(e.select("src", "dst"), rounds=2)
+            .groupBy("wl_label")
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+        )
+
     def kg_closeness(spark, sf_dir):
         """Approximate harmonic centrality (Eppstein-Wang pivot sampling):
         shared multi-source BFS as a frontier hash-join loop; integer-exact
@@ -1563,6 +1586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_triangle_stats,
         kg_link_prediction,
         kg_kcore,
+        kg_ktruss,
+        kg_wl_roles,
         kg_closeness,
         kg_betweenness,
         kg_global_search,
@@ -2362,16 +2387,22 @@ def oracle_sql() -> dict[str, str]:
             ), deg AS (
                 SELECT u AS vertex, count(*) AS degree FROM adj GROUP BY u
             ), pairs AS (
-                SELECT n1.v AS a, n2.v AS b, count(*) AS common
-                FROM adj n1 JOIN adj n2 ON n1.u = n2.u AND n1.v < n2.v
+                -- ra_micro mirrors the engine: per shared neighbor u an
+                -- INTEGER contribution 10^6 // deg(u), summed order-free
+                SELECT n1.v AS a, n2.v AS b, count(*) AS common,
+                       sum(1000000 // d.degree) AS ra_micro
+                FROM adj n1
+                JOIN adj n2 ON n1.u = n2.u AND n1.v < n2.v
+                JOIN deg d ON d.vertex = n1.u
                 GROUP BY n1.v, n2.v
             ), nonedges AS (
-                SELECT p.a, p.b, p.common FROM pairs p
+                SELECT p.a, p.b, p.common, p.ra_micro FROM pairs p
                 ANTI JOIN und e ON p.a = e.a AND p.b = e.b
             )
             SELECT n.a, n.b, n.common,
                    round(n.common / (da.degree + db.degree - n.common), 6)
-                       AS jaccard
+                       AS jaccard,
+                   n.ra_micro
             FROM nonedges n
             JOIN deg da ON da.vertex = n.a
             JOIN deg db ON db.vertex = n.b
@@ -2379,6 +2410,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore": f"""
             SELECT name, core_degree FROM read_parquet('{graph["golden_kcore"]}')
+        """,
+        "kg_ktruss": f"""
+            SELECT a, b, support FROM read_parquet('{graph["golden_ktruss"]}')
+        """,
+        "kg_wl_roles": f"""
+            SELECT wl_label, n_vertices
+            FROM read_parquet('{graph["golden_wl_roles"]}')
         """,
         "kg_closeness": f"""
             SELECT name, n_reached, harmonic60, closeness

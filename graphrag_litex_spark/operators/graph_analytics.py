@@ -57,6 +57,33 @@ def _degrees(und: DataFrame) -> DataFrame:
     )
 
 
+def _triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Every triangle of the undirected simple graph exactly once, as
+    (u, x, y) rows ordered by the (degree, name) orientation key — u is the
+    lowest-keyed corner, x below y. Degree-ordered orientation bounds
+    out-degree at O(sqrt m), so wedge fan-out is hub-proof; three hash
+    joins, no driver state."""
+    # A string key realizing the (degree, name) total order so orientation
+    # is decided by one comparison (12 digits holds any realistic degree).
+    key = F.format_string("%012d|%s", F.col("degree"), F.col("vertex"))
+    keyed = deg.select("vertex", key.alias("k"))
+    w = (
+        und.join(keyed.withColumnRenamed("vertex", "a").withColumnRenamed("k", "ka"), "a")
+        .join(keyed.withColumnRenamed("vertex", "b").withColumnRenamed("k", "kb"), "b")
+    )
+    lo_first = F.col("ka") < F.col("kb")
+    oriented = w.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("kv").alias("kx"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
+    wedges = o1.join(o2, "u").where(F.col("kx") < F.col("ky"))
+    closers = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    return wedges.join(closers, ["x", "y"]).select("u", "x", "y")
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -76,25 +103,7 @@ def triangle_counts(
     """
     und = undirected_simple(edges, src, dst)
     deg = _degrees(und)
-    # A string key realizing the (degree, name) total order so orientation
-    # is decided by one comparison (12 digits holds any realistic degree).
-    key = F.format_string("%012d|%s", F.col("degree"), F.col("vertex"))
-    keyed = deg.select("vertex", key.alias("k"))
-    w = (
-        und.join(keyed.withColumnRenamed("vertex", "a").withColumnRenamed("k", "ka"), "a")
-        .join(keyed.withColumnRenamed("vertex", "b").withColumnRenamed("k", "kb"), "b")
-    )
-    lo_first = F.col("ka") < F.col("kb")
-    oriented = w.select(
-        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(lo_first, F.col("kb")).otherwise(F.col("ka")).alias("kv"),
-    )
-    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("kv").alias("kx"))
-    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("kv").alias("ky"))
-    wedges = o1.join(o2, "u").where(F.col("kx") < F.col("ky"))
-    closers = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    tri = wedges.join(closers, ["x", "y"]).select("u", "x", "y")
+    tri = _triangles(und, deg)
     corners = (
         tri.select(F.col("u").alias("vertex"))
         .unionAll(tri.select(F.col("x").alias("vertex")))
@@ -128,12 +137,21 @@ def link_prediction(
 ) -> DataFrame:
     """Common-neighbor link prediction over NON-adjacent vertex pairs.
 
-    -> (a, b, common, jaccard) with a < b: `common` = |N(a) ∩ N(b)|,
-    `jaccard` = common / |N(a) ∪ N(b)|, only pairs with common >= 1 that
-    are NOT already edges. Callers rank by (common, jaccard).
+    -> (a, b, common, jaccard, ra_micro) with a < b: `common` =
+    |N(a) ∩ N(b)|, `jaccard` = common / |N(a) ∪ N(b)|, `ra_micro` =
+    resource-allocation index in integer micro-units — only pairs with
+    common >= 1 that are NOT already edges. Callers rank by
+    (common, jaccard) or by ra_micro (RA weights rare shared neighbors
+    over hubs: Zhou/Lü/Zhang 2009).
 
     jaccard = common / (deg_a + deg_b - common) over integers — one exactly
-    rounded FP division, engine-deterministic.
+    rounded FP division, engine-deterministic. ra_micro = Σ over common
+    neighbors z of (10^6 div deg(z)): the per-center contribution is an
+    INTEGER (explicit truncating division, the harmonic60 trick from
+    `harmonic_closeness`), so the sum is order-free and engine/partitioning
+    exact — unlike a float Σ 1/deg whose value depends on addition order.
+    Adamic-Adar (Σ 1/ln deg) is deliberately NOT emitted: libm ln is not
+    cross-engine exact (same policy as trigram_logprob).
 
     `max_center_degree`: skew valve — wedge pairs are enumerated at their
     shared neighbor (center), which is deg^2 per center; dropping hub
@@ -150,13 +168,23 @@ def link_prediction(
             F.col("vertex").alias("u")
         )
         adj = adj.join(centers_ok, "u", "left_semi")
-    n1 = adj.select("u", F.col("v").alias("a"))
+    # Center degree rides along on ONE side of the wedge self-join (deg is
+    # vertex-cardinality — small next to the wedge fan-out, AQE broadcasts
+    # it at any realistic scale), so RA needs no extra pass over the pairs.
+    n1 = adj.join(deg.withColumnRenamed("vertex", "u"), "u").select(
+        "u",
+        F.col("v").alias("a"),
+        F.expr("cast(1000000 div degree as long)").alias("_ra_c"),
+    )
     n2 = adj.select("u", F.col("v").alias("b"))
     pairs = (
         n1.join(n2, "u")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("_ra_c").alias("ra_micro"),
+        )
         .join(und, ["a", "b"], "left_anti")
     )
     da = deg.select(F.col("vertex").alias("a"), F.col("degree").alias("deg_a"))
@@ -171,6 +199,7 @@ def link_prediction(
             F.round(
                 F.col("common") / (F.col("deg_a") + F.col("deg_b") - F.col("common")), 6
             ).alias("jaccard"),
+            "ra_micro",
         )
     )
 
@@ -232,6 +261,142 @@ def k_core(
         release(adj)
         adj = new_adj
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """The k-truss of the undirected simple graph: the maximal subgraph in
+    which every edge participates in >= k-2 triangles WITHIN the subgraph
+    (Cohen 2008) — a cohesion filter strictly stronger than the k-1 core,
+    the standard "keep only well-attested relationships" KG-cleanup cut.
+
+    -> (a, b, support) for surviving edges (a < b), support = triangle
+    count within the truss. Matches nx.k_truss(G, k) edge-for-edge.
+
+    Peeling is confluent: removing any below-threshold edge only lowers
+    other supports, so the distributed rounds (drop ALL below-threshold
+    edges at once, recount) reach the same fixpoint as any sequential peel
+    — same argument as `k_core`.
+
+    Per round: one triangle enumeration over the CURRENT edge set
+    (`_triangles` — degree-ordered, hub-proof, 3 hash joins), one per-edge
+    support agg, one filter; `hard_checkpoint` resets lineage so the plan
+    stays O(1) across rounds; the convergence check is folded into one
+    aggregate over the cached support frame (no extra scan).
+    """
+    spark = edges.sparkSession
+    thresh = max(k - 2, 0)
+    und = hard_checkpoint(undirected_simple(edges, src, dst))
+    empty = spark.createDataFrame([], "a string, b string, support long")
+    for _ in range(max_iters):
+        deg = _degrees(und)
+        tri = _triangles(und, deg)
+        # Each triangle credits its three edges; corners arrive in key
+        # order, not value order, so re-canonicalize each pair.
+        sides = (
+            tri.select(F.col("u").alias("p"), F.col("x").alias("q"))
+            .unionAll(tri.select(F.col("u").alias("p"), F.col("y").alias("q")))
+            .unionAll(tri.select(F.col("x").alias("p"), F.col("y").alias("q")))
+        )
+        support = sides.select(
+            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        ).groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+        scored = und.join(support, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        ).cache()
+        row = scored.agg(
+            F.sum(F.when(F.col("support") < thresh, 1).otherwise(0)).alias("n_bad"),
+            F.count(F.lit(1)).alias("n_all"),
+        ).first()
+        n_bad, n_all = (row["n_bad"] or 0), row["n_all"]
+        if n_all == 0:
+            scored.unpersist()
+            release(und)
+            return empty
+        if n_bad == 0:
+            out = scored.localCheckpoint(eager=True)
+            scored.unpersist()
+            release(und)
+            return out
+        new_und = hard_checkpoint(
+            scored.where(F.col("support") >= thresh).select("a", "b")
+        )
+        scored.unpersist()
+        release(und)
+        und = new_und
+    raise RuntimeError(f"k_truss did not converge in {max_iters} rounds")
+
+
+def wl_signatures(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Weisfeiler-Lehman label refinement over the undirected simple graph
+    — per-vertex STRUCTURAL role signatures: after r rounds two vertices
+    share a label iff their radius-r rooted neighborhood trees are
+    isomorphic (up to a 64-bit hash collision). The relational form of the
+    1-WL test (Shervashidze et al. 2011, WL graph kernels): role discovery,
+    structural dedup, and — summed order-free — a graph fingerprint that is
+    invariant under vertex renaming (unlike `stage_checksums`, which hashes
+    names).
+
+    -> (vertex, wl_label string). label_0 = degree; label_{i+1} =
+    xxhash64(label_i || '|' || comma-joined ascending neighbor labels_i),
+    carried as the signed decimal string so the hash input is
+    engine-portable text. Isolated vertices never appear (the edge table IS
+    the graph, as everywhere in this module).
+
+    Per round: one adjacency join + one sort_array(collect_list) agg —
+    both cluster on the vertex key, so AQE plans ONE exchange per side;
+    `hard_checkpoint` keeps lineage O(1). Neighbor multisets are
+    degree-bounded arrays: the hub valve is the same salting story as
+    provenance union (E7) if a 10^8-degree vertex ever matters — at that
+    degree the sorted multiset itself is the cost, and WL roles for such
+    hubs are degenerate anyway.
+    """
+    und = undirected_simple(edges, src, dst)
+    adj = hard_checkpoint(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    labels = hard_checkpoint(
+        adj.groupBy(F.col("u").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select("vertex", F.col("degree").cast("string").alias("wl_label"))
+    )
+    for _ in range(max(rounds, 0)):
+        nb = (
+            adj.join(
+                labels.select(
+                    F.col("vertex").alias("v"), F.col("wl_label").alias("nl")
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("vertex"))
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_list("nl"))).alias("nls")
+            )
+        )
+        new_labels = hard_checkpoint(
+            labels.join(nb, "vertex").select(
+                "vertex",
+                F.xxhash64(F.concat_ws("|", "wl_label", "nls"))
+                .cast("string")
+                .alias("wl_label"),
+            )
+        )
+        release(labels)
+        labels = new_labels
+    release(adj)
+    return labels
 
 
 def degree_assortativity_components(

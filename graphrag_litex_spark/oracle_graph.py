@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 10  # v10: + global-search map phase
+GRAPH_GOLDEN_VERSION = 11  # v11: + k-truss, WL role histogram, LP ra_micro
 
 
 def _r(x: float, digits: int) -> float:
@@ -110,6 +110,48 @@ def k_core_golden(und: set[tuple[str, str]], k: int) -> dict[str, int]:
                     adj[n].discard(v)
                 changed = True
     return {v: len(ns) for v, ns in adj.items()}
+
+
+def k_truss_golden(und: set[tuple[str, str]], k: int) -> dict[tuple[str, str], int]:
+    """Sequential k-truss peeling -> {(a, b): support} for surviving edges
+    (a < b). Truss peeling is confluent (removals only lower other
+    supports), so this oracles the distributed round-based peel in
+    operators/graph_analytics.k_truss."""
+    edges = set(und)
+    thresh = max(k - 2, 0)
+    while True:
+        adj: dict[str, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        supp = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        bad = {e for e, s in supp.items() if s < thresh}
+        if not bad:
+            return supp
+        edges -= bad
+        if not edges:
+            return {}
+
+
+def wl_golden(und: set[tuple[str, str]], rounds: int = 3) -> dict[str, str]:
+    """Weisfeiler-Lehman refinement -> {vertex: wl_label str}: label_0 =
+    degree, label_{i+1} = xxhash64(label || '|' || comma-joined ascending
+    neighbor labels) via the bit-exact Spark-xxhash64 replica — oracles
+    operators/graph_analytics.wl_signatures."""
+    from graphrag_litex_spark.functions.xxh64 import xxhash64_str
+
+    adj = _adj(und)
+    labels = {v: str(len(ns)) for v, ns in adj.items()}
+    for _ in range(max(rounds, 0)):
+        labels = {
+            v: str(
+                xxhash64_str(
+                    labels[v] + "|" + ",".join(sorted(labels[n] for n in adj[v]))
+                )
+            )
+            for v in adj
+        }
+    return labels
 
 
 def harmonic_closeness_golden(
@@ -566,6 +608,8 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_local_search": os.path.join(out_dir, "golden_local_search.parquet"),
         "golden_local_context": os.path.join(out_dir, "golden_local_context.parquet"),
         "golden_kcore": os.path.join(out_dir, "golden_kcore.parquet"),
+        "golden_ktruss": os.path.join(out_dir, "golden_ktruss.parquet"),
+        "golden_wl_roles": os.path.join(out_dir, "golden_wl_roles.parquet"),
         "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
         "golden_closeness": os.path.join(out_dir, "golden_closeness.parquet"),
         "golden_betweenness": os.path.join(out_dir, "golden_betweenness.parquet"),
@@ -795,6 +839,32 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_kcore"],
+    )
+    truss = k_truss_golden(und_names, 4)
+    truss_keys = sorted(truss)
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([t[0] for t in truss_keys], pa.string()),
+                "b": pa.array([t[1] for t in truss_keys], pa.string()),
+                "support": pa.array([truss[t] for t in truss_keys], pa.int64()),
+            }
+        ),
+        gpaths["golden_ktruss"],
+    )
+    wl = wl_golden(und_names, rounds=2)
+    wl_hist: dict[str, int] = {}
+    for _v, lab in wl.items():
+        wl_hist[lab] = wl_hist.get(lab, 0) + 1
+    wl_labels = sorted(wl_hist)
+    pq.write_table(
+        pa.table(
+            {
+                "wl_label": pa.array(wl_labels, pa.string()),
+                "n_vertices": pa.array([wl_hist[x] for x in wl_labels], pa.int64()),
+            }
+        ),
+        gpaths["golden_wl_roles"],
     )
     pr_names = sorted(pr)
     pq.write_table(

@@ -335,3 +335,128 @@ def test_degree_assortativity_matches_pure_python(spark):
     want = (sxy / m2 - mean * mean) / var
     df = spark.createDataFrame(edges, "src string, dst string")
     assert abs(degree_assortativity(df) - want) < 1e-12
+
+
+# ---- resource-allocation index (exact integer micro-units) ----
+
+
+def test_link_prediction_ra_micro_square_and_star(spark):
+    # Square: diagonal (a,c) shares centers b and d, both degree 2 ->
+    # ra_micro = 2 * (10^6 div 2) = 1_000_000.
+    e = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    rows = {(r["a"], r["b"]): r for r in link_prediction(_edges_df(spark, e)).collect()}
+    assert rows[("a", "c")]["ra_micro"] == 1_000_000
+    assert rows[("b", "d")]["ra_micro"] == 1_000_000
+    # Star with 3 leaves: every leaf pair shares only the degree-3 hub ->
+    # ra_micro = 10^6 div 3 = 333_333 (explicit truncation, engine-exact).
+    s = [("h", "x"), ("h", "y"), ("h", "z")]
+    rows = {(r["a"], r["b"]): r for r in link_prediction(_edges_df(spark, s)).collect()}
+    assert {p: r["ra_micro"] for p, r in rows.items()} == {
+        ("x", "y"): 333_333, ("x", "z"): 333_333, ("y", "z"): 333_333,
+    }
+
+
+# ---- k-truss ----
+
+
+def test_ktruss_k4_plus_pendant(spark):
+    from graphrag_litex_spark.operators.graph_analytics import k_truss
+
+    # 3-truss: every K4 edge closes 2 triangles inside K4; the pendant edge
+    # closes none and peels. 4-truss: identical (support 2 >= 2).
+    for k in (3, 4):
+        rows = {(r["a"], r["b"]): r["support"] for r in k_truss(_edges_df(spark, K4_PLUS), k).collect()}
+        assert rows == {
+            ("a", "b"): 2, ("a", "c"): 2, ("a", "d"): 2,
+            ("b", "c"): 2, ("b", "d"): 2, ("c", "d"): 2,
+        }
+    # 5-truss needs support >= 3: nothing in K4 qualifies.
+    assert k_truss(_edges_df(spark, K4_PLUS), 5).count() == 0
+
+
+def test_ktruss_peeling_cascades(spark):
+    from graphrag_litex_spark.operators.graph_analytics import k_truss
+
+    # Two triangles sharing edge (b,c): the shared edge has support 2, all
+    # others 1. At k=4 round one peels the support-1 edges, which drops
+    # (b,c)'s support to 0 — the SECOND round must peel it too (the
+    # recount-after-removal semantics that separate truss from a one-shot
+    # triangle filter).
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("c", "d")]
+    assert k_truss(_edges_df(spark, e), 4).count() == 0
+    # k=3 keeps both triangles intact.
+    assert k_truss(_edges_df(spark, e), 3).count() == 5
+
+
+def test_ktruss_random_graph_vs_golden(spark):
+    from graphrag_litex_spark.oracle_graph import k_truss_golden
+    from graphrag_litex_spark.operators.graph_analytics import k_truss
+
+    rng = random.Random(11)
+    verts = [f"v{i}" for i in range(24)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(110)]
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    for k in (3, 4, 5):
+        want = k_truss_golden(und, k)
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(_edges_df(spark, pairs), k).collect()
+        }
+        assert got == want
+
+
+def test_ktruss_self_loops_only_is_empty(spark):
+    from graphrag_litex_spark.operators.graph_analytics import k_truss
+
+    assert k_truss(_edges_df(spark, [("a", "a")]), 3).count() == 0
+
+
+# ---- Weisfeiler-Lehman role signatures ----
+
+
+def test_wl_path_graph_roles(spark):
+    from graphrag_litex_spark.operators.graph_analytics import wl_signatures
+
+    # Path a-b-c: the two ends are structurally identical, the middle is
+    # not — at every refinement depth.
+    e = [("a", "b"), ("b", "c")]
+    for rounds in (0, 1, 2):
+        lab = {r["vertex"]: r["wl_label"] for r in wl_signatures(_edges_df(spark, e), rounds).collect()}
+        assert lab["a"] == lab["c"] != lab["b"]
+    # rounds=0 is the raw degree label.
+    lab0 = {r["vertex"]: r["wl_label"] for r in wl_signatures(_edges_df(spark, e), 0).collect()}
+    assert lab0 == {"a": "1", "b": "2", "c": "1"}
+
+
+def test_wl_matches_pure_python_golden(spark):
+    from graphrag_litex_spark.oracle_graph import wl_golden
+    from graphrag_litex_spark.operators.graph_analytics import wl_signatures
+
+    rng = random.Random(13)
+    verts = [f"v{i}" for i in range(20)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(60)]
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    want = wl_golden(und, rounds=3)
+    got = {r["vertex"]: r["wl_label"] for r in wl_signatures(_edges_df(spark, pairs), 3).collect()}
+    assert got == want
+
+
+def test_wl_rename_invariant_fingerprint(spark):
+    from graphrag_litex_spark.operators.graph_analytics import wl_signatures
+
+    # Renaming vertices permutes labels but never changes the label
+    # MULTISET — the property that makes the WL histogram a structural
+    # (name-free) graph fingerprint.
+    rng = random.Random(17)
+    verts = [f"v{i}" for i in range(15)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(40)]
+    ren = {v: f"w{(i * 7 + 3) % 15:02d}" for i, v in enumerate(verts)}
+    renamed = [(ren[a], ren[b]) for a, b in pairs]
+
+    def hist(ps):
+        out = {}
+        for r in wl_signatures(_edges_df(spark, ps), 2).collect():
+            out[r["wl_label"]] = out.get(r["wl_label"], 0) + 1
+        return out
+
+    assert hist(pairs) == hist(renamed)
