@@ -399,6 +399,36 @@ def wl_signatures(
     return labels
 
 
+def wl_structure_fingerprint(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> str:
+    """Rename-invariant structural fingerprint: ``"n_roles:checksum"``
+    where checksum is the order-free decimal sum of xxhash64 over the WL
+    role histogram's (wl_label, count) rows. Two graphs fingerprint equal
+    iff their WL role multisets match — i.e. they are indistinguishable to
+    the 1-WL isomorphism test — regardless of vertex names, row order, or
+    partitioning. The structural twin of `plans.pipeline.stage_checksums`
+    (which hashes names and so sees every rename as a change); one graph
+    pass + two scalar aggs, nothing histogram-sized reaches the driver.
+    """
+    hist = (
+        wl_signatures(edges, rounds=rounds, src=src, dst=dst)
+        .groupBy("wl_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row = hist.agg(
+        F.count(F.lit(1)).alias("n_roles"),
+        # decimal sum: hash sums overflow bigint by design (ANSI would raise)
+        F.coalesce(
+            F.sum(F.xxhash64("wl_label", "n").cast("decimal(20,0)")), F.lit(0)
+        ).alias("fp"),
+    ).first()
+    return f"{row['n_roles']}:{row['fp']}"
+
+
 def degree_assortativity_components(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -35,10 +35,18 @@ def diff_graphs(
     new_dir: str,
     stages: list[str] | None = None,
     edge_diff_out: str | None = None,
+    structural: bool = False,
 ) -> dict:
     """Programmatic API: returns {stages: {name: {old, new, identical}},
     edges: {added, removed, changed, stable}} (edges key only when both
-    builds have an edges stage)."""
+    builds have an edges stage). With ``structural=True`` a third pass
+    answers the question the first two can't: when edges DID change, did
+    the graph's SHAPE change, or only its vertex names? (A canonicalization
+    or normalization upgrade renames entities wholesale — every content
+    checksum moves, every edge row reads "changed" — while the structure a
+    downstream graph consumer sees is untouched.) Compared via
+    `graph_analytics.wl_structure_fingerprint`, the rename-invariant WL
+    role-histogram checksum; identical-bytes edge stages skip the pass."""
     from pyspark.sql import functions as F
 
     from graphrag_litex_spark.operators.snapshots import snapshot_diff
@@ -94,6 +102,28 @@ def diff_graphs(
     elif edges_entry.get("identical"):
         n = edges_entry["old"]["rows"]
         report["edges"] = {"added": 0, "removed": 0, "changed": 0, "stable": n}
+
+    if structural and not edges_entry.get("stale"):
+        if edges_entry.get("identical"):
+            # Byte-identical edges are trivially structure-identical; no
+            # graph pass needed.
+            report["structure"] = {"role_equivalent": True, "note": "edges identical"}
+        elif edges_entry.get("old") and edges_entry.get("new"):
+            from graphrag_litex_spark.operators.graph_analytics import (
+                wl_structure_fingerprint,
+            )
+
+            fpo = wl_structure_fingerprint(
+                spark.read.parquet(os.path.join(old_dir, "edges"))
+            )
+            fpn = wl_structure_fingerprint(
+                spark.read.parquet(os.path.join(new_dir, "edges"))
+            )
+            report["structure"] = {
+                "wl_fingerprint_old": fpo,
+                "wl_fingerprint_new": fpn,
+                "role_equivalent": fpo == fpn,
+            }
     return report
 
 
@@ -104,6 +134,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stages", default=None, help="comma-separated stage subset")
     p.add_argument(
         "--edge-diff-out", default=None, help="write the edge change feed here (parquet)"
+    )
+    p.add_argument(
+        "--structural",
+        action="store_true",
+        help="also compare rename-invariant WL structure fingerprints of the edge graphs",
     )
     args = p.parse_args(argv)
 
@@ -119,7 +154,12 @@ def main(argv: list[str] | None = None) -> int:
         [s.strip() for s in args.stages.split(",") if s.strip()] if args.stages else None
     )
     report = diff_graphs(
-        spark, args.old, args.new, stages=stages, edge_diff_out=args.edge_diff_out
+        spark,
+        args.old,
+        args.new,
+        stages=stages,
+        edge_diff_out=args.edge_diff_out,
+        structural=args.structural,
     )
     print(json.dumps(report))
     return 0

@@ -27,10 +27,13 @@ def test_diff_identical_and_after_forget(spark, corpus_sf0001, tmp_path_factory,
     # identical copy: every stage attested identical, zero edge-level work
     same = str(d / "same")
     shutil.copytree(old, same)
-    rep = diff_graphs(spark, old, same, stages=["nodes", "edges", "triples"])
+    rep = diff_graphs(spark, old, same, stages=["nodes", "edges", "triples"], structural=True)
     assert all(v["identical"] for v in rep["stages"].values())
     assert rep["edges"]["removed"] == 0 == rep["edges"]["added"] == rep["edges"]["changed"]
     assert rep["edges"]["stable"] == res["edges"].count()
+    # byte-identical edges short-circuit the structural pass
+    assert rep["structure"]["role_equivalent"] is True
+    assert "wl_fingerprint_old" not in rep["structure"]
 
     # forget one conversation in a copy -> edges removed/changed, none added
     new = str(d / "new")
@@ -42,11 +45,23 @@ def test_diff_identical_and_after_forget(spark, corpus_sf0001, tmp_path_factory,
     assert pipe.forget_conversations([_first_conv(res)]) == 1
     pipe.run(resume=True, until="claims")
 
-    rep2 = diff_graphs(spark, old, new)
+    rep2 = diff_graphs(spark, old, new, structural=True)
     assert not rep2["stages"]["edges"]["identical"]
     assert rep2["edges"]["added"] == 0
     assert rep2["edges"]["removed"] + rep2["edges"]["changed"] > 0
     assert rep2["edges"]["stable"] < res["edges"].count()
+    # This forget only RE-WEIGHTS edges (the conversation's pairs are all
+    # attested elsewhere): the edge-level diff reports changed rows, while
+    # the structural pass correctly reports the graph SHAPE untouched —
+    # exactly the nominal-vs-structural distinction the pass exists for.
+    # (Shape sensitivity is unit-tested on the operator:
+    # test_wl_structure_fingerprint_rename_invariant_and_change_sensitive.)
+    assert rep2["edges"]["removed"] == 0 and rep2["edges"]["changed"] > 0
+    assert rep2["structure"]["role_equivalent"] is True
+    assert (
+        rep2["structure"]["wl_fingerprint_old"]
+        == rep2["structure"]["wl_fingerprint_new"]
+    )
 
     # CLI face prints the same JSON
     rc = diff_main(["--old", old, "--new", same, "--stages", "edges"])

@@ -460,3 +460,18 @@ def test_wl_rename_invariant_fingerprint(spark):
         return out
 
     assert hist(pairs) == hist(renamed)
+
+
+def test_wl_structure_fingerprint_rename_invariant_and_change_sensitive(spark):
+    from graphrag_litex_spark.operators.graph_analytics import wl_structure_fingerprint
+
+    rng = random.Random(19)
+    verts = [f"v{i}" for i in range(12)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(30)]
+    ren = {v: f"x{(i * 5 + 2) % 12:02d}" for i, v in enumerate(verts)}
+    renamed = [(ren[a], ren[b]) for a, b in pairs]
+    fp = wl_structure_fingerprint(_edges_df(spark, pairs))
+    assert fp == wl_structure_fingerprint(_edges_df(spark, renamed))
+    # Removing one edge changes degrees, hence roles, hence the fingerprint.
+    und = sorted({tuple(sorted(p)) for p in pairs if p[0] != p[1]})
+    assert wl_structure_fingerprint(_edges_df(spark, und[:-1])) != fp
