@@ -479,6 +479,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "start", "walk_idx", "path", "end_node"
         )
 
+    def kg_node2vec_walks(spark, sf_dir):
+        """node2vec-biased walk corpus (operators/graph_ml.node2vec_walks):
+        2 deterministic 3-step walks per node; the second-order (prev, cur)
+        transition weighs return/common/far neighbors 1/2/4 by EXACT
+        replica-argmin (each candidate gets w md5 draws — P = w/Σw with
+        zero FP), so the oracle replays it as a constant replica table +
+        arg_min in pure SQL."""
+        from graphrag_litex_spark.operators.graph_ml import node2vec_walks
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select("src", "dst")
+        return node2vec_walks(
+            e, length=3, walks_per_node=2, w_return=1, w_common=2, w_far=4
+        ).select("start", "walk_idx", "path", "end_node")
+
     def kg_negative_samples_subj(spark, sf_dir):
         """Subject-side corruption (TransE corrupts BOTH slots): k
         corrupted subjects per distinct (pred, obj), same deterministic
@@ -1607,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_negative_samples,
         kg_negative_samples_subj,
         kg_random_walks,
+        kg_node2vec_walks,
         kg_walk_cooccurrence,
         kg_ppmi,
         kg_ontology,
@@ -1972,6 +1987,66 @@ def oracle_sql() -> dict[str, str]:
                        arg_min(e.dst, md5('|' || s.start || '|' ||
                            cast(s.widx AS varchar) || '|3|' || e.dst)) AS cur
                 FROM s2 s JOIN sym e ON e.src = s.cur
+                GROUP BY s.start, s.widx
+            )
+            SELECT w.start, cast(w.widx AS int) AS walk_idx,
+                   w.start || ' -> ' || s1.cur || ' -> ' || s2.cur
+                           || ' -> ' || s3.cur AS path,
+                   s3.cur AS end_node
+            FROM w
+            JOIN s1 ON s1.start = w.start AND s1.widx = w.widx
+            JOIN s2 ON s2.start = w.start AND s2.widx = w.widx
+            JOIN s3 ON s3.start = w.start AND s3.widx = w.widx
+        """,
+        # node2vec replay: the engine's replica-argmin weighted choice IS
+        # SQL — a constant replica table r joined under r.r < weight gives
+        # every candidate exactly `weight` md5 draws; arg_min over all
+        # draws realizes P = w/Σw with zero floating point. Weights 1/2/4
+        # (return/common/far) mirror the queries() call; step 1 is uniform
+        # (single replica 0), steps 2-3 carry (prev, cur).
+        "kg_node2vec_walks": f"""
+            WITH me AS (
+                SELECT subj AS src, obj AS dst
+                FROM read_parquet('{triples}') GROUP BY subj, obj
+            ), sym AS (
+                SELECT src, dst FROM me WHERE src <> dst
+                UNION
+                SELECT dst, src FROM me WHERE src <> dst
+            ), w AS (
+                SELECT DISTINCT src AS start, widx
+                FROM sym, (VALUES (0), (1)) AS t(widx)
+            ), reps AS (
+                SELECT * FROM (VALUES (0), (1), (2), (3)) AS rv(r)
+            ), s1 AS (
+                SELECT w.start, w.widx, w.start AS prev,
+                       arg_min(e.dst, md5('|' || w.start || '|' ||
+                           cast(w.widx AS varchar) || '|1|' || e.dst || '|0'))
+                           AS cur
+                FROM w JOIN sym e ON e.src = w.start
+                GROUP BY w.start, w.widx
+            ), s2 AS (
+                SELECT s.start, s.widx, s.cur AS prev,
+                       arg_min(e.dst, md5('|' || s.start || '|' ||
+                           cast(s.widx AS varchar) || '|2|' || e.dst || '|' ||
+                           cast(r.r AS varchar))) AS cur
+                FROM s1 s
+                JOIN sym e ON e.src = s.cur
+                LEFT JOIN sym pa ON pa.src = s.prev AND pa.dst = e.dst
+                JOIN reps r ON r.r < (CASE WHEN e.dst = s.prev THEN 1
+                                           WHEN pa.dst IS NOT NULL THEN 2
+                                           ELSE 4 END)
+                GROUP BY s.start, s.widx, s.cur
+            ), s3 AS (
+                SELECT s.start, s.widx,
+                       arg_min(e.dst, md5('|' || s.start || '|' ||
+                           cast(s.widx AS varchar) || '|3|' || e.dst || '|' ||
+                           cast(r.r AS varchar))) AS cur
+                FROM s2 s
+                JOIN sym e ON e.src = s.cur
+                LEFT JOIN sym pa ON pa.src = s.prev AND pa.dst = e.dst
+                JOIN reps r ON r.r < (CASE WHEN e.dst = s.prev THEN 1
+                                           WHEN pa.dst IS NOT NULL THEN 2
+                                           ELSE 4 END)
                 GROUP BY s.start, s.widx
             )
             SELECT w.start, cast(w.widx AS int) AS walk_idx,

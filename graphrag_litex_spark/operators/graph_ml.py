@@ -348,3 +348,140 @@ def random_walks(
     if prev_state is not None:
         release(prev_state)
     return out
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 3,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_far: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: str = "",
+    checkpoint_every: int = 4,
+    sep: str = " -> ",
+) -> DataFrame:
+    """Deterministic BIASED walks — node2vec's second-order transition
+    (Grover & Leskovec 2016) with INTEGER weights, exactly: from (prev,
+    cur) a neighbor d weighs ``w_return`` if d == prev (node2vec 1/p),
+    ``w_common`` if d is also prev's neighbor (distance 1), else ``w_far``
+    (1/q). The weighted choice is realized by REPLICA-ARGMIN: each
+    candidate gets w independent md5 draw keys (replica index 0..w-1) and
+    the walk takes the argmin over all replicas — P(d) = w_d / Σw EXACTLY
+    (each replica is equally likely to be the global minimum), with zero
+    floating point, so the walk corpus is engine/partitioning/rerun
+    deterministic AND replayable in ANSI SQL (a constant replica table +
+    arg_min — the oracle does exactly this). Step 1 is uniform (no prev),
+    as in the reference node2vec.
+
+    Weights must be >= 1 (a 0 weight could strand a walk whose only
+    neighbor is in that class — scale the OTHER weights up instead). The
+    per-step candidate fan-out is multiplied by the weight magnitude: keep
+    weights small (their RATIOS are the semantics).
+
+    Returns (start, walk_idx, nodes, path, end_node) — the same shape as
+    :func:`random_walks`, so :func:`walk_cooccurrence` consumes it as-is.
+
+    Scale: per step one frontier-sized hash join against the symmetric
+    edge list, one hash join against it again on the (prev, dst) key (the
+    distance-1 test), a <=max(w)-way replica explode, and a
+    map-side-combinable min_by — no windows, no driver state; same
+    checkpoint discipline as :func:`random_walks`.
+    """
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if min(w_return, w_common, w_far) < 1:
+        raise ValueError("weights must be >= 1 (scale the others up instead)")
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = hard_checkpoint(
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    state = (
+        sym.select(F.col("src").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_idx"),
+        )
+        .select(
+            "start",
+            F.col("walk_idx").cast("int"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("start").alias("cur"),
+            F.array("start").alias("nodes"),
+        )
+    )
+    # prev's neighborhood, keyed for the distance-1 probe.
+    prev_adj = sym.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(True).alias("_d1")
+    )
+    prev_state = None
+    for step in range(1, length + 1):
+        cand = state.join(sym.withColumnRenamed("src", "cur"), "cur")
+        if step == 1:
+            w = F.lit(1)
+        else:
+            cand = cand.join(prev_adj, ["prev", "dst"], "left")
+            w = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_d1"), F.lit(w_common))
+                .otherwise(F.lit(w_far))
+            )
+        cand = cand.select(
+            "start",
+            "walk_idx",
+            "cur",
+            "dst",
+            "nodes",
+            F.explode(F.sequence(F.lit(0), w - 1)).alias("_r"),
+        )
+        pick = _h(
+            F.lit(seed),
+            "start",
+            F.col("walk_idx").cast("string"),
+            F.lit(str(step)),
+            "dst",
+            F.col("_r").cast("string"),
+        )
+        state = (
+            cand.groupBy("start", "walk_idx")
+            .agg(
+                F.min_by("dst", pick).alias("cur"),
+                # cur/nodes are functionally determined by the group key.
+                F.max("cur").alias("prev"),
+                F.max("nodes").alias("nodes"),
+            )
+            .select(
+                "start",
+                "walk_idx",
+                "prev",
+                "cur",
+                F.concat("nodes", F.array("cur")).alias("nodes"),
+            )
+        )
+        if step % checkpoint_every == 0 and step < length:
+            state = hard_checkpoint(state)
+            if prev_state is not None:
+                release(prev_state)
+            prev_state = state
+    out = hard_checkpoint(
+        state.select(
+            "start",
+            "walk_idx",
+            "nodes",
+            F.array_join("nodes", sep).alias("path"),
+            F.col("cur").alias("end_node"),
+        )
+    )
+    release(sym)
+    if prev_state is not None:
+        release(prev_state)
+    return out

@@ -475,3 +475,93 @@ def test_type_cooccurrence_symmetric_collapse(spark):
     got = sorted(tuple(r) for r in type_cooccurrence(t, ty).collect())
     # person->tool and tool->person collapse to one undirected pair
     assert got == [("person", "tool", 2)]
+
+
+# ---------------------------------------------------------------- node2vec
+
+
+def _node2vec_golden(edges, length, walks_per_node, wr, wc, wf, seed=""):
+    """Pure-Python replica of the replica-argmin biased walk: every
+    candidate gets w md5 draws (replica 0..w-1); argmin over all draws."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    out = []
+    for start in sorted(adj):
+        for w in range(walks_per_node):
+            prev, cur, path = None, start, [start]
+            for step in range(1, length + 1):
+                best = None
+                for nb in sorted(adj[cur]):
+                    if step == 1:
+                        weight = 1
+                    elif nb == prev:
+                        weight = wr
+                    elif nb in adj[prev]:
+                        weight = wc
+                    else:
+                        weight = wf
+                    for r in range(weight):
+                        key = _md5(f"{seed}|{start}|{w}|{step}|{nb}|{r}")
+                        if best is None or key < best[0]:
+                            best = (key, nb)
+                prev, cur = cur, best[1]
+                path.append(cur)
+            out.append((start, w, " -> ".join(path), cur))
+    return sorted(out)
+
+
+def test_node2vec_walks_match_golden(spark):
+    from graphrag_litex_spark.operators.graph_ml import node2vec_walks
+
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    for wr, wc, wf in ((1, 2, 4), (3, 1, 1), (1, 1, 1)):
+        walks = node2vec_walks(
+            e, length=5, walks_per_node=2,
+            w_return=wr, w_common=wc, w_far=wf, checkpoint_every=2,
+        )
+        got = sorted(
+            tuple(r)
+            for r in walks.select("start", "walk_idx", "path", "end_node").collect()
+        )
+        assert got == _node2vec_golden(EDGES, 5, 2, wr, wc, wf)
+
+
+def test_node2vec_forced_path_and_validation(spark):
+    import pytest as _pytest
+
+    from graphrag_litex_spark.operators.graph_ml import node2vec_walks
+
+    # Path graph a-b: biased or not, the only move is the bounce.
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    rows = {r["start"]: r["path"] for r in node2vec_walks(e, length=3).collect()}
+    assert rows == {"a": "a -> b -> a -> b", "b": "b -> a -> b -> a"}
+    with _pytest.raises(ValueError):
+        node2vec_walks(e, length=3, w_return=0)
+
+
+def test_node2vec_weights_shift_distribution(spark):
+    from graphrag_litex_spark.operators.graph_ml import node2vec_walks
+
+    # Star: center x with 8 leaves. From a leaf every walk's step 2 is at x
+    # with prev = the leaf; step-2 candidates are the 8 leaves (return = the
+    # start leaf, the other 7 are "far": leaves are never adjacent). With
+    # w_return >> w_far most walks bounce home; with w_far >> w_return most
+    # leave. Deterministic given the fixture, and the EXPECTED fractions
+    # (wr/(wr+7*wf)) make the direction unambiguous.
+    leaves = [f"l{i}" for i in range(8)]
+    e = spark.createDataFrame([("x", lf) for lf in leaves], "src string, dst string")
+
+    def frac_returned(wr, wf):
+        walks = node2vec_walks(
+            e, length=2, walks_per_node=4, w_return=wr, w_common=1, w_far=wf
+        )
+        rows = [r for r in walks.collect() if r["start"] != "x"]
+        back = sum(1 for r in rows if r["nodes"][2] == r["start"])
+        return back / len(rows)
+
+    assert frac_returned(40, 1) > 0.6   # E = 40/47 ≈ 0.85
+    assert frac_returned(1, 40) < 0.4   # E = 1/281 ≈ 0.004
