@@ -261,6 +261,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("vertex").alias("name"), "core_degree"
         )
 
+    def kg_component_sizes(spark, sf_dir):
+        """Connected-component size histogram of the merged entity graph
+        (size, n_components) — the fragmentation audit a KG operator reads
+        after every build (one giant component + dust is healthy; many
+        mid-size islands means linking under-merged). Exercises the E3 CC
+        operator on the KG EDGE graph (the canon map's CC runs on the
+        name-similarity graph — a different topology); differential vs a
+        pure-Python union-find golden."""
+        from graphrag_litex_spark.operators.cc import connected_components
+
+        # Self-loops carry no connectivity; drop them so the vertex set is
+        # the und graph's (same domain as every other kg_* graph query).
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].where(
+            F.col("src") != F.col("dst")
+        )
+        verts = (
+            e.select(F.col("src").alias("v"))
+            .unionAll(e.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        labels = connected_components(
+            verts, e.select("src", "dst"), id_col="v"
+        )
+        return (
+            labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_components"))
+        )
+
     def kg_ktruss(spark, sf_dir):
         """4-truss of the entity graph (iterative distributed edge peeling:
         every surviving edge closes >= 2 triangles within the truss),
@@ -1602,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_kcore,
         kg_ktruss,
         kg_wl_roles,
+        kg_component_sizes,
         kg_closeness,
         kg_betweenness,
         kg_global_search,
@@ -2488,6 +2519,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_ktruss": f"""
             SELECT a, b, support FROM read_parquet('{graph["golden_ktruss"]}')
+        """,
+        "kg_component_sizes": f"""
+            SELECT size, n_components
+            FROM read_parquet('{graph["golden_component_sizes"]}')
         """,
         "kg_wl_roles": f"""
             SELECT wl_label, n_vertices

@@ -145,6 +145,9 @@ def main() -> None:
         "kg_ontology",
         "kg_integrity_report",
         "kg_bfs_distances",
+        "kg_ktruss",
+        "kg_node2vec_walks",
+        "kg_component_sizes",
     ):
         t0 = time.time()
         try:

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 11  # v11: + k-truss, WL role histogram, LP ra_micro
+GRAPH_GOLDEN_VERSION = 12  # v12: + component-size histogram
 
 
 def _r(x: float, digits: int) -> float:
@@ -131,6 +131,33 @@ def k_truss_golden(und: set[tuple[str, str]], k: int) -> dict[tuple[str, str], i
         edges -= bad
         if not edges:
             return {}
+
+
+def component_sizes_golden(und: set[tuple[str, str]]) -> dict[int, int]:
+    """Union-find over the undirected edge set -> {component_size:
+    n_components} — oracles the CC-based fragmentation histogram."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict[str, int] = {}
+    for v in parent:
+        r = find(v)
+        sizes[r] = sizes.get(r, 0) + 1
+    hist: dict[int, int] = {}
+    for n in sizes.values():
+        hist[n] = hist.get(n, 0) + 1
+    return hist
 
 
 def wl_golden(und: set[tuple[str, str]], rounds: int = 3) -> dict[str, str]:
@@ -609,6 +636,9 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_local_context": os.path.join(out_dir, "golden_local_context.parquet"),
         "golden_kcore": os.path.join(out_dir, "golden_kcore.parquet"),
         "golden_ktruss": os.path.join(out_dir, "golden_ktruss.parquet"),
+        "golden_component_sizes": os.path.join(
+            out_dir, "golden_component_sizes.parquet"
+        ),
         "golden_wl_roles": os.path.join(out_dir, "golden_wl_roles.parquet"),
         "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
         "golden_closeness": os.path.join(out_dir, "golden_closeness.parquet"),
@@ -839,6 +869,19 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_kcore"],
+    )
+    comp_hist = component_sizes_golden(und_names)
+    comp_sizes = sorted(comp_hist)
+    pq.write_table(
+        pa.table(
+            {
+                "size": pa.array(comp_sizes, pa.int64()),
+                "n_components": pa.array(
+                    [comp_hist[s] for s in comp_sizes], pa.int64()
+                ),
+            }
+        ),
+        gpaths["golden_component_sizes"],
     )
     truss = k_truss_golden(und_names, 4)
     truss_keys = sorted(truss)
