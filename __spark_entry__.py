@@ -291,6 +291,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count(F.lit(1)).alias("n_components"))
         )
 
+    def kg_neighborhood_function(spark, sf_dir):
+        """HyperBall neighborhood function N(t) over the entity graph —
+        per-vertex HLL ball sketches, one adjacency join + register-max
+        union per round. At this scale the sketches stay in exact coupon
+        mode, so the estimate is value-compared against a pure-Python
+        exact-BFS golden; at 10^12 turns the same plan runs with O(V·2^lgk)
+        state instead of BFS's O(V²)."""
+        from graphrag_litex_spark.operators.graph_analytics import (
+            neighborhood_function,
+        )
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        return neighborhood_function(e.select("src", "dst"), max_t=4)
+
     def kg_ktruss(spark, sf_dir):
         """4-truss of the entity graph (iterative distributed edge peeling:
         every surviving edge closes >= 2 triangles within the truss),
@@ -1633,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_ktruss,
         kg_wl_roles,
         kg_component_sizes,
+        kg_neighborhood_function,
         kg_closeness,
         kg_betweenness,
         kg_global_search,
@@ -2523,6 +2538,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_component_sizes": f"""
             SELECT size, n_components
             FROM read_parquet('{graph["golden_component_sizes"]}')
+        """,
+        "kg_neighborhood_function": f"""
+            SELECT t, reachable_pairs
+            FROM read_parquet('{graph["golden_neighborhood"]}')
         """,
         "kg_wl_roles": f"""
             SELECT wl_label, n_vertices

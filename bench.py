@@ -148,6 +148,7 @@ def main() -> None:
         "kg_ktruss",
         "kg_node2vec_walks",
         "kg_component_sizes",
+        "kg_neighborhood_function",
     ):
         t0 = time.time()
         try:

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 12  # v12: + component-size histogram
+GRAPH_GOLDEN_VERSION = 13  # v13: + neighborhood function (HyperBall)
 
 
 def _r(x: float, digits: int) -> float:
@@ -158,6 +158,30 @@ def component_sizes_golden(und: set[tuple[str, str]]) -> dict[int, int]:
     for n in sizes.values():
         hist[n] = hist.get(n, 0) + 1
     return hist
+
+
+def neighborhood_golden(
+    und: set[tuple[str, str]], max_t: int = 4
+) -> list[tuple[int, float]]:
+    """Exact neighborhood function N(t) = # ordered pairs within distance
+    t (self-pairs included) by per-vertex BFS, with the same early-exit
+    (stop after the first repeated total, inclusive) as
+    operators/graph_analytics.neighborhood_function. Oracles the HyperBall
+    estimate at test scale, where balls << 2^lg_k keep the sketches in
+    exact coupon mode."""
+    adj = _adj(und)
+    balls = {v: {v} for v in adj}
+    out = [(0, float(len(adj)))]
+    for t in range(1, max_t + 1):
+        balls = {
+            v: set().union(b, *(balls[n] for n in adj[v]))
+            for v, b in balls.items()
+        }
+        total = float(sum(len(b) for b in balls.values()))
+        out.append((t, total))
+        if total == out[-2][1]:
+            break
+    return out
 
 
 def wl_golden(und: set[tuple[str, str]], rounds: int = 3) -> dict[str, str]:
@@ -639,6 +663,7 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
         "golden_component_sizes": os.path.join(
             out_dir, "golden_component_sizes.parquet"
         ),
+        "golden_neighborhood": os.path.join(out_dir, "golden_neighborhood.parquet"),
         "golden_wl_roles": os.path.join(out_dir, "golden_wl_roles.parquet"),
         "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
         "golden_closeness": os.path.join(out_dir, "golden_closeness.parquet"),
@@ -869,6 +894,16 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_kcore"],
+    )
+    nf = neighborhood_golden(und_names, max_t=4)
+    pq.write_table(
+        pa.table(
+            {
+                "t": pa.array([r[0] for r in nf], pa.int32()),
+                "reachable_pairs": pa.array([r[1] for r in nf], pa.float64()),
+            }
+        ),
+        gpaths["golden_neighborhood"],
     )
     comp_hist = component_sizes_golden(und_names)
     comp_sizes = sorted(comp_hist)

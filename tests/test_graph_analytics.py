@@ -475,3 +475,52 @@ def test_wl_structure_fingerprint_rename_invariant_and_change_sensitive(spark):
     # Removing one edge changes degrees, hence roles, hence the fingerprint.
     und = sorted({tuple(sorted(p)) for p in pairs if p[0] != p[1]})
     assert wl_structure_fingerprint(_edges_df(spark, und[:-1])) != fp
+
+
+# ---- HyperBall neighborhood function ----
+
+
+def test_neighborhood_function_path_graph_exact(spark):
+    from graphrag_litex_spark.operators.graph_analytics import neighborhood_function
+
+    # Path a-b-c-d: N(0)=4 self-pairs; N(1)=4+2*3 edges; N(2)=+2 dist-2
+    # pairs *2 directions; N(3)=+1 dist-3 pair *2. Small balls keep the
+    # sketches in exact coupon mode, so the estimates are exact integers.
+    e = [("a", "b"), ("b", "c"), ("c", "d")]
+    rows = {r["t"]: r["reachable_pairs"] for r in
+            neighborhood_function(_edges_df(spark, e), max_t=5).collect()}
+    assert rows == {0: 4.0, 1: 10.0, 2: 14.0, 3: 16.0, 4: 16.0}
+    # early exit: t=4 repeats t=3's total, t=5 never runs
+
+
+def test_neighborhood_function_matches_exact_bfs(spark):
+    from graphrag_litex_spark.oracle_graph import neighborhood_golden
+    from graphrag_litex_spark.operators.graph_analytics import neighborhood_function
+
+    rng = random.Random(23)
+    verts = [f"v{i}" for i in range(25)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(50)]
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    want = neighborhood_golden(und, max_t=4)
+    got = sorted(
+        (r["t"], r["reachable_pairs"])
+        for r in neighborhood_function(_edges_df(spark, pairs), max_t=4).collect()
+    )
+    assert got == want
+
+
+def test_neighborhood_function_partitioning_invariant(spark):
+    from graphrag_litex_spark.operators.graph_analytics import neighborhood_function
+
+    rng = random.Random(29)
+    verts = [f"v{i}" for i in range(18)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(40)]
+
+    def run(nparts):
+        df = _edges_df(spark, pairs).repartition(nparts)
+        return sorted(
+            (r["t"], r["reachable_pairs"])
+            for r in neighborhood_function(df, max_t=3).collect()
+        )
+
+    assert run(1) == run(13)
