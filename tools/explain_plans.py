@@ -627,6 +627,58 @@ def main() -> int:
         )
     )
 
+    # Triangle enumeration (shared by triangle_counts / k_truss rounds):
+    # degree-ordered wedges close via hash joins only — never a product.
+    from graphrag_litex_spark.operators.graph_analytics import (
+        _degrees,
+        _triangles,
+        neighborhood_function,
+        undirected_simple,
+        wl_signatures,
+    )
+
+    und = undirected_simple(kg["edges"], "src", "dst")
+    p = plan_of(_triangles(und, _degrees(und)))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "Triangle enumeration (triangle_counts / k_truss rounds)",
+            "degree-ordered orientation: wedges fan out at the low-degree "
+            "end (out-degree O(sqrt m), hub-proof); three hash joins, "
+            "all codegen",
+            p,
+        )
+    )
+
+    # WL refinement round: adjacency join + sort_array/collect_list agg,
+    # both clustered on the vertex key; JVM-side end to end.
+    p = plan_of(wl_signatures(kg["edges"], rounds=1))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "WL role-signature round",
+            "neighbor-label multiset via sort_array(collect_list) + one "
+            "xxhash64 projection; both sides cluster on the vertex key",
+            p,
+        )
+    )
+
+    # HyperBall: the per-vertex ball sketches stay inside ObjectHashAggregate
+    # (DataSketches HLL union = register max, map-side combinable).
+    nf = neighborhood_function(kg["edges"], max_t=2)
+    p = plan_of(nf)
+    sections.append(
+        (
+            "HyperBall neighborhood function (result)",
+            "per round ONE adjacency join + hll_union_agg; only max_t+1 "
+            "scalars reach the driver (plan shows the collected result "
+            "frame — the rounds ran as separate checkpointed jobs)",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
