@@ -305,6 +305,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
         return neighborhood_function(e.select("src", "dst"), max_t=4)
 
+    def kg_shortest_path(spark, sf_dir):
+        """'How are these two entities related?' — the canonical shortest
+        path (min-name BFS parent chain) between the two top-degree
+        entities of the merged graph, reconstructed hop-by-hop; endpoints
+        picked by the same deterministic (degree desc, name asc) rule the
+        golden replays."""
+        from graphrag_litex_spark.operators.graph_analytics import (
+            _degrees,
+            shortest_path,
+            undirected_simple,
+        )
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"]
+        und = undirected_simple(e, "src", "dst")
+        top = [
+            r["vertex"]
+            for r in _degrees(und)
+            .orderBy(F.desc("degree"), "vertex")
+            .limit(2)
+            .collect()
+        ]
+        if len(top) < 2:
+            return spark.createDataFrame(
+                [(False, -1, "")], "found boolean, hops int, path_str string"
+            )
+        return shortest_path(e, top[0], top[1]).select("found", "hops", "path_str")
+
     def kg_ktruss(spark, sf_dir):
         """4-truss of the entity graph (iterative distributed edge peeling:
         every surviving edge closes >= 2 triangles within the truss),
@@ -1648,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_wl_roles,
         kg_component_sizes,
         kg_neighborhood_function,
+        kg_shortest_path,
         kg_closeness,
         kg_betweenness,
         kg_global_search,
@@ -2542,6 +2570,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighborhood_function": f"""
             SELECT t, reachable_pairs
             FROM read_parquet('{graph["golden_neighborhood"]}')
+        """,
+        "kg_shortest_path": f"""
+            SELECT found, hops, path_str
+            FROM read_parquet('{graph["golden_shortest_path"]}')
         """,
         "kg_wl_roles": f"""
             SELECT wl_label, n_vertices

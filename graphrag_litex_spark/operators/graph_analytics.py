@@ -610,6 +610,107 @@ def hop_distances(
     return dist
 
 
+def shortest_path(
+    edges: DataFrame,
+    source: str,
+    target: str,
+    max_hops: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One shortest path between two vertices of the undirected simple
+    graph, RECONSTRUCTED — the "how are these two entities related?" query
+    a KG consumer actually asks (hop_distances gives distances only).
+
+    -> ONE row (found, hops, path array<string>, path_str). Among all
+    shortest paths a CANONICAL one is returned — every vertex keeps its
+    minimum-name BFS parent, and the backtrack follows that parent chain —
+    so the answer is a pure function of the graph: deterministic across
+    engines, reruns, and partitionings, hence oracle-checkable.
+    found=false (hops=-1, empty path) when target is unreachable within
+    ``max_hops`` or either endpoint is absent.
+
+    Plan: the standard frontier BFS loop (per hop: one frontier-sized
+    adjacency join + a min-parent agg + an anti-join against settled
+    vertices; hard_checkpoint lineage, early exit on empty frontier or on
+    settling the target). Backtracking then walks parent pointers with
+    <= hops single-row lookups against the settled frame — driver work
+    bounded by the path length, never by V (the same "<= k rows reach the
+    driver" budget as the query-path reduce).
+    """
+    spark = edges.sparkSession
+    und = undirected_simple(edges, src, dst)
+    sym = hard_checkpoint(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    out_schema = "found boolean, hops int, path array<string>, path_str string"
+
+    def _miss():
+        return spark.createDataFrame(
+            [(False, -1, [], "")], out_schema
+        )
+
+    settled = hard_checkpoint(
+        spark.createDataFrame([(str(source), None, 0)], "vertex string, parent string, dist int")
+        .join(
+            sym.select(F.col("u").alias("vertex")).distinct(), "vertex", "left_semi"
+        )
+    )
+    frontier = settled
+    found_dist = 0 if source == target else None
+    try:
+        if settled.limit(1).count() == 0:  # source not in the graph
+            return _miss()
+        if found_dist is None:
+            for hop in range(1, max_hops + 1):
+                cand = (
+                    frontier.select("vertex")
+                    .join(sym, frontier["vertex"] == sym["u"])
+                    .select(
+                        F.col("v").alias("vertex"),
+                        F.col("u").alias("parent"),
+                        F.lit(hop).alias("dist"),
+                    )
+                )
+                new = hard_checkpoint(
+                    cand.join(settled, "vertex", "left_anti")
+                    .groupBy("vertex", "dist")
+                    .agg(F.min("parent").alias("parent"))
+                    .select("vertex", "parent", "dist")
+                )
+                n_new = new.count()
+                if n_new == 0:
+                    release(new)
+                    break
+                nxt = hard_checkpoint(settled.union(new))
+                release(settled)
+                if frontier is not settled:
+                    release(frontier)
+                settled, frontier = nxt, new
+                if settled.where(F.col("vertex") == target).limit(1).count() > 0:
+                    found_dist = hop
+                    break
+        if found_dist is None:
+            return _miss()
+        # Backtrack: <= found_dist one-row lookups over the settled frame.
+        path = [str(target)]
+        cur = str(target)
+        for _ in range(found_dist):
+            cur = settled.where(F.col("vertex") == cur).first()["parent"]
+            path.append(cur)
+        path.reverse()
+        return spark.createDataFrame(
+            [(True, found_dist, path, " -> ".join(path))], out_schema
+        )
+    finally:
+        release(sym)
+        release(settled)
+        if frontier is not settled:
+            release(frontier)
+
+
 def harmonic_closeness(
     edges: DataFrame,
     n_sources: int = 8,

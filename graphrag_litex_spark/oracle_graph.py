@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 
 from graphrag_litex_spark.functions.normalize import hash_embed
 
-GRAPH_GOLDEN_VERSION = 13  # v13: + neighborhood function (HyperBall)
+GRAPH_GOLDEN_VERSION = 14  # v14: + canonical shortest path
 
 
 def _r(x: float, digits: int) -> float:
@@ -182,6 +182,43 @@ def neighborhood_golden(
         if total == out[-2][1]:
             break
     return out
+
+
+def shortest_path_golden(
+    und: set[tuple[str, str]], source: str, target: str, max_hops: int = 10
+) -> tuple[bool, int, str]:
+    """Canonical shortest path (min-name BFS parent per vertex, backtrack
+    the parent chain) -> (found, hops, ' -> '-joined path). Oracles
+    operators/graph_analytics.shortest_path."""
+    adj = _adj(und)
+    if source not in adj:
+        return (False, -1, "")
+    if source == target:
+        return (True, 0, source)
+    parent: dict[str, str | None] = {source: None}
+    frontier = [source]
+    found = None
+    for hop in range(1, max_hops + 1):
+        layer: dict[str, str] = {}
+        for u in frontier:
+            for v in adj[u]:
+                if v not in parent and (v not in layer or u < layer[v]):
+                    layer[v] = u
+        if not layer:
+            break
+        parent.update(layer)
+        frontier = sorted(layer)
+        if target in layer:
+            found = hop
+            break
+    if found is None:
+        return (False, -1, "")
+    path = [target]
+    cur: str = target
+    while parent[cur] is not None:
+        cur = parent[cur]  # type: ignore[assignment]
+        path.append(cur)
+    return (True, found, " -> ".join(reversed(path)))
 
 
 def wl_golden(und: set[tuple[str, str]], rounds: int = 3) -> dict[str, str]:
@@ -664,6 +701,9 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             out_dir, "golden_component_sizes.parquet"
         ),
         "golden_neighborhood": os.path.join(out_dir, "golden_neighborhood.parquet"),
+        "golden_shortest_path": os.path.join(
+            out_dir, "golden_shortest_path.parquet"
+        ),
         "golden_wl_roles": os.path.join(out_dir, "golden_wl_roles.parquet"),
         "golden_drift_search": os.path.join(out_dir, "golden_drift_search.parquet"),
         "golden_closeness": os.path.join(out_dir, "golden_closeness.parquet"),
@@ -894,6 +934,27 @@ def ensure_graph_goldens(paths: dict[str, str]) -> dict[str, str]:
             }
         ),
         gpaths["golden_kcore"],
+    )
+    # Canonical shortest path between the two top-degree entities (degree
+    # desc, name asc — the same deterministic endpoint rule as the query).
+    sp_deg: dict[str, int] = {}
+    for a, b in und_names:
+        sp_deg[a] = sp_deg.get(a, 0) + 1
+        sp_deg[b] = sp_deg.get(b, 0) + 1
+    sp_top = sorted(sp_deg, key=lambda v: (-sp_deg[v], v))[:2]
+    if len(sp_top) == 2:
+        sp = shortest_path_golden(und_names, sp_top[0], sp_top[1])
+    else:
+        sp = (False, -1, "")
+    pq.write_table(
+        pa.table(
+            {
+                "found": pa.array([sp[0]], pa.bool_()),
+                "hops": pa.array([sp[1]], pa.int32()),
+                "path_str": pa.array([sp[2]], pa.string()),
+            }
+        ),
+        gpaths["golden_shortest_path"],
     )
     nf = neighborhood_golden(und_names, max_t=4)
     pq.write_table(

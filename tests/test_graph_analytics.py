@@ -524,3 +524,46 @@ def test_neighborhood_function_partitioning_invariant(spark):
         )
 
     assert run(1) == run(13)
+
+
+# ---- canonical shortest path ----
+
+
+def test_shortest_path_hand_computed(spark):
+    from graphrag_litex_spark.operators.graph_analytics import shortest_path
+
+    # Two equal-length routes a->b->d and a->c->d: the canonical backtrack
+    # takes the min-name parent at d, i.e. b.
+    e = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+    row = shortest_path(_edges_df(spark, e), "a", "d").first()
+    assert (row["found"], row["hops"], row["path_str"]) == (True, 2, "a -> b -> d")
+    assert row["path"] == ["a", "b", "d"]
+    # trivial and unreachable cases
+    assert shortest_path(_edges_df(spark, e), "a", "a").first()["hops"] == 0
+    e2 = e + [("x", "y")]
+    row = shortest_path(_edges_df(spark, e2), "a", "y").first()
+    assert (row["found"], row["hops"], row["path_str"]) == (False, -1, "")
+    # absent endpoint
+    assert shortest_path(_edges_df(spark, e), "zz", "a").first()["found"] is False
+
+
+def test_shortest_path_max_hops_and_golden(spark):
+    from graphrag_litex_spark.oracle_graph import shortest_path_golden
+    from graphrag_litex_spark.operators.graph_analytics import shortest_path
+
+    # Path graph of length 5: unreachable under max_hops=3.
+    chain = [(f"n{i}", f"n{i+1}") for i in range(5)]
+    assert (
+        shortest_path(_edges_df(spark, chain), "n0", "n5", max_hops=3).first()["found"]
+        is False
+    )
+    # Random-graph differential across several endpoint pairs.
+    rng = random.Random(31)
+    verts = [f"v{i}" for i in range(20)]
+    pairs = [(rng.choice(verts), rng.choice(verts)) for _ in range(40)]
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    present = sorted({v for p in und for v in p})
+    for s, t in [(present[0], present[-1]), (present[1], present[3]), (present[2], present[2])]:
+        want = shortest_path_golden(und, s, t)
+        row = shortest_path(_edges_df(spark, pairs), s, t).first()
+        assert (row["found"], row["hops"], row["path_str"]) == want
