@@ -624,6 +624,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
         return predicate_signatures(kg["triples"], ty)
 
+    def kg_metapaths(spark, sf_dir):
+        """Typed two-hop metapath rollup (ontology.metapath_counts): how
+        often each (subj_type)-[p1]->(mid_type)-[p2]->(obj_type) shape
+        occurs — the heterogeneous-network schema statistic behind guided
+        walks and join templates; pure SQL oracle over golden triples +
+        the min-mention-type map."""
+        from graphrag_litex_spark.operators.ontology import metapath_counts
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        ty = kg["nodes"].select(F.col("canonical_name").alias("name"), "type")
+        return metapath_counts(kg["triples"], ty)
+
     def kg_filtered_triples(spark, sf_dir):
         """Schema-support noise gate (ontology.filter_by_signature_support):
         triples kept only when their induced (subj_type, pred, obj_type)
@@ -1699,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_walk_cooccurrence,
         kg_ppmi,
         kg_ontology,
+        kg_metapaths,
         kg_filtered_triples,
         kg_type_cooccurrence,
         kg_assortativity,
@@ -2277,6 +2290,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN ty st ON st.name = t.subj
             JOIN ty ot ON ot.name = t.obj
             GROUP BY st.type, t.pred, ot.type
+        """,
+        "kg_metapaths": f"""
+            WITH ty AS (
+                SELECT canonical AS name, min(type) AS type
+                FROM read_parquet('{mentions}') GROUP BY canonical
+            ), t AS (
+                SELECT DISTINCT subj, pred, obj FROM read_parquet('{triples}')
+            )
+            SELECT st.type AS subj_type, a.pred AS pred1,
+                   mt.type AS mid_type, b.pred AS pred2,
+                   ot.type AS obj_type, count(*) AS n_paths
+            FROM t a
+            JOIN t b ON a.obj = b.subj AND a.subj <> b.obj
+            JOIN ty st ON st.name = a.subj
+            JOIN ty mt ON mt.name = a.obj
+            JOIN ty ot ON ot.name = b.obj
+            GROUP BY st.type, a.pred, mt.type, b.pred, ot.type
         """,
         "kg_two_hop": f"""
             WITH e AS (

@@ -153,3 +153,87 @@ def type_cooccurrence(
         .groupBy("type_a", "type_b")
         .agg(F.sum("n_triples").alias("n_edges"))
     )
+
+
+def metapath_counts(
+    triples: DataFrame,
+    node_types: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    name_col: str = "name",
+    type_col: str = "type",
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """Two-hop METAPATH rollup: how often each typed path shape
+    (subj_type)-[pred1]->(mid_type)-[pred2]->(obj_type) occurs in the graph
+    — the heterogeneous-network schema statistic (metapath2vec / PathSim
+    lineage) a KG consumer reads before choosing guided walks or join
+    templates.
+
+    -> (subj_type, pred1, mid_type, pred2, obj_type, n_paths) over DISTINCT
+    (subj, pred, obj) triples (schema-level, not sighting-level);
+    back-and-forth pairs (subj == obj) are excluded, matching kg_two_hop.
+
+    Scale: path instances are enumerated at the MID vertex (one self-join
+    of the distinct triple set on the hop key), so a hub mid costs
+    in-degree x out-degree rows — ``max_mid_degree`` drops mids whose
+    in- or out-degree exceeds the cap before the join (same valve
+    rationale as link_prediction's wedge centers: hub metapaths are
+    degenerate signal). The three type joins are entity-cardinality (AQE
+    broadcasts); the final agg keyspace is bounded by |types|^3 x |preds|^2.
+    """
+    t = (
+        triples.select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        )
+        .distinct()
+    )
+    if max_mid_degree is not None:
+        out_deg = t.groupBy(F.col("subj").alias("mid")).agg(
+            F.count(F.lit(1)).alias("n_out")
+        )
+        in_deg = t.groupBy(F.col("obj").alias("mid")).agg(
+            F.count(F.lit(1)).alias("n_in")
+        )
+        ok = (
+            out_deg.join(in_deg, "mid")
+            .where(
+                (F.col("n_out") <= max_mid_degree)
+                & (F.col("n_in") <= max_mid_degree)
+            )
+            .select("mid")
+        )
+    else:
+        ok = None
+    a = t.select(
+        F.col("subj"), F.col("pred").alias("pred1"), F.col("obj").alias("mid")
+    )
+    b = t.select(
+        F.col("subj").alias("mid"), F.col("pred").alias("pred2"), F.col("obj")
+    )
+    if ok is not None:
+        a = a.join(ok, "mid", "left_semi")
+        b = b.join(ok, "mid", "left_semi")
+    paths = a.join(b, "mid").where(F.col("subj") != F.col("obj"))
+    ty = node_types.select(
+        F.col(name_col).alias("__name"), F.col(type_col).alias("__type")
+    )
+    return (
+        paths.join(
+            ty.select(F.col("__name").alias("subj"), F.col("__type").alias("subj_type")),
+            "subj",
+        )
+        .join(
+            ty.select(F.col("__name").alias("mid"), F.col("__type").alias("mid_type")),
+            "mid",
+        )
+        .join(
+            ty.select(F.col("__name").alias("obj"), F.col("__type").alias("obj_type")),
+            "obj",
+        )
+        .groupBy("subj_type", "pred1", "mid_type", "pred2", "obj_type")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )

@@ -565,3 +565,50 @@ def test_node2vec_weights_shift_distribution(spark):
 
     assert frac_returned(40, 1) > 0.6   # E = 40/47 ≈ 0.85
     assert frac_returned(1, 40) < 0.4   # E = 1/281 ≈ 0.004
+
+
+# ---------------------------------------------------------------- metapaths
+
+
+def test_metapath_counts_hand_computed(spark):
+    from graphrag_litex_spark.operators.ontology import metapath_counts
+
+    # person-[runs]->org-[makes]->tool twice (two people, same org/tool
+    # chain tail differs): A runs O makes T ; B runs O makes T2.
+    triples = spark.createDataFrame(
+        [
+            ("A", "runs", "O"),
+            ("B", "runs", "O"),
+            ("O", "makes", "T"),
+            ("O", "makes", "T2"),
+            ("A", "runs", "O"),  # duplicate sighting: distinct'd away
+        ],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("A", "person"), ("B", "person"), ("O", "org"), ("T", "tool"), ("T2", "tool")],
+        "name string, type string",
+    )
+    rows = {
+        (r["subj_type"], r["pred1"], r["mid_type"], r["pred2"], r["obj_type"]): r["n_paths"]
+        for r in metapath_counts(triples, types).collect()
+    }
+    # 2 subjects x 2 objects through O = 4 instances of the same shape
+    assert rows == {("person", "runs", "org", "makes", "tool"): 4}
+
+
+def test_metapath_counts_excludes_backtrack_and_applies_valve(spark):
+    from graphrag_litex_spark.operators.ontology import metapath_counts
+
+    # A->B->A is a backtrack (subj == obj): excluded.
+    triples = spark.createDataFrame(
+        [("A", "p", "B"), ("B", "q", "A"), ("B", "q", "C")],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [("A", "x"), ("B", "y"), ("C", "z")], "name string, type string"
+    )
+    rows = metapath_counts(triples, types).collect()
+    assert {(r["subj_type"], r["obj_type"]) for r in rows} == {("x", "z")}
+    # valve: B has out-degree 2; capping at 1 removes every path through it
+    assert metapath_counts(triples, types, max_mid_degree=1).count() == 0
