@@ -199,6 +199,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank(e.select("src", "dst"))
         return pr.select(F.col("vertex").alias("name"), F.round("rank", 6).alias("rank"))
 
+    def kg_blocking_quality(spark, sf_dir):
+        """Blocking-stage evaluation (Christen's pair completeness +
+        reduction ratio) for the D6 linking blocker over this corpus's
+        distinct normalized names: truth = all-pairs char-3-gram Jaccard at
+        the linking threshold, so the one-row report states exactly what
+        first-token blocking discards and how much of the quadratic space it
+        prunes. Full value compare vs the same metrics in SQL."""
+        from graphrag_litex_spark.operators.linking import blocking_quality
+
+        m = _kg(spark, _sf_from_dir(sf_dir))["mentions"]
+        names = m.select("norm_name").where(F.col("norm_name") != "").distinct()
+        return blocking_quality(names)
+
+    def kg_threshold_sweep(spark, sf_dir):
+        """Linking-threshold tuning curve: candidate-pair count per
+        threshold from ONE scoring pass over the blocked name pairs (the
+        knob audit run before changing SIM_THRESHOLD). Full value compare
+        vs the same sweep in SQL."""
+        from graphrag_litex_spark.operators.linking import threshold_sweep
+
+        m = _kg(spark, _sf_from_dir(sf_dir))["mentions"]
+        names = m.select("norm_name").where(F.col("norm_name") != "").distinct()
+        return threshold_sweep(names)
+
     def kg_local_search(spark, sf_dir):
         """GraphRAG LOCAL search: question-seeded personalized PageRank over
         the entity graph (vs the community-summary GLOBAL path of
@@ -1677,6 +1701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_summaries,
         kg_query_topk,
         kg_entity_rank,
+        kg_blocking_quality,
+        kg_threshold_sweep,
         kg_local_search,
         kg_local_context,
         kg_drift_search,
@@ -1859,6 +1885,85 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_canon_map": f"""
             SELECT norm_name, canonical FROM read_parquet('{canon}')
+        """,
+        # Blocking eval: replicate first-token blocks + char-3-gram Jaccard
+        # over the distinct golden norm names; truncating integer division
+        # (// on non-negative bigints) matches Spark's `div` micro-units.
+        "kg_blocking_quality": f"""
+            WITH names AS (
+                SELECT DISTINCT norm_name FROM read_parquet('{mentions}')
+                WHERE norm_name <> ''
+            ), keyed AS (
+                SELECT norm_name,
+                       string_split(norm_name, ' ')[1] AS block,
+                       CASE WHEN length(norm_name) < 3 THEN [norm_name]
+                            ELSE list_distinct(list_transform(
+                                range(1, length(norm_name) - 1),
+                                i -> substring(norm_name, i, 3)))
+                       END AS feat
+                FROM names
+            ), pairs AS (
+                SELECT CASE WHEN a.block = b.block THEN 1 ELSE 0 END AS same_block,
+                       CASE WHEN (CASE WHEN len(list_distinct(list_concat(a.feat, b.feat))) = 0
+                                       THEN 1.0
+                                       ELSE len(list_intersect(a.feat, b.feat)) * 1.0
+                                            / len(list_distinct(list_concat(a.feat, b.feat)))
+                                  END) >= 0.40 THEN 1 ELSE 0 END AS is_match
+                FROM keyed a JOIN keyed b ON a.norm_name < b.norm_name
+            ), pa AS (
+                SELECT cast(count(*) AS bigint) AS all_pairs,
+                       cast(sum(same_block) AS bigint) AS candidate_pairs,
+                       cast(sum(is_match) AS bigint) AS match_pairs,
+                       cast(sum(same_block * is_match) AS bigint) AS matches_blocked
+                FROM pairs
+            ), na AS (
+                SELECT cast(count(*) AS bigint) AS n_names,
+                       cast(count(DISTINCT block) AS bigint) AS n_blocks
+                FROM keyed
+            )
+            SELECT n_names, n_blocks, all_pairs, candidate_pairs,
+                   match_pairs, matches_blocked,
+                   cast(CASE WHEN match_pairs = 0 THEN 1000000
+                             ELSE (matches_blocked * 1000000) // match_pairs
+                        END AS bigint) AS pair_completeness_micro,
+                   cast(CASE WHEN all_pairs = 0 THEN 0
+                             ELSE ((all_pairs - candidate_pairs) * 1000000) // all_pairs
+                        END AS bigint) AS reduction_ratio_micro
+            FROM na, pa
+        """,
+        "kg_threshold_sweep": f"""
+            WITH names AS (
+                SELECT DISTINCT norm_name FROM read_parquet('{mentions}')
+                WHERE norm_name <> ''
+            ), keyed AS (
+                SELECT norm_name,
+                       string_split(norm_name, ' ')[1] AS block,
+                       CASE WHEN length(norm_name) < 3 THEN [norm_name]
+                            ELSE list_distinct(list_transform(
+                                range(1, length(norm_name) - 1),
+                                i -> substring(norm_name, i, 3)))
+                       END AS feat
+                FROM names
+            ), scored AS (
+                SELECT cast(floor((CASE
+                           WHEN len(list_distinct(list_concat(a.feat, b.feat))) = 0
+                           THEN 1.0
+                           ELSE len(list_intersect(a.feat, b.feat)) * 1.0
+                                / len(list_distinct(list_concat(a.feat, b.feat)))
+                       END) * 1000000) AS bigint) AS sim_micro
+                FROM keyed a
+                JOIN keyed b ON a.block = b.block AND a.norm_name < b.norm_name
+            ), thr AS (
+                SELECT cast(unnest([200000, 300000, 400000, 500000,
+                                    600000, 700000, 800000, 900000]) AS bigint)
+                       AS threshold_micro
+            )
+            SELECT t.threshold_micro,
+                   cast(coalesce(sum(CASE WHEN s.sim_micro >= t.threshold_micro
+                                          THEN 1 END), 0) AS bigint)
+                       AS n_candidate_pairs
+            FROM thr t LEFT JOIN scored s ON s.sim_micro >= t.threshold_micro
+            GROUP BY t.threshold_micro
         """,
         "kg_nodes_agg": f"""
             SELECT canonical AS canonical_name,

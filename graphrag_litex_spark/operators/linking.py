@@ -210,3 +210,139 @@ def prefix_ngram_embed_udf(dim: int = 64):
         return s.map(lambda t: prefix_ngram_embed(t or "", dim))
 
     return F.pandas_udf(_batch, T.ArrayType(T.DoubleType()))
+
+
+def blocking_quality(
+    names: DataFrame,
+    threshold: float = SIM_THRESHOLD,
+    max_block_size: int | None = None,
+    sample_rate: float = 1.0,
+) -> DataFrame:
+    """Blocking-stage evaluation: pair completeness + reduction ratio.
+
+    The two standard entity-resolution blocking metrics (Christen, TKDE'12
+    survey), answering "is first-token blocking losing true matches, and
+    how much work does it save?" for THIS corpus before a build is trusted:
+
+      * pair completeness  = |true-match pairs that share a block| /
+                             |true-match pairs|          (recall of blocking)
+      * reduction ratio    = 1 - |same-block pairs| / |all pairs|
+                             (fraction of the quadratic comparison space
+                              the blocker prunes)
+
+    Truth here is the scorer's own all-pairs decision (char-3-gram Jaccard
+    >= ``threshold`` with NO blocking), so the metric isolates exactly what
+    blocking discards — the same ground truth an all-pairs linker would
+    produce. Ratios are emitted as truncating-division integer micro-units
+    so the one-row result is engine-exact vs the SQL oracle.
+
+    Scale: the truth pass is all-pairs (a non-equi self-join -> broadcast
+    nested loop) and therefore an EVALUATION op, not a pipeline stage. At
+    100 TB run it on a deterministic md5 sample of the distinct-names table
+    (``sample_rate``; same md5-prefix rule as operators/sampling.py, so the
+    sampled name set is rerun/engine stable) — pair completeness estimated
+    on ~10^4 sampled names bounds blocking recall without the 10^16-pair
+    scan. The pipeline's candidate join itself never runs all-pairs.
+    """
+    from graphrag_litex_spark.operators.sampling import _hex_threshold
+
+    if not 0.0 < sample_rate <= 1.0:
+        raise ValueError(f"sample_rate must be in (0,1], got {sample_rate}")
+    if sample_rate < 1.0:
+        names = names.where(
+            F.substring(F.md5(F.col("norm_name")), 1, 6)
+            < F.lit(_hex_threshold(sample_rate))
+        )
+    keyed = _block_keyed(names, char_ngrams_col("norm_name"), max_block_size)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(b, F.col("a.norm_name") < F.col("b.norm_name")).select(
+        (F.col("a.block") == F.col("b.block")).cast("long").alias("same_block"),
+        (jaccard_col(F.col("a.feat"), F.col("b.feat")) >= threshold)
+        .cast("long")
+        .alias("is_match"),
+    )
+    zero = F.lit(0).cast("long")
+    pair_agg = pairs.agg(
+        F.count(F.lit(1)).alias("all_pairs"),
+        F.coalesce(F.sum("same_block"), zero).alias("candidate_pairs"),
+        F.coalesce(F.sum("is_match"), zero).alias("match_pairs"),
+        F.coalesce(F.sum(F.col("same_block") * F.col("is_match")), zero).alias(
+            "matches_blocked"
+        ),
+    )
+    name_agg = keyed.agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.countDistinct("block").alias("n_blocks"),
+    )
+    # Both aggs are single rows; the crossJoin is 1x1. Truncating integer
+    # division (`div`) matches DuckDB's `//` for the non-negative operands
+    # here, so the micro-unit ratios are bit-identical across engines.
+    return name_agg.crossJoin(pair_agg).select(
+        "n_names",
+        "n_blocks",
+        "all_pairs",
+        "candidate_pairs",
+        "match_pairs",
+        "matches_blocked",
+        F.when(F.col("match_pairs") == 0, F.lit(1_000_000))
+        .otherwise(F.expr("(matches_blocked * 1000000) div match_pairs"))
+        .cast("long")
+        .alias("pair_completeness_micro"),
+        F.when(F.col("all_pairs") == 0, F.lit(0))
+        .otherwise(F.expr("((all_pairs - candidate_pairs) * 1000000) div all_pairs"))
+        .cast("long")
+        .alias("reduction_ratio_micro"),
+    )
+
+
+def threshold_sweep(
+    names: DataFrame,
+    thresholds: list[float] | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Linking-threshold tuning curve: candidate-pair count at each
+    threshold, from ONE scoring pass over the blocked pairs.
+
+    Answers "how sensitive is the canon map to SIM_THRESHOLD?" before a
+    rebuild: the blocked pairs are scored once (same join + Jaccard as
+    :func:`candidate_pairs` with threshold 0), similarities quantized to
+    integer micro-units (floor(sim * 1e6) of the same double both engines
+    compute, so the quantization is bit-identical), and the tiny threshold
+    list is cross-joined for per-threshold counts — |thresholds| rows out,
+    never |thresholds| corpus scans. Unlike the all-pairs truth pass of
+    :func:`blocking_quality` this stays within blocks, so it is cheap
+    enough to run at full scale before every threshold change.
+    """
+    spark = names.sparkSession
+    if thresholds is None:
+        thresholds = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    tdf = spark.createDataFrame(
+        [(int(round(t * 1_000_000)),) for t in sorted(thresholds)],
+        "threshold_micro long",
+    )
+    keyed = _block_keyed(names, char_ngrams_col("norm_name"), max_block_size)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.norm_name") < F.col("b.norm_name")),
+        )
+        .select(
+            F.floor(
+                jaccard_col(F.col("a.feat"), F.col("b.feat")) * 1_000_000
+            ).alias("sim_micro")
+        )
+    )
+    return (
+        scored.join(F.broadcast(tdf), F.col("sim_micro") >= F.col("threshold_micro"))
+        .groupBy("threshold_micro")
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        .join(tdf, "threshold_micro", "right")
+        .select(
+            "threshold_micro",
+            F.coalesce("n_candidate_pairs", F.lit(0).cast("long")).alias(
+                "n_candidate_pairs"
+            ),
+        )
+    )

@@ -421,3 +421,116 @@ def test_max_iter_exhaustion_warns_not_silent(spark):
                 ).collect()
             }
     assert set(got.values()) == {"p00"}
+
+
+def test_blocking_quality_matches_pure_python_golden(spark):
+    """blocking_quality == a sequential all-pairs replica built from the
+    same functions.normalize primitives (char_ngrams / name_similarity /
+    blocking_key), including the integer micro-unit ratios."""
+    import itertools
+
+    from graphrag_litex_spark.functions.normalize import (
+        SIM_THRESHOLD,
+        blocking_key,
+        name_similarity,
+    )
+    from graphrag_litex_spark.operators.linking import blocking_quality
+
+    names = sorted(
+        {
+            "acme corp",
+            "acme corporation",
+            "acme labs",
+            "globex inc",
+            "globex incorporated",
+            "bob smithers",
+            "smithers",  # cross-block true match vs "bob smithers"
+            "zz",  # len<3: whole-string ngram edge case
+        }
+    )
+    all_pairs = cand = match = found = 0
+    for a, b in itertools.combinations(names, 2):
+        a, b = min(a, b), max(a, b)
+        same = blocking_key(a) == blocking_key(b)
+        dup = name_similarity(a, b) >= SIM_THRESHOLD
+        all_pairs += 1
+        cand += same
+        match += dup
+        found += same and dup
+    assert match > found > 0  # the fixture exercises a blocking miss
+
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": names}))
+    row = blocking_quality(vdf).collect()[0]
+    assert row["n_names"] == len(names)
+    assert row["n_blocks"] == len({blocking_key(n) for n in names})
+    assert row["all_pairs"] == all_pairs
+    assert row["candidate_pairs"] == cand
+    assert row["match_pairs"] == match
+    assert row["matches_blocked"] == found
+    assert row["pair_completeness_micro"] == found * 1_000_000 // match
+    assert row["reduction_ratio_micro"] == (all_pairs - cand) * 1_000_000 // all_pairs
+
+
+def test_blocking_quality_sample_and_empty(spark):
+    """sample_rate gates the name set deterministically; an empty name set
+    yields the degenerate (complete, zero-reduction) row, not a crash."""
+    from graphrag_litex_spark.operators.linking import blocking_quality
+
+    empty = spark.createDataFrame(pd.DataFrame({"norm_name": ["solo name"]})).limit(0)
+    row = blocking_quality(empty).collect()[0]
+    assert row["n_names"] == 0 and row["all_pairs"] == 0
+    assert row["pair_completeness_micro"] == 1_000_000
+    assert row["reduction_ratio_micro"] == 0
+
+    names = [f"name {i:03d}" for i in range(40)]
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": names}))
+    full = blocking_quality(vdf).collect()[0]
+    half = blocking_quality(vdf, sample_rate=0.5).collect()[0]
+    assert 0 < half["n_names"] < full["n_names"]
+    # same md5-prefix rule as operators/sampling: rerun-stable
+    again = blocking_quality(vdf, sample_rate=0.5).collect()[0]
+    assert half == again
+
+
+def test_threshold_sweep_matches_pure_python_golden(spark):
+    """threshold_sweep == sequential per-threshold counts over the same
+    blocked pairs, monotone non-increasing in the threshold."""
+    import itertools
+
+    from graphrag_litex_spark.functions.normalize import (
+        blocking_key,
+        name_similarity,
+    )
+    from graphrag_litex_spark.operators.linking import threshold_sweep
+
+    names = sorted(
+        {
+            "acme corp",
+            "acme corporation",
+            "acme corpora",
+            "acme labs",
+            "globex inc",
+            "globex incorporated",
+        }
+    )
+    thresholds = [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    sims = [
+        name_similarity(a, b)
+        for a, b in itertools.combinations(names, 2)
+        if blocking_key(a) == blocking_key(b)
+    ]
+    expected = {
+        int(round(t * 1_000_000)): sum(
+            1 for s in sims if int(s * 1_000_000) >= int(round(t * 1_000_000))
+        )
+        for t in thresholds
+    }
+    vdf = spark.createDataFrame(pd.DataFrame({"norm_name": names}))
+    got = {
+        r["threshold_micro"]: r["n_candidate_pairs"]
+        for r in threshold_sweep(vdf, thresholds).collect()
+    }
+    assert got == expected
+    curve = [got[k] for k in sorted(got)]
+    assert curve == sorted(curve, reverse=True)  # monotone non-increasing
+    assert curve[0] > 0 and curve[-1] < curve[0]  # fixture spans the knee
