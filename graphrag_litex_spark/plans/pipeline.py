@@ -838,7 +838,7 @@ class KGPipeline:
         if until == "chunks":
             return results
 
-        # S2 extraction (C1/C4): one Arrow-batched mapInPandas pass emitting
+        # S2 extraction (C1/C4): one Arrow-batched mapInArrow pass emitting
         # a FLAT item stream (one row per entity/relationship/claim) — flat
         # Arrow columns convert ~8x faster than the nested-struct shape.
         # norm_name is computed at write time (JVM expression) so downstream
