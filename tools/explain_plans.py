@@ -54,6 +54,30 @@ def main() -> int:
         ("D1 name->id resolution join", "canon map broadcast; corpus side never shuffles", p)
     )
 
+    # S2 extraction hot path: one MapInArrow over a 3-column pruned scan,
+    # no Exchange anywhere before the UDF (map-only stage).
+    from graphrag_litex_spark.operators.extraction import extract_items
+
+    tr0 = spark.read.parquet(paths["transcripts"])
+    items = extract_items(
+        tr0.select(
+            "conv_id", "turn_idx", F.col("text")
+        )
+    )
+    p = plan_of(items)
+    assert "MapInArrow" in p, "extraction must run via mapInArrow"
+    assert "Exchange" not in p, "extraction is map-only: no shuffle before the UDF"
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" in p, (
+        "extraction scan must prune to exactly (conv_id, turn_idx, text)"
+    )
+    sections.append(
+        (
+            "S2 extraction (mapInArrow)",
+            "RecordBatch UDF over a pruned 3-column scan; zero Exchange",
+            p,
+        )
+    )
+
     # Pushed filter + column pruning on a parquet scan.
     tr = spark.read.parquet(paths["transcripts"])
     q = tr.where(F.col("role") == "tool").select("conv_id", "turn_idx")
