@@ -5,7 +5,6 @@ ceiling is the host (memory bandwidth / hypervisor), not the engine."""
 import json, multiprocessing as mp, sys, time
 
 sys.path.insert(0, "/root/repo")
-from graphrag_litex_spark import datagen  # noqa: E402
 
 TEXTS = None
 
