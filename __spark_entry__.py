@@ -223,6 +223,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         names = m.select("norm_name").where(F.col("norm_name") != "").distinct()
         return threshold_sweep(names)
 
+    def kg_related_entities(spark, sf_dir):
+        """Hybrid related-entities via reciprocal-rank fusion (RRF,
+        SIGIR'09): attestation / common-neighbor / co-mention rankings
+        anchored at the top-degree entity, fused with exact truncating
+        integer contributions. Full value compare vs the same three ranked
+        lists and fusion in SQL."""
+        from graphrag_litex_spark.operators.graph_analytics import (
+            related_entities_rrf,
+            undirected_simple,
+        )
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        tri = kg["triples"].select("subj", "pred", "obj")
+        und = undirected_simple(tri.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+        anchor = (
+            und.select(F.col("a").alias("u"))
+            .unionAll(und.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .orderBy(F.col("d").desc(), F.col("u").asc())
+            .limit(1)
+            .collect()[0]["u"]
+        )
+        mc = kg["mentions"].join(
+            F.broadcast(kg["canon_map"]), "norm_name"
+        ).select("chunk_id", "canonical")
+        return related_entities_rrf(tri, mc, anchor, k=10)
+
     def kg_local_search(spark, sf_dir):
         """GraphRAG LOCAL search: question-seeded personalized PageRank over
         the entity graph (vs the community-summary GLOBAL path of
@@ -1703,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_entity_rank,
         kg_blocking_quality,
         kg_threshold_sweep,
+        kg_related_entities,
         kg_local_search,
         kg_local_context,
         kg_drift_search,
@@ -1930,6 +1959,70 @@ def oracle_sql() -> dict[str, str]:
                              ELSE ((all_pairs - candidate_pairs) * 1000000) // all_pairs
                         END AS bigint) AS reduction_ratio_micro
             FROM na, pa
+        """,
+        # Related-entities RRF: replicate the three anchored rankings and
+        # the truncating-integer fusion; anchor = top-degree entity
+        # (ties -> min name) over the triples-derived undirected graph.
+        "kg_related_entities": f"""
+            WITH tri AS (
+                SELECT subj, obj FROM read_parquet('{triples}')
+            ), und AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM tri WHERE subj <> obj
+            ), deg AS (
+                SELECT u, count(*) AS d FROM (
+                    SELECT a AS u FROM und UNION ALL SELECT b FROM und)
+                GROUP BY u
+            ), anchor AS (
+                SELECT u AS av FROM deg ORDER BY d DESC, u ASC LIMIT 1
+            ), s1 AS (
+                SELECT CASE WHEN subj = (SELECT av FROM anchor) THEN obj
+                            ELSE subj END AS name,
+                       count(*) AS w
+                FROM tri
+                WHERE (subj = (SELECT av FROM anchor)
+                       OR obj = (SELECT av FROM anchor))
+                  AND subj <> obj
+                GROUP BY 1
+            ), adj AS (
+                SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+            ), na AS (
+                SELECT v AS n FROM adj WHERE u = (SELECT av FROM anchor)
+            ), s2 AS (
+                SELECT adj.v AS name, count(*) AS w
+                FROM na JOIN adj ON adj.u = na.n
+                WHERE adj.v <> (SELECT av FROM anchor)
+                GROUP BY adj.v
+            ), m AS (
+                SELECT DISTINCT conv_id || '_' || cast(turn_idx AS varchar)
+                           AS chunk_id,
+                       canonical
+                FROM read_parquet('{mentions}') WHERE norm_name <> ''
+            ), s3 AS (
+                SELECT m2.canonical AS name, count(*) AS w
+                FROM m m1 JOIN m m2 USING (chunk_id)
+                WHERE m1.canonical = (SELECT av FROM anchor)
+                  AND m2.canonical <> (SELECT av FROM anchor)
+                GROUP BY m2.canonical
+            ), uni AS (
+                SELECT name, rnk FROM (
+                    SELECT name, row_number() OVER (ORDER BY w DESC, name ASC)
+                               AS rnk FROM s1) WHERE rnk <= 100
+                UNION ALL
+                SELECT name, rnk FROM (
+                    SELECT name, row_number() OVER (ORDER BY w DESC, name ASC)
+                               AS rnk FROM s2) WHERE rnk <= 100
+                UNION ALL
+                SELECT name, rnk FROM (
+                    SELECT name, row_number() OVER (ORDER BY w DESC, name ASC)
+                               AS rnk FROM s3) WHERE rnk <= 100
+            )
+            SELECT name,
+                   cast(sum(1000000000 // (60 + rnk)) AS bigint) AS score_nano,
+                   cast(count(*) AS bigint) AS n_signals
+            FROM uni GROUP BY name
+            ORDER BY score_nano DESC, name ASC
+            LIMIT 10
         """,
         "kg_threshold_sweep": f"""
             WITH names AS (

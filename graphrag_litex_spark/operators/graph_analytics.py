@@ -941,3 +941,101 @@ def betweenness_approx(
         if frontier is not state:
             release(frontier)
         release(state)
+
+
+def related_entities_rrf(
+    triples: DataFrame,
+    mentions_canon: DataFrame,
+    anchor: str,
+    k: int = 10,
+    rrf_k: int = 60,
+    per_signal_cap: int = 100,
+) -> DataFrame:
+    """Hybrid "related entities" via reciprocal-rank fusion (RRF,
+    Cormack/Clarke/Buettcher SIGIR'09 — the fusion rule behind hybrid
+    retrieval in Elasticsearch/Vespa): three independent relatedness
+    signals are each turned into a RANKING, and rankings — not raw
+    scores — are fused, so incomparable scales (edge counts vs chunk
+    counts) need no normalization.
+
+    Signals, each anchored at ``anchor`` (a canonical entity name):
+      1. attestation   — number of triple sightings between anchor and x
+      2. common-nbrs   — shared neighbors on the undirected simple graph
+      3. co-mentions   — distinct chunks mentioning both anchor and x
+
+    Fusion: contribution of rank r is ``1e9 div (rrf_k + r)`` — a
+    TRUNCATING integer division, so the fused score is an exact bigint
+    both engines compute identically (same policy as the micro-unit
+    ratios elsewhere). Ranks are total orders (weight desc, name asc);
+    each signal list is capped at ``per_signal_cap`` (RRF converges fast:
+    rank 100 at k=60 contributes <1% of rank 1).
+
+    Scale: every signal is anchor-local — neighbors, wedges through the
+    anchor, co-mention partners — so candidate generation touches the
+    anchor's neighborhood, never the full graph; the union is at most
+    ``3 * per_signal_cap`` rows. ``mentions_canon`` must carry
+    (chunk_id, canonical); pass the mentions view joined to the canon
+    map (tiny vs the mention stream, broadcast below the valve).
+    """
+    a = F.lit(anchor)
+
+    # s1: attestation count between anchor and x (either direction).
+    s1 = (
+        triples.where(
+            ((F.col("subj") == a) | (F.col("obj") == a))
+            & (F.col("subj") != F.col("obj"))
+        )
+        .select(
+            F.when(F.col("subj") == a, F.col("obj"))
+            .otherwise(F.col("subj"))
+            .alias("name")
+        )
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+    # s2: common-neighbor count over the undirected simple graph.
+    und = undirected_simple(triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    na = adj.where(F.col("u") == a).select(F.col("v").alias("n"))
+    s2 = (
+        na.join(adj, na.n == adj.u)
+        .where(F.col("v") != a)
+        .groupBy(F.col("v").alias("name"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+    # s3: distinct chunks mentioning both anchor and x.
+    m = mentions_canon.select("chunk_id", "canonical").distinct()
+    m1 = m.where(F.col("canonical") == a).select("chunk_id")
+    s3 = (
+        m1.join(m, "chunk_id")
+        .where(F.col("canonical") != a)
+        .groupBy(F.col("canonical").alias("name"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+    from pyspark.sql import Window
+
+    def ranked(sig: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.col("w").desc(), F.col("name").asc())
+        return (
+            sig.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= per_signal_cap)
+            .select("name", "rnk")
+        )
+
+    u = ranked(s1).unionAll(ranked(s2)).unionAll(ranked(s3))
+    return (
+        u.groupBy("name")
+        .agg(
+            F.sum(F.expr(f"{1_000_000_000} div ({rrf_k} + rnk)"))
+            .cast("long")
+            .alias("score_nano"),
+            F.count(F.lit(1)).cast("long").alias("n_signals"),
+        )
+        .orderBy(F.col("score_nano").desc(), F.col("name").asc())
+        .limit(k)
+    )

@@ -567,3 +567,88 @@ def test_shortest_path_max_hops_and_golden(spark):
         want = shortest_path_golden(und, s, t)
         row = shortest_path(_edges_df(spark, pairs), s, t).first()
         assert (row["found"], row["hops"], row["path_str"]) == want
+
+
+def _rrf_golden(triples, chunks, anchor, rrf_k=60, cap=100, k=10):
+    """Sequential replica of related_entities_rrf's spec: three anchored
+    weight maps -> (w desc, name asc) rankings -> truncating-integer RRF."""
+    from collections import Counter
+
+    s1 = Counter()
+    for s, _p, o in triples:
+        if s != o and anchor in (s, o):
+            s1[o if s == anchor else s] += 1
+    und = {tuple(sorted((s, o))) for s, _p, o in triples if s != o}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    s2 = Counter()
+    for n in adj.get(anchor, ()):
+        for x in adj.get(n, ()):
+            if x != anchor:
+                s2[x] += 1
+    s3 = Counter()
+    by_chunk = {}
+    for cid, name in chunks:
+        by_chunk.setdefault(cid, set()).add(name)
+    for names in by_chunk.values():
+        if anchor in names:
+            for x in names:
+                if x != anchor:
+                    s3[x] += 1
+    fused = Counter()
+    nsig = Counter()
+    for sig in (s1, s2, s3):
+        ranked = sorted(sig.items(), key=lambda kv: (-kv[1], kv[0]))
+        for r, (name, _w) in enumerate(ranked[:cap], start=1):
+            fused[name] += 1_000_000_000 // (rrf_k + r)
+            nsig[name] += 1
+    rows = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(name, score, nsig[name]) for name, score in rows]
+
+
+def test_related_entities_rrf_matches_golden(spark):
+    from graphrag_litex_spark.operators.graph_analytics import related_entities_rrf
+
+    triples = [
+        ("hub", "uses", "a"),
+        ("hub", "uses", "a"),  # repeat sighting: attestation weight 2
+        ("a", "likes", "hub"),
+        ("hub", "uses", "b"),
+        ("a", "knows", "b"),
+        ("c", "knows", "a"),
+        ("c", "knows", "b"),
+        ("d", "knows", "c"),  # d: related only transitively (no signal)
+        ("hub", "self", "hub"),  # self-loop: ignored everywhere
+    ]
+    chunks = [
+        ("ch1", "hub"), ("ch1", "a"),
+        ("ch2", "hub"), ("ch2", "a"),
+        ("ch3", "hub"), ("ch3", "c"),
+        ("ch4", "b"), ("ch4", "c"),
+    ]
+    expected = _rrf_golden(triples, chunks, "hub")
+    assert expected[0][0] == "a" and expected[0][2] == 3  # a leads, all signals
+
+    tdf = spark.createDataFrame(pd.DataFrame(triples, columns=["subj", "pred", "obj"]))
+    mdf = spark.createDataFrame(
+        pd.DataFrame(chunks, columns=["chunk_id", "canonical"])
+    )
+    got = [
+        (r["name"], r["score_nano"], r["n_signals"])
+        for r in related_entities_rrf(tdf, mdf, "hub").collect()
+    ]
+    assert got == expected
+
+
+def test_related_entities_rrf_absent_anchor(spark):
+    from graphrag_litex_spark.operators.graph_analytics import related_entities_rrf
+
+    tdf = spark.createDataFrame(
+        pd.DataFrame([("a", "p", "b")], columns=["subj", "pred", "obj"])
+    )
+    mdf = spark.createDataFrame(
+        pd.DataFrame([("ch1", "a")], columns=["chunk_id", "canonical"])
+    )
+    assert related_entities_rrf(tdf, mdf, "nobody").count() == 0
