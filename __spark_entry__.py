@@ -471,6 +471,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def kg_edges_decayed(spark, sf_dir):
+        """Recency-weighted edge strength: each sighting's 1e6 micro-units
+        are integer-HALVED once per elapsed half-life (shiftright — no
+        libm exp, engine-exact sums), half-life = corpus time range / 8 so
+        the weights are discriminative at any sf. Full value compare vs
+        the same shifts in SQL."""
+        from graphrag_litex_spark.operators.temporal import decayed_edge_strength
+
+        sf = _sf_from_dir(sf_dir)
+        t = _kg(spark, sf)["triples"]
+        tr = spark.read.parquet(_gold(sf, "transcripts")).select(
+            "conv_id", "turn_idx", F.unix_timestamp("ts").cast("long").alias("es")
+        )
+        lo, hi = tr.agg(F.min("es"), F.max("es")).collect()[0]
+        half_life = max(1, (int(hi) - int(lo)) // 8)
+        sightings = t.join(tr, ["conv_id", "turn_idx"]).select("subj", "obj", "es")
+        return decayed_edge_strength(sightings, half_life, as_of_epoch=int(hi))
+
     def kg_asof_edges(spark, sf_dir):
         """Temporal snapshot: the merged edge set AS OF the corpus's time
         midpoint — only observations with ts <= T contribute, so strength/
@@ -1747,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_betweenness,
         kg_global_search,
         kg_edge_history,
+        kg_edges_decayed,
         kg_two_hop,
         kg_ntriples,
         kg_extraction_metrics,
@@ -2076,6 +2095,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{transcripts}') tr
               USING (conv_id, turn_idx)
             GROUP BY t.subj, t.pred, t.obj
+        """,
+        # Recency-weighted strength: same integer right-shift per elapsed
+        # half-life (range/8), truncating floor division for the halvings.
+        "kg_edges_decayed": f"""
+            WITH tr AS (
+                SELECT conv_id, turn_idx,
+                       cast(floor(epoch(ts)) AS bigint) AS es
+                FROM read_parquet('{transcripts}')
+            ), b AS (
+                SELECT max(es) AS hi,
+                       greatest(1, (max(es) - min(es)) // 8) AS hl
+                FROM tr
+            ), s AS (
+                SELECT t.subj, t.obj, tr.es,
+                       cast(least(greatest(((SELECT hi FROM b) - tr.es)
+                                           // (SELECT hl FROM b), 0), 19)
+                            AS int) AS h
+                FROM read_parquet('{triples}') t
+                JOIN tr USING (conv_id, turn_idx)
+                WHERE tr.es <= (SELECT hi FROM b)
+            )
+            SELECT subj AS src, obj AS dst,
+                   cast(sum(1000000 >> h) AS bigint) AS decayed_micro,
+                   cast(count(*) AS bigint) AS n_obs,
+                   cast(max(es) AS bigint) AS last_seen
+            FROM s GROUP BY subj, obj
         """,
         "kg_asof_edges": f"""
             WITH tr AS (

@@ -356,3 +356,56 @@ def interval_join(
         .where(F.col("_hit") | (F.col("_rn") == 1))
         .drop("_hit", "_any", "_rn")
     )
+
+
+def decayed_edge_strength(
+    sightings: DataFrame,
+    half_life_sec: int,
+    as_of_epoch: int | None = None,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+    ts_col: str = "es",
+    max_halvings: int = 19,
+) -> DataFrame:
+    """Recency-weighted relationship strength: each sighting contributes
+    ``1e6`` micro-units HALVED once per elapsed ``half_life_sec`` — the KG
+    consumer's "recent attestations matter more" edge weight, without the
+    floating-point exp() that no two engines round identically.
+
+    The halving is an INTEGER right-shift (``shiftright(1000000,
+    halvings)``), so the per-edge sum is order-free and engine/partitioning
+    exact — the same out-of-contract-FP discipline as ra_micro/harmonic60.
+    ``max_halvings`` floors ancient sightings at shift 19 (contribution 1,
+    never negative-shift UB); a true exp-decay consumer multiplies the
+    micro-units by its own kernel driver-side.
+
+    ``sightings``: one row per observation with (src_col, dst_col, ts_col
+    = epoch seconds). ``as_of_epoch`` anchors "now" (default: corpus max,
+    one 1-row agg broadcast into the projection). One equi-agg total; at
+    10^12 turns this is the same single-shuffle shape as the edge merge.
+    -> (src, dst, decayed_micro, n_obs, last_seen).
+    """
+    if as_of_epoch is None:
+        row = sightings.agg(F.max(ts_col).alias("m")).collect()[0]
+        as_of_epoch = int(row["m"]) if row["m"] is not None else 0
+    # Integer `div`, not float-divide-then-floor: the elapsed/half-life
+    # quotient must be the same exact integer the SQL oracle's `//`
+    # computes (a double division can round across the boundary).
+    halvings = F.least(
+        F.expr(
+            f"(cast({as_of_epoch} as bigint) - cast({ts_col} as bigint))"
+            f" div cast({int(half_life_sec)} as bigint)"
+        ),
+        F.lit(max_halvings).cast("bigint"),
+    ).cast("int")
+    return (
+        sightings.where(F.col(ts_col) <= as_of_epoch)
+        .withColumn("h", F.greatest(halvings, F.lit(0)))
+        .withColumn("w", F.expr("shiftright(1000000, h)"))
+        .groupBy(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .agg(
+            F.sum("w").cast("long").alias("decayed_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.max(ts_col).cast("long").alias("last_seen"),
+        )
+    )

@@ -320,3 +320,40 @@ def test_interval_join_no_nested_loop(iv_frames):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_decayed_edge_strength_hand_computed(spark):
+    """Integer half-life halving: weights 1e6 >> halvings, exact sums."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.temporal import decayed_edge_strength
+
+    # as_of = 1000, half_life = 100: ages 0, 150, 250, 2500(capped), future
+    rows = [
+        ("a", "b", 1000),   # 0 halvings -> 1_000_000
+        ("a", "b", 850),    # 1 halving  -> 500_000
+        ("a", "b", 750),    # 2 halvings -> 250_000
+        ("c", "d", -1500),  # 25 halvings -> capped at 19 -> 1
+        ("e", "f", 1100),   # future sighting: excluded
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["subj", "obj", "es"]))
+    got = {
+        (r["src"], r["dst"]): (r["decayed_micro"], r["n_obs"], r["last_seen"])
+        for r in decayed_edge_strength(df, 100, as_of_epoch=1000).collect()
+    }
+    assert got == {
+        ("a", "b"): (1_750_000, 3, 1000),
+        ("c", "d"): (1_000_000 >> 19, 1, -1500),
+    }
+
+
+def test_decayed_edge_strength_default_asof_is_corpus_max(spark):
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.temporal import decayed_edge_strength
+
+    rows = [("a", "b", 500), ("a", "b", 400)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["subj", "obj", "es"]))
+    (r,) = decayed_edge_strength(df, 100).collect()
+    assert r["decayed_micro"] == 1_000_000 + 500_000  # ages 0 and 100
+    assert r["last_seen"] == 500
