@@ -978,6 +978,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return conversation_integrity(_transcripts(spark, sf_dir))
 
+    def conv_entity_salience(spark, sf_dir):
+        """Per-conversation distinctive entities: tf-over-df salience in
+        truncating integer micro-units (rank order == tf-idf for any
+        monotone idf, no libm log), top-3 per conversation. Full value
+        compare vs the same window in SQL over the golden mentions."""
+        from graphrag_litex_spark.operators.transcripts import (
+            conversation_entity_salience,
+        )
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        mc = (
+            kg["mentions"]
+            .join(F.broadcast(kg["canon_map"]), "norm_name")
+            .select(F.col("source_id").alias("conv_id"), "canonical")
+        )
+        return conversation_entity_salience(mc, top_k=3)
+
     def conv_role_transitions(spark, sf_dir):
         """Corpus-wide role-transition grammar under stable (conv_id,
         turn_idx) ordering (operators/transcripts.role_transitions)."""
@@ -1792,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_bfs_distances,
         conv_stats,
         conv_integrity,
+        conv_entity_salience,
         conv_role_transitions,
         conv_tool_usage,
         conv_prefix_dups,
@@ -2639,6 +2657,33 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY name
             )
             SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        "conv_entity_salience": f"""
+            WITH mc AS (
+                SELECT conv_id, canonical
+                FROM read_parquet('{mentions}') WHERE norm_name <> ''
+            ), tf AS (
+                SELECT conv_id, canonical, count(*) AS tf
+                FROM mc GROUP BY conv_id, canonical
+            ), idf AS (
+                SELECT canonical, count(DISTINCT conv_id) AS df
+                FROM mc GROUP BY canonical
+            ), scored AS (
+                SELECT tf.conv_id, tf.canonical,
+                       cast(tf.tf AS bigint) AS tf,
+                       cast(idf.df AS bigint) AS df,
+                       cast((tf.tf * 1000000) // idf.df AS bigint)
+                           AS salience_micro
+                FROM tf JOIN idf USING (canonical)
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id
+                    ORDER BY salience_micro DESC, canonical ASC) AS rnk
+                FROM scored
+            )
+            SELECT conv_id, canonical, tf, df, salience_micro,
+                   cast(rnk AS bigint) AS rnk
+            FROM ranked WHERE rnk <= 3
         """,
         "conv_stats": f"""
             WITH g AS (

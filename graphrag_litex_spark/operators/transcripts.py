@@ -187,3 +187,51 @@ def conversation_prefix_dups(transcripts: DataFrame, k: int = 3) -> DataFrame:
         F.min("conv_id").over(w).alias("keeper_conv_id"),
         (F.col("conv_id") == F.min("conv_id").over(w)).alias("is_keeper"),
     )
+
+
+def conversation_entity_salience(
+    mentions_canon: DataFrame, top_k: int = 3
+) -> DataFrame:
+    """Per-conversation DISTINCTIVE entities — "what is this conversation
+    about" for a transcript browser: tf-over-df salience without the
+    floating-point idf log.
+
+    For each (conversation, canonical entity): tf = mention count inside
+    the conversation, df = number of distinct conversations mentioning the
+    entity corpus-wide, salience = ``tf * 1e6 div df`` — a truncating
+    integer ratio that rises with local frequency and falls with ubiquity
+    (monotone in tf/df, which is all a top-k needs; rank order matches
+    tf/idf for any monotone idf). Keeps the ``top_k`` rows per conversation
+    under the (salience desc, entity asc) total order.
+
+    Plan: one conv-level agg (tf), one entity-level agg (df, entity-
+    cardinality — AQE-sized join back), one per-conversation window
+    (partitioned by conv_id, so no global sort; a conversation's entity
+    set bounds the window). ``mentions_canon``: (conv_id, canonical).
+    """
+    tf = mentions_canon.groupBy("conv_id", "canonical").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = mentions_canon.groupBy("canonical").agg(
+        F.countDistinct("conv_id").alias("df")
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("salience_micro").desc(), F.col("canonical").asc()
+    )
+    return (
+        tf.join(df, "canonical")
+        .withColumn(
+            "salience_micro",
+            F.expr("(tf * 1000000) div df").cast("long"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            "conv_id",
+            "canonical",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "salience_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -171,3 +171,34 @@ def test_pipeline_validate_ingest_quarantines_bad_conversations(
         spark, src, str(tmp_path / "kg_nogate"), resume=False, until="chunks"
     )
     assert "quarantine" not in res3
+
+
+def test_conversation_entity_salience_hand_computed(spark):
+    """tf * 1e6 div df salience, top-k per conversation, deterministic
+    tie-break on entity name."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.transcripts import (
+        conversation_entity_salience,
+    )
+
+    rows = [
+        # "acme" is everywhere (df=3); "zeta" only in c1 (df=1).
+        ("c1", "acme"), ("c1", "acme"), ("c1", "zeta"),
+        ("c2", "acme"), ("c2", "beta"),
+        ("c3", "acme"), ("c3", "beta"), ("c3", "beta"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["conv_id", "canonical"]))
+    got = {
+        (r["conv_id"], r["rnk"]): (r["canonical"], r["salience_micro"], r["tf"], r["df"])
+        for r in conversation_entity_salience(df, top_k=2).collect()
+    }
+    # c1: zeta tf=1 df=1 -> 1_000_000 beats acme tf=2 df=3 -> 666_666
+    assert got[("c1", 1)] == ("zeta", 1_000_000, 1, 1)
+    assert got[("c1", 2)] == ("acme", 666_666, 2, 3)
+    # c2: beta tf=1 df=2 -> 500_000 beats acme tf=1 df=3 -> 333_333
+    assert got[("c2", 1)] == ("beta", 500_000, 1, 2)
+    assert got[("c2", 2)] == ("acme", 333_333, 1, 3)
+    # c3: beta tf=2 df=2 -> 1_000_000 beats acme tf=1 df=3
+    assert got[("c3", 1)] == ("beta", 1_000_000, 2, 2)
+    assert got[("c3", 2)] == ("acme", 333_333, 1, 3)
