@@ -268,6 +268,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg = _kg(spark, _sf_from_dir(sf_dir))
         return local_search_context(kg, "who acquired acme corp")
 
+    def kg_rerank_context(spark, sf_dir):
+        """Retrieve -> rerank: the local-search context shortlist re-ordered
+        by question/text token-set Jaccard in truncating integer micro-units
+        (the cross-encoder slot's deterministic default — zero Python,
+        replicable in SQL). Oracle = golden local context + the same
+        overlap expression over the transcript text."""
+        from graphrag_litex_spark.querying.answer import (
+            local_search_context,
+            rerank_by_overlap,
+        )
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        cands = local_search_context(kg, "who acquired acme corp").join(
+            kg["chunks"].select("chunk_id", "text"), "chunk_id"
+        )
+        return rerank_by_overlap(cands, "who acquired acme corp", k=5)
+
     def kg_drift_search(spark, sf_dir):
         """GraphRAG DRIFT-style hybrid query mode: global community
         selection seeds a personalized-PageRank local ranking (the third
@@ -1770,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_local_search,
         kg_local_context,
         kg_drift_search,
+        kg_rerank_context,
         kg_triangle_stats,
         kg_link_prediction,
         kg_kcore,
@@ -2922,6 +2940,51 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": f"""
             SELECT level, community_id, parent, entity_id
             FROM read_parquet('{graph["golden_communities"]}')
+        """,
+        # Retrieve->rerank: golden local-context shortlist + the same
+        # token-set Jaccard micro-units over the per-turn transcript text
+        # (chunk text == turn text under the per-turn grain invariant).
+        "kg_rerank_context": f"""
+            WITH cand AS (
+                SELECT c.chunk_id, c.chunk_score, c.n_entities, tr.text
+                FROM read_parquet('{graph["golden_local_context"]}') c
+                JOIN (
+                    SELECT conv_id || '_' || cast(turn_idx AS varchar)
+                               AS chunk_id,
+                           text
+                    FROM read_parquet('{transcripts}')
+                ) tr USING (chunk_id)
+            ), toks AS (
+                SELECT chunk_id, chunk_score, n_entities,
+                       list_distinct(list_filter(
+                           string_split_regex(
+                               lower(regexp_replace(text, '[^a-zA-Z0-9 ]',
+                                                    ' ', 'g')), ' +'),
+                           x -> x <> '')) AS t
+                FROM cand
+            ), scored AS (
+                SELECT chunk_id, chunk_score, n_entities,
+                       cast(len(list_intersect(t,
+                                ['who', 'acquired', 'acme', 'corp']))
+                            AS bigint) AS i,
+                       cast(len(list_distinct(list_concat(t,
+                                ['who', 'acquired', 'acme', 'corp'])))
+                            AS bigint) AS u
+                FROM toks
+            ), final AS (
+                SELECT chunk_id, chunk_score, n_entities,
+                       CASE WHEN u = 0 THEN 0
+                            ELSE (1000000 * i) // u END AS rerank_micro,
+                       row_number() OVER (
+                           ORDER BY (CASE WHEN u = 0 THEN 0
+                                          ELSE (1000000 * i) // u END) DESC,
+                                    chunk_id ASC) AS rerank_rnk
+                FROM scored
+            )
+            SELECT chunk_id, chunk_score, n_entities,
+                   cast(rerank_micro AS bigint) AS rerank_micro,
+                   cast(rerank_rnk AS bigint) AS rerank_rnk
+            FROM final WHERE rerank_rnk <= 5
         """,
         "kg_community_modularity": f"""
             WITH e0 AS (

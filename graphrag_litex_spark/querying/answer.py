@@ -435,3 +435,64 @@ def drift_search(
         .orderBy(F.col("score").desc(), F.col("name").asc())
         .limit(k)
     )
+
+
+def rerank_by_overlap(
+    candidates: DataFrame,
+    question: str,
+    k: int = 5,
+    text_col: str = "text",
+    scorer_udf=None,
+) -> DataFrame:
+    """Retrieve -> RERANK second stage for the query path: re-order a small
+    candidate set by question/text relevance — the production pattern where
+    a cheap first stage (cosine / PPR context) over-fetches and a precise
+    scorer re-orders the shortlist.
+
+    Default scorer (zero Python, codegen'd): token-set Jaccard between the
+    question and the candidate text in truncating integer micro-units
+    (tokens = lowercased alphanumeric runs), deterministic and replicable
+    in ANSI SQL. ``scorer_udf`` is the pluggable cross-encoder slot (same
+    pattern as the C7/LLM slots): any Arrow-batched pandas UDF
+    ``text -> double`` scoring against the question closed over in the UDF;
+    production wires a real cross-encoder loaded once per executor.
+
+    Scale: candidates are a shortlist (k to a few hundred rows) — the sort
+    is bounded by the shortlist, never corpus-sized; the scorer runs once
+    per candidate.
+    """
+
+    def toks(c):
+        return F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9 ]", " ")), " +"),
+                lambda x: x != "",
+            )
+        )
+
+    if scorer_udf is not None:
+        scored = candidates.withColumn("rerank_micro", scorer_udf(F.col(text_col)))
+    else:
+        q = toks(F.lit(question))
+        t = toks(F.col(text_col))
+        scored = (
+            candidates.withColumn("_i", F.size(F.array_intersect(t, q)).cast("bigint"))
+            .withColumn("_u", F.size(F.array_union(t, q)).cast("bigint"))
+            .withColumn(
+                "rerank_micro",
+                F.when(F.col("_u") == 0, F.lit(0).cast("bigint")).otherwise(
+                    F.expr("(1000000 * _i) div _u")
+                ),
+            )
+            .drop("_i", "_u")
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("rerank_micro").desc(), F.col("chunk_id").asc()
+    )
+    return (
+        scored.withColumn("rerank_rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rerank_rnk") <= k)
+        .drop(text_col)
+    )

@@ -208,3 +208,38 @@ def test_pipeline_materializes_summary_embeddings(pipeline_sf0001):
     assert "embedding" in emb.columns and emb.count() > 0
     row = emb.select("embedding").first()
     assert len(row["embedding"]) == 64
+
+
+def test_rerank_by_overlap_default_and_slot(spark):
+    """Default scorer: hand-computed token-set Jaccard micro-units with
+    deterministic tie-break; scorer_udf slot replaces the score column."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from graphrag_litex_spark.querying.answer import rerank_by_overlap
+
+    rows = [
+        ("c1", "Acme Corp was ACQUIRED!", 0.9),   # toks {acme,corp,was,acquired}
+        ("c2", "weather is nice", 0.8),           # no overlap
+        ("c3", "who acquired acme corp", 0.7),    # exact token set
+        ("c4", "", 0.6),                          # empty text
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["chunk_id", "text", "chunk_score"])
+    )
+    q = "who acquired acme corp"
+    got = {
+        r["chunk_id"]: (r["rerank_micro"], r["rerank_rnk"])
+        for r in rerank_by_overlap(df, q, k=4).collect()
+    }
+    # c3: 4/4 -> 1_000_000; c1: {acme,corp,acquired} inter=3 union=5 -> 600_000
+    # c2: 0/7 -> 0; c4: union=4 (question only) inter=0 -> 0; tie c2<c4 by id
+    assert got["c3"] == (1_000_000, 1)
+    assert got["c1"] == (3 * 1_000_000 // 5, 2)
+    assert got["c2"] == (0, 3)
+    assert got["c4"] == (0, 4)
+
+    # cross-encoder slot: any text->double UDF takes over scoring
+    fake = F.pandas_udf(lambda s: s.str.len().astype("float64"), "double")
+    top = rerank_by_overlap(df, q, k=1, scorer_udf=fake).collect()[0]
+    assert top["chunk_id"] == "c1"  # longest text wins under the fake scorer
