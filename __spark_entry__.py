@@ -268,6 +268,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg = _kg(spark, _sf_from_dir(sf_dir))
         return local_search_context(kg, "who acquired acme corp")
 
+    def kg_sparsified(spark, sf_dir):
+        """Union-kNN graph sparsification (k=2) of the merged entity graph
+        by sighting count: an edge survives iff it is in the top-2 of
+        either endpoint's adjacency — the hub-taming pre-step before
+        community detection / walks. Full value compare vs the same
+        windows in SQL over the golden triples."""
+        from graphrag_litex_spark.operators.graph_analytics import sparsify_topk
+
+        e = _kg(spark, _sf_from_dir(sf_dir))["edges"].select(
+            "src", "dst", F.col("n_obs").cast("long").alias("n_obs")
+        )
+        return sparsify_topk(e, k=2, weight_col="n_obs")
+
     def kg_rerank_context(spark, sf_dir):
         """Retrieve -> rerank: the local-search context shortlist re-ordered
         by question/text token-set Jaccard in truncating integer micro-units
@@ -1787,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kg_local_search,
         kg_local_context,
         kg_drift_search,
+        kg_sparsified,
         kg_rerank_context,
         kg_triangle_stats,
         kg_link_prediction,
@@ -2940,6 +2954,37 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": f"""
             SELECT level, community_id, parent, entity_id
             FROM read_parquet('{graph["golden_communities"]}')
+        """,
+        # Union-kNN sparsification: same symmetrize + per-endpoint window
+        # over the golden triples' (least, greatest) sighting counts.
+        "kg_sparsified": f"""
+            WITH tri AS (
+                SELECT subj, obj FROM read_parquet('{triples}')
+                WHERE subj <> obj
+            ), und AS (
+                SELECT least(subj, obj) AS a, greatest(subj, obj) AS b,
+                       cast(count(*) AS bigint) AS weight
+                FROM tri GROUP BY 1, 2
+            ), sym AS (
+                SELECT a AS u, b AS v, weight FROM und
+                UNION ALL
+                SELECT b, a, weight FROM und
+            ), r AS (
+                SELECT u, v, weight,
+                       row_number() OVER (
+                           PARTITION BY u
+                           ORDER BY weight DESC, v ASC) AS rnk
+                FROM sym
+            ), e AS (
+                SELECT least(u, v) AS a, greatest(u, v) AS b, weight,
+                       max(CASE WHEN u < v THEN rnk END) AS rank_a,
+                       max(CASE WHEN u > v THEN rnk END) AS rank_b
+                FROM r GROUP BY 1, 2, 3
+            )
+            SELECT a, b, weight,
+                   cast(rank_a AS bigint) AS rank_a,
+                   cast(rank_b AS bigint) AS rank_b
+            FROM e WHERE rank_a <= 2 OR rank_b <= 2
         """,
         # Retrieve->rerank: golden local-context shortlist + the same
         # token-set Jaccard micro-units over the per-turn transcript text

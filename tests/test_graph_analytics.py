@@ -652,3 +652,37 @@ def test_related_entities_rrf_absent_anchor(spark):
         pd.DataFrame([("ch1", "a")], columns=["chunk_id", "canonical"])
     )
     assert related_entities_rrf(tdf, mdf, "nobody").count() == 0
+
+
+def test_sparsify_topk_hand_computed(spark):
+    """Union-kNN: an edge survives iff in EITHER endpoint's top-k; leaves
+    always keep their only edge; hub excess edges drop."""
+    from graphrag_litex_spark.operators.graph_analytics import sparsify_topk
+
+    # hub h with weighted edges to a(5) b(3) c(1); triangle a-b(4), a-c(2).
+    rows = [
+        ("h", "a", 5), ("h", "b", 3), ("h", "c", 1),
+        ("a", "b", 4), ("a", "c", 2),
+        ("x", "x", 9),  # self-loop: dropped
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    got = {
+        (r["a"], r["b"]): (r["weight"], r["rank_a"], r["rank_b"])
+        for r in sparsify_topk(df, k=1, weight_col="w").collect()
+    }
+    # adjacency ranks: h: a(1) b(2) c(3); a: h(1) b(2) c(3);
+    #                  b: a(1) h(2); c: a(1) h(2)
+    # k=1 union keeps (a,h) [both top-1], (a,b) [b's top-1], (a,c) [c's top-1]
+    assert got == {
+        ("a", "h"): (5, 1, 1),
+        ("a", "b"): (4, 2, 1),
+        ("a", "c"): (2, 3, 1),
+    }
+    # multiplicity path (no weight_col): parallel edges sum as counts
+    rows2 = [("u", "v", 0), ("u", "v", 0), ("u", "w", 0)]
+    df2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["src", "dst", "w"]))
+    got2 = {
+        (r["a"], r["b"]): r["weight"]
+        for r in sparsify_topk(df2, k=2).collect()
+    }
+    assert got2 == {("u", "v"): 2.0, ("u", "w"): 1.0}
