@@ -32,6 +32,54 @@ from pyspark.sql import functions as F
 from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
 
 
+def _pagerank_driver_local(
+    spark,
+    und_pairs: list[tuple[str, str]],
+    damping: float,
+    iters: int,
+    seed_set: set | None,
+) -> DataFrame:
+    """Driver-local power iteration for graphs whose edge set fits on the
+    driver — the same adaptive stance as `cc.connected_components`
+    (operators/cc.py:40): below the threshold, 10 distributed rounds are
+    pure scheduler overhead, so run the identical arithmetic locally. The
+    loop mirrors `oracle_graph.pagerank_golden` term for term IN THE SAME
+    SUMMATION ORDER (sorted vertices, sorted neighbors), so driver-local
+    output is bit-identical to the golden and agrees with the distributed
+    loop far inside the 1e-6 rounding both publish (asserted in
+    tests/test_pagerank.py)."""
+    adj: dict[str, set] = {}
+    for x, y in und_pairs:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    verts = sorted(adj)
+    n = len(verts)
+    schema = "vertex string, rank double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    nbrs = {v: sorted(adj[v]) for v in verts}
+    if seed_set is None:
+        base = dict.fromkeys(verts, (1.0 - damping) / n)
+        r = dict.fromkeys(verts, 1.0 / n)
+    else:
+        present = sorted(seed_set & set(verts))
+        if not present:
+            return spark.createDataFrame([], schema)
+        base = {
+            v: ((1.0 - damping) / len(present) if v in present else 0.0)
+            for v in verts
+        }
+        r = {v: (1.0 / len(present) if v in present else 0.0) for v in verts}
+    for _ in range(iters):
+        acc = dict.fromkeys(verts, 0.0)
+        for v in verts:
+            share = r[v] / len(nbrs[v])
+            for u in nbrs[v]:
+                acc[u] += share
+        r = {v: base[v] + damping * acc[v] for v in verts}
+    return spark.createDataFrame([(v, r[v]) for v in verts], schema)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -39,6 +87,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     seeds: list | DataFrame | None = None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """-> (vertex, rank) over the undirected simple graph of ``edges``.
 
@@ -54,13 +103,45 @@ def pagerank(
     broadcast-sized column. Seeds may be a Python list (question-sized, a
     handful of strings) OR a single-column DataFrame (community-sized seed
     sets — e.g. DRIFT search — stay distributed: marked via a hash join,
-    nothing vertex-proportional ever reaches the driver)."""
+    nothing vertex-proportional ever reaches the driver).
+
+    Adaptive: when the simple-graph edge set is under ``driver_threshold``
+    state rows (edges×2 directions + ≤2 vertices per edge — the same
+    sizing stance as `cc.connected_components`), the 10 checkpointed
+    distributed rounds are pure scheduler overhead, so the power iteration
+    runs driver-local in the golden's exact summation order (bit-identical
+    to `oracle_graph.pagerank_golden`; rounded-1e-6 identical to the
+    distributed loop, asserted in tests). Larger graphs take the
+    one-shuffle-per-round hash-join loop unchanged."""
+    spark = edges.sparkSession
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    und = (
+    und = hard_checkpoint(
         edges.select(a.alias("a"), b.alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    n_und = und.count()
+    if n_und * 4 <= driver_threshold:
+        pairs = [(r["a"], r["b"]) for r in und.collect()]
+        release(und)
+        if seeds is None:
+            seed_set = None
+        elif isinstance(seeds, DataFrame):
+            # Graph-bounded collect: semi-join the seed column against the
+            # (tiny, driver-local-regime) vertex set BEFORE collecting, so
+            # an oversized seed frame never ships to the driver.
+            verts_local = sorted({x for p in pairs for x in p})
+            vdf = spark.createDataFrame([(v,) for v in verts_local], "u string")
+            seed_set = {
+                r["u"]
+                for r in seeds.select(F.col(seeds.columns[0]).alias("u"))
+                .distinct()
+                .join(F.broadcast(vdf), "u", "left_semi")
+                .collect()
+            }
+        else:
+            seed_set = set(seeds)
+        return _pagerank_driver_local(spark, pairs, damping, iters, seed_set)
     # Both directions, partitioned by the join side once and pinned; the
     # per-iteration join then shuffles only the vertex-sized rank state.
     n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
@@ -69,6 +150,7 @@ def pagerank(
         .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .repartition(n_part, "u")
     )
+    release(und)
 
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()  # one job; N is needed as a literal in the update

@@ -130,6 +130,47 @@ def test_local_search_context(spark):
     assert got["c1"][0] > got["c2"][0]
 
 
+def test_driver_local_matches_distributed(spark):
+    """The adaptive valve (tiny graph -> driver-local power iteration) must
+    agree with the distributed hash-join loop far inside the 1e-6 rounding
+    the contract publishes — same stance as cc.py's identity test."""
+    pairs = [(f"v{i}", f"v{(i * 7) % 23}") for i in range(60)]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    local = {r["vertex"]: r["rank"] for r in pagerank(df).collect()}
+    dist = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(df, driver_threshold=0).collect()
+    }
+    assert local.keys() == dist.keys()
+    for v in local:
+        assert local[v] == pytest.approx(dist[v], abs=1e-12)
+
+
+def test_driver_local_matches_distributed_personalized(spark):
+    """Same identity for personalized PageRank with DataFrame seeds — the
+    DRIFT-search shape — including a seed absent from the graph."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "y")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    sdf = spark.createDataFrame([("a",), ("c",), ("zz",)], "vertex string")
+    local = {r["vertex"]: r["rank"] for r in pagerank(df, seeds=sdf).collect()}
+    dist = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(df, seeds=sdf, driver_threshold=0).collect()
+    }
+    assert local.keys() == dist.keys() and local
+    for v in local:
+        assert local[v] == pytest.approx(dist[v], abs=1e-12)
+
+
+def test_distributed_path_empty_and_no_seed(spark):
+    """The distributed loop's empty/seedless exits stay reachable when the
+    valve is off."""
+    df = spark.createDataFrame([("a", "a")], "src string, dst string")
+    assert pagerank(df, driver_threshold=0).count() == 0
+    df2 = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert pagerank(df2, seeds=["zzz"], driver_threshold=0).count() == 0
+
+
 def test_pagerank_dataframe_seeds_identical_to_list(spark):
     """DataFrame-supplied seeds (the DRIFT path) must produce bit-identical
     ranks to the list path, including seeds absent from the graph."""
