@@ -570,7 +570,13 @@ def media_fixture_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 pay.append(enc(img))
             yield pd.DataFrame({"media_id": mid, "kind": kind, "payload": pay})
 
-    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    # Spread the id-only frame BEFORE the render: a single small parquet
+    # file arrives as one input split, which would serialize the CPU-bound
+    # render + downstream decode into one task. The shuffle moves 8
+    # bytes/row; the render fans out to every core.
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         batches, "media_id string, kind string, payload binary"
     )
 
@@ -671,6 +677,10 @@ def audio_fixture_from_docs(docs: DataFrame, id_col: str = "doc_id") -> DataFram
                 pay.append(mc.encode_wav(rate, samples))
             yield pd.DataFrame({"media_id": mid, "kind": kind, "payload": pay})
 
-    return docs.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    # Same id-only spread as media_fixture_from_docs: parallelize the
+    # synth + encode across cores instead of one input split's task.
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    ids = ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    return ids.mapInPandas(
         batches, "media_id string, kind string, payload binary"
     )
