@@ -1450,6 +1450,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = spark.read.parquet(_t(sf_dir, "documents"))
         return _rep(d)
 
+    def ngram_repetition(spark, sf_dir):
+        """Gopher n-gram repetition signals (top-2/3/4-gram and dup-5/10-
+        gram character coverage, Rae et al. 2021 §A1.1): every n generated
+        in one projection, one (id, n, gram) hash agg, conditional-agg
+        pivot back to columns. Full value compare vs the same n-gram
+        enumeration in SQL (list_slice + generate_series)."""
+        from graphrag_litex_spark.operators.scrub import ngram_repetition_stats
+
+        d = spark.read.parquet(_t(sf_dir, "documents"))
+        return ngram_repetition_stats(d).orderBy("doc_id")
+
     def decontamination(spark, sf_dir):
         """Train/test overlap audit: winnow-fingerprint contamination of a
         held-out slice (doc_id < 50) against the remaining corpus as
@@ -1877,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_scrub,
         boilerplate_segments,
         repetition_stats,
+        ngram_repetition,
         decontamination,
         sample_deterministic,
         sample_stratified,
@@ -3408,6 +3420,52 @@ def oracle_sql() -> dict[str, str]:
                               THEN (n_segs - n_ds) * 1.0 / n_segs ELSE 0 END, 6)
                        AS dup_segment_frac
             FROM f LEFT JOIN t USING (doc_id)
+        """,
+        "ngram_repetition": f"""
+            WITH b AS (
+                SELECT doc_id, {_DDB_TEXT_NORM} AS norm FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       CASE WHEN norm = '' THEN [] ELSE string_split(norm, ' ') END AS toks,
+                       length(norm) AS n_chars
+                FROM b
+            ), g AS (
+                SELECT doc_id, n_chars, n,
+                       array_to_string(list_slice(toks, i, i + n - 1), ' ') AS gram
+                FROM (
+                    SELECT t.doc_id, t.n_chars, ns.n, t.toks,
+                           unnest(generate_series(1, len(t.toks) - ns.n + 1)) AS i
+                    FROM t CROSS JOIN (VALUES (2), (3), (4), (5), (10)) AS ns(n)
+                )
+            ), c AS (
+                SELECT doc_id, n_chars, n, gram, count(*) AS c
+                FROM g GROUP BY ALL
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rk
+                FROM c
+            ), a AS (
+                SELECT doc_id, n,
+                       max(CASE WHEN rk = 1 THEN c * length(gram) END) AS top_chars,
+                       sum((c - 1) * length(gram)) AS dup_chars
+                FROM r GROUP BY ALL
+            ), p AS (
+                SELECT doc_id,
+                       max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+                       max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+                       max(CASE WHEN n = 4 THEN top_chars END) AS t4,
+                       max(CASE WHEN n = 5 THEN dup_chars END) AS d5,
+                       max(CASE WHEN n = 10 THEN dup_chars END) AS d10
+                FROM a GROUP BY doc_id
+            )
+            SELECT t.doc_id, cast(t.n_chars AS bigint) AS n_chars,
+                   coalesce(round(coalesce(t2, 0) * 1.0 / nullif(t.n_chars, 0), 6), 0.0) AS top2gram_char_frac,
+                   coalesce(round(coalesce(t3, 0) * 1.0 / nullif(t.n_chars, 0), 6), 0.0) AS top3gram_char_frac,
+                   coalesce(round(coalesce(t4, 0) * 1.0 / nullif(t.n_chars, 0), 6), 0.0) AS top4gram_char_frac,
+                   coalesce(round(coalesce(d5, 0) * 1.0 / nullif(t.n_chars, 0), 6), 0.0) AS dup5gram_char_frac,
+                   coalesce(round(coalesce(d10, 0) * 1.0 / nullif(t.n_chars, 0), 6), 0.0) AS dup10gram_char_frac
+            FROM t LEFT JOIN p USING (doc_id)
+            ORDER BY doc_id
         """,
         "decontamination": f"""
             WITH t AS (

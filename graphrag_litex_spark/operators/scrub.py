@@ -284,3 +284,108 @@ def repetition_stats(
             "dup_segment_frac"
         ),
     )
+
+
+def ngram_repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, §A1.1) n-gram repetition signals —
+    the character-coverage complement to :func:`repetition_stats`'s
+    word/segment fractions -> one row per document:
+
+    - ``top{n}gram_char_frac`` (n in ``top_ns``): characters covered by
+      ALL occurrences of the single most frequent word n-gram / normalized
+      characters. Tie-break: highest count, then lexicographically
+      smallest gram — deterministic across engines and partitionings.
+    - ``dup{n}gram_char_frac`` (n in ``dup_ns``): characters in
+      occurrences BEYOND THE FIRST of every repeated n-gram / normalized
+      characters. Overlapping occurrences count independently (a
+      documented simplification of the paper's no-double-count coverage —
+      same filtering power, SQL-expressible on both engines). Under
+      occurrence-counting a degenerately repetitive document can exceed
+      1.0 (e.g. "q q q ..."); that is a STRONGER repetition signal and
+      thresholding semantics are unchanged.
+
+    Words are the normalized-text tokens (`dedup.norm_text_col`, the
+    toolbox-wide splitter), grams joined with a single space, so the
+    DuckDB oracle is expressible verbatim. Documents with no n-grams for
+    some n (or empty text) report 0.0.
+
+    Plan (the 100 TB shape): every n is generated in ONE projection — a
+    flatten of per-n tagged (n, gram) arrays — so the corpus is scanned
+    once and the only shuffles are the two hash aggs on (id, n, gram) and
+    (id, n); the pivot back to columns is a conditional agg on id (no
+    second scan, no join per n). Gram state is (doc, n, distinct-gram)-
+    proportional — bounded by document length, never corpus-quadratic.
+    """
+    from graphrag_litex_spark.operators.dedup import norm_text_col
+
+    ns = sorted(set(top_ns) | set(dup_ns))
+    norm = norm_text_col(text_col)
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("__t"),
+        F.length(norm).alias("n_chars"),
+    )
+
+    def grams(n: int):
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__t", i, n)),
+        )
+        tagged = F.transform(
+            g, lambda x: F.struct(F.lit(n).alias("n"), x.alias("gram"))
+        )
+        return F.when(F.size("__t") >= n, tagged).otherwise(
+            F.array().cast(f"array<struct<n:int,gram:string>>")
+        )
+
+    flat = base.select(
+        "id",
+        "n_chars",
+        F.explode(F.flatten(F.array(*[grams(n) for n in ns]))).alias("g"),
+    ).select("id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_gram = flat.groupBy("id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_n = per_gram.groupBy("id", "n_chars", "n").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("gram"))).alias("top"),
+        F.sum((F.col("c") - 1) * F.length("gram")).alias("dup_chars"),
+    )
+    top_chars = (-F.col("top.nc")) * F.length(F.col("top.gram"))
+    frac = lambda num: F.round(num / F.col("n_chars"), 6)  # noqa: E731
+    pivoted = per_n.groupBy("id", "n_chars").agg(
+        *[
+            F.max(F.when(F.col("n") == n, frac(top_chars))).alias(
+                f"top{n}gram_char_frac"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, frac(F.col("dup_chars")))).alias(
+                f"dup{n}gram_char_frac"
+            )
+            for n in dup_ns
+        ],
+    )
+    # Documents whose text yields no grams at all (empty / shorter than
+    # min(ns) words) vanish at the explode — restore them with zeros.
+    out_cols = [f"top{n}gram_char_frac" for n in top_ns] + [
+        f"dup{n}gram_char_frac" for n in dup_ns
+    ]
+    return (
+        base.select("id", "n_chars")
+        .join(pivoted.drop("n_chars"), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            *[F.coalesce(c, F.lit(0.0)).alias(c) for c in out_cols],
+        )
+    )

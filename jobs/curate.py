@@ -80,6 +80,7 @@ def curate(
     boilerplate_min_frac: float | None = None,
     pii_redact: bool = False,
     max_top_word_frac: float | None = None,
+    max_dup_5gram_frac: float | None = None,
     min_source_quality: float | None = None,
     source_col: str = "source",
     max_trigram_novelty: float | None = None,
@@ -216,6 +217,19 @@ def curate(
             F.col("id").alias(id_col)
         )
         ann = ann.join(bad, id_col, "left_anti")
+    if max_dup_5gram_frac is not None:
+        # Gopher n-gram repetition gate: drop docs whose repeated 5-gram
+        # character coverage exceeds the cap (the signal that catches
+        # looped paragraphs the single-word gate misses).
+        from graphrag_litex_spark.operators.scrub import ngram_repetition_stats
+
+        nreps = ngram_repetition_stats(
+            docs, id_col, text_col, top_ns=(), dup_ns=(5,)
+        )
+        badn = nreps.where(F.col("dup5gram_char_frac") > max_dup_5gram_frac).select(
+            id_col
+        )
+        ann = ann.join(badn, id_col, "left_anti")
     keep = (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
     if max_tokens is not None:
         keep = keep & (F.col("n_tokens") <= max_tokens)
@@ -268,6 +282,7 @@ def curate(
             "min_tokens": min_tokens,
             "max_tokens": max_tokens,
             "max_top_word_frac": max_top_word_frac,
+            "max_dup_5gram_frac": max_dup_5gram_frac,
         },
         **scrub_report,
     }
@@ -461,6 +476,12 @@ def main(argv: list[str] | None = None) -> int:
         help="drop docs whose most frequent word exceeds this fraction (Gopher repetition gate)",
     )
     p.add_argument(
+        "--max-dup-5gram-frac",
+        type=float,
+        default=None,
+        help="drop docs whose repeated-5-gram char coverage exceeds this fraction (Gopher n-gram gate)",
+    )
+    p.add_argument(
         "--sample-rate",
         type=float,
         default=None,
@@ -597,6 +618,7 @@ def main(argv: list[str] | None = None) -> int:
         boilerplate_min_frac=args.strip_boilerplate,
         pii_redact=args.pii_redact,
         max_top_word_frac=args.max_top_word_frac,
+        max_dup_5gram_frac=args.max_dup_5gram_frac,
         min_source_quality=args.min_source_quality,
         source_col=args.source_col,
         max_trigram_novelty=args.max_trigram_novelty,

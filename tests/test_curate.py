@@ -345,3 +345,31 @@ def test_curate_dup_span_gate(spark):
     kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
     assert kept == ["fresh", "orig"]
     assert report["dup_span_gated"] == 1
+
+
+def test_curate_dup_ngram_gate(spark):
+    """The Gopher n-gram gate catches looped PHRASES the single-word gate
+    misses (every word individually under the top-word cap)."""
+    from jobs.curate import curate
+
+    loop = "one two three four five " * 10  # repeated 5-gram, each word 1/5
+    rows = [
+        ("a", "a perfectly ordinary document with plenty of distinct words "
+              "covering several different topics in a natural way today"),
+        ("r", loop + "tail"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    curated, report = curate(
+        spark, docs, near_dedup=False, max_dup_5gram_frac=0.5,
+        max_top_word_frac=0.5,
+    )
+    kept = sorted(r["doc_id"] for r in curated.select("doc_id").collect())
+    assert kept == ["a"]
+    assert report["filters"]["max_dup_5gram_frac"] == 0.5
+    # without the n-gram gate the looped doc survives the word gate
+    survived, _ = curate(
+        spark, docs, near_dedup=False, max_top_word_frac=0.5,
+    )
+    assert sorted(r["doc_id"] for r in survived.select("doc_id").collect()) == [
+        "a", "r",
+    ]

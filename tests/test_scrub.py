@@ -158,3 +158,48 @@ def test_decontaminate_fp_df_valve(spark):
     raw = decontaminate(test, train).collect()[0]
     valved = decontaminate(test, train, max_fp_df=2).collect()[0]
     assert raw["contamination"] > valved["contamination"]
+
+
+def test_ngram_repetition_hand_computed(spark):
+    """Hand-computed Gopher n-gram fractions: 'a b a b a b c' has
+    2-gram 'a b'x3 (9/13 chars), 3-gram tie broken to 'a b a' (10/13),
+    4-gram 'a b a b'x2 (14/13 — occurrence-counting may exceed 1), and no
+    repeated 5-grams."""
+    from graphrag_litex_spark.operators.scrub import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),
+            (2, ""),
+            (3, "q q q q q q q q q q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df).collect()}
+    d1 = got[1]
+    assert d1["n_chars"] == 13
+    assert d1["top2gram_char_frac"] == pytest.approx(round(9 / 13, 6))
+    assert d1["top3gram_char_frac"] == pytest.approx(round(10 / 13, 6))
+    assert d1["top4gram_char_frac"] == pytest.approx(round(14 / 13, 6))
+    assert d1["dup5gram_char_frac"] == 0.0
+    # empty text: all-zero row still present
+    d2 = got[2]
+    assert d2["n_chars"] == 0 and d2["top2gram_char_frac"] == 0.0
+    # ten 'q's: 9 'q q' bigrams (27/19); dup-5 = 5 extra occurrences x 9
+    # chars (45/19); only one 10-gram -> dup-10 = 0
+    d3 = got[3]
+    assert d3["top2gram_char_frac"] == pytest.approx(round(27 / 19, 6))
+    assert d3["dup5gram_char_frac"] == pytest.approx(round(45 / 19, 6))
+    assert d3["dup10gram_char_frac"] == 0.0
+
+
+def test_ngram_repetition_partitioning_invariant(spark):
+    """Fractions are a pure per-document function — repartitioning the
+    input cannot move them (the tie-break is deterministic)."""
+    from graphrag_litex_spark.operators.scrub import ngram_repetition_stats
+
+    rows = [(i, ("tok%d " % (i % 7)) * (i % 13 + 2) + "end marker") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df.repartition(1)).collect()}
+    b = {r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df.repartition(13)).collect()}
+    assert a == b
