@@ -92,6 +92,44 @@ def build_index(
     return meta
 
 
+def append_index(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    index_dir: str,
+) -> dict:
+    """Add new vectors to a persisted index with FROZEN quantizers — the
+    FAISS ``add()`` semantics: centroids and codebooks come from
+    ``meta.json`` (training is a one-time cost; an append encodes only the
+    increment), so append-then-query equals encoding the union with the
+    original codebooks. One encode pass over the increment, one
+    partitioned parquet append; old lists are never read or rewritten.
+
+    Crash behavior mirrors ``dedup.append_dedup_index``: parquet appends
+    are per-file atomic, so a crash + retry can leave duplicate code rows
+    per id. The rows are byte-identical (same frozen quantizers over the
+    same vectors), and ``query_index`` dedups the probed codes on id
+    before scoring — probe-sized, so idempotence costs nothing at index
+    scale. Re-running a failed append to completion restores the contract
+    exactly.
+    """
+    from graphrag_litex_spark.operators.similarity import ivf_assign, pq_encode
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    books = [
+        [[float(x) for x in cent] for cent in sub] for sub in meta["codebooks"]
+    ]
+    assigned = ivf_assign(new_embeddings, cents, vec_col=vec_col)
+    codes = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col,
+                      keep_cols=["_cid"])
+    codes.repartition("_cid").write.mode("append").partitionBy("_cid").parquet(
+        os.path.join(index_dir, "codes")
+    )
+    return meta
+
+
 def _cosine(a: list[float], b: list[float]) -> float:
     na = 0.0
     for x in a:
@@ -130,10 +168,16 @@ def query_index(
         range(len(meta["centroids"])),
         key=lambda c: (-_cosine(meta["centroids"][c], q), c),
     )[:nprobe]
-    codes = spark.read.parquet(os.path.join(index_dir, "codes")).where(
-        F.col("_cid").isin([int(c) for c in probes])
-    )
     id_col = meta["id_col"]
+    # dropDuplicates(id): a crash-retried append_index leaves byte-identical
+    # duplicate code rows per id (see its docstring) which would crowd the
+    # top-k; the dedup runs over the PROBED partitions only — nprobe/n_lists
+    # of the codes table, never the whole index.
+    codes = (
+        spark.read.parquet(os.path.join(index_dir, "codes"))
+        .where(F.col("_cid").isin([int(c) for c in probes]))
+        .dropDuplicates([id_col])
+    )
     cand = pq_adc_topk(codes, q, meta["codebooks"], k=max(k, rerank), id_col=id_col)
     if rerank <= 0:
         return cand.limit(k)
@@ -168,6 +212,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--lloyd", type=int, default=0)
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
+    a = sub.add_parser("append")
+    a.add_argument("--embeddings", required=True, help="the NEW vectors")
+    a.add_argument("--index", required=True)
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)
     q.add_argument("--embeddings", default=None, help="needed with --rerank")
@@ -200,6 +247,17 @@ def main(argv: list[str] | None = None) -> int:
             "indexed": spark.read.parquet(os.path.join(args.out, "codes")).count(),
             "n_centroids": meta["n_centroids"], "m": meta["m"], "ksub": meta["ksub"],
         }))
+        return 0
+
+    if args.cmd == "append":
+        emb = spark.read.parquet(args.embeddings)
+        meta = append_index(spark, emb, args.index)
+        total = (
+            spark.read.parquet(os.path.join(args.index, "codes"))
+            .dropDuplicates([meta["id_col"]])
+            .count()
+        )
+        print(json.dumps({"appended": emb.count(), "total_indexed": total}))
         return 0
 
     with open(os.path.join(args.index, "meta.json")) as fh:

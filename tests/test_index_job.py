@@ -107,3 +107,65 @@ def test_index_cli_roundtrip(spark, emb_df, tmp_path, capsys):
                  "--vec-id", "1", "--k", "3", "--nprobe", "4"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(res) == 3 and res[0]["vec_id"] == 1  # self is its own NN (adist 0 bucket)
+
+
+@pytest.fixture(scope="module")
+def appended_index(spark, emb_df, tmp_path_factory):
+    """Index built on the first half, second half added with FROZEN
+    quantizers (FAISS add() semantics)."""
+    from jobs.index_embeddings import append_index, build_index
+
+    rows, df = emb_df
+    out = str(tmp_path_factory.mktemp("ivfpq_app"))
+    meta = build_index(spark, df.where("vec_id <= 100"), out,
+                       n_centroids=4, m=4, ksub=8)
+    append_index(spark, df.where("vec_id > 100"), out)
+    return out, meta, rows, df
+
+
+def test_append_equals_union_encode(spark, appended_index):
+    """build(half) + append(half) must equal encoding the UNION with the
+    frozen half-trained quantizers — probe-all query vs the flat PQ path
+    over the same codebooks, byte-equal."""
+    from jobs.index_embeddings import query_index
+
+    out, meta, rows, df = appended_index
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    assert codes.count() == len(rows)
+    for q in (rows[0][1], rows[150][1]):
+        got = query_index(spark, out, q, k=10, nprobe=4).collect()
+        flat = S.pq_adc_topk(
+            S.pq_encode(df, meta["codebooks"]), q, meta["codebooks"], k=10
+        ).collect()
+        assert [(r["vec_id"], r["adist"]) for r in got] == [
+            (r["vec_id"], r["adist"]) for r in flat
+        ]
+
+
+def test_append_retry_is_idempotent_at_query(spark, appended_index, emb_df):
+    """A crash-retried append leaves duplicate code rows; query output is
+    unchanged (probed-partition dedup on id)."""
+    from jobs.index_embeddings import append_index, query_index
+
+    out, meta, rows, df = appended_index
+    q = rows[150][1]
+    before = [(r["vec_id"], r["adist"])
+              for r in query_index(spark, out, q, k=10, nprobe=4).collect()]
+    append_index(spark, df.where("vec_id > 100"), out)  # the "retry"
+    codes = spark.read.parquet(os.path.join(out, "codes"))
+    assert codes.count() > len(rows)  # duplicates really are on disk
+    after = [(r["vec_id"], r["adist"])
+             for r in query_index(spark, out, q, k=10, nprobe=4).collect()]
+    assert before == after
+
+
+def test_appended_vector_found_with_rerank(spark, appended_index):
+    """A vector that entered via append is retrievable as its own nearest
+    neighbor once the exact-cosine rerank orders the ADC candidates."""
+    from jobs.index_embeddings import query_index
+
+    out, meta, rows, df = appended_index
+    vec_id, q = rows[180]
+    got = query_index(spark, out, q, k=5, nprobe=4, rerank=20,
+                      embeddings=df).collect()
+    assert got[0]["vec_id"] == vec_id and got[0]["cosine"] == 1.0
