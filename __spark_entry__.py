@@ -1025,6 +1025,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return conversation_entity_salience(mc, top_k=3)
 
+    def sft_render(spark, sf_dir):
+        """SFT export: each conversation rendered into one ChatML-shaped
+        training sample under stable (conv_id, turn_idx) ordering
+        (operators/transcripts.render_sft) — the last-mile step from the
+        transcript table to a fine-tuning corpus. Full value compare vs
+        string_agg of the identical per-turn rendering in SQL."""
+        from graphrag_litex_spark.operators.transcripts import render_sft
+
+        return render_sft(_transcripts(spark, sf_dir))
+
+    def sft_loss_spans(spark, sf_dir):
+        """Assistant-only loss-mask spans for the SFT rendering: 0-indexed
+        [start_char, end_char) of each assistant turn's content, offsets
+        from one running-sum window over rendered-turn lengths — integer
+        arithmetic, exact in both engines."""
+        from graphrag_litex_spark.operators.transcripts import sft_loss_spans as _sp
+
+        return _sp(_transcripts(spark, sf_dir))
+
     def conv_role_transitions(spark, sf_dir):
         """Corpus-wide role-transition grammar under stable (conv_id,
         turn_idx) ordering (operators/transcripts.role_transitions)."""
@@ -1853,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         conv_stats,
         conv_integrity,
         conv_entity_salience,
+        sft_render,
+        sft_loss_spans,
         conv_role_transitions,
         conv_tool_usage,
         conv_prefix_dups,
@@ -2701,6 +2722,50 @@ def oracle_sql() -> dict[str, str]:
                 ) GROUP BY name
             )
             SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        "sft_render": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role,
+                       '<|im_start|>'
+                       || CASE WHEN tool IS NOT NULL AND tool <> ''
+                               THEN role || ':' || tool ELSE role END
+                       || chr(10) || coalesce(text, '') || '<|im_end|>'
+                       || chr(10) AS r
+                FROM read_parquet('{transcripts}')
+            )
+            SELECT conv_id,
+                   string_agg(r, '' ORDER BY turn_idx) AS text,
+                   count(*) AS n_turns,
+                   cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS bigint) AS n_assistant_turns,
+                   cast(length(string_agg(r, '' ORDER BY turn_idx))
+                        AS bigint) AS n_chars
+            FROM t GROUP BY conv_id
+        """,
+        "sft_loss_spans": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role,
+                       length('<|im_start|>')
+                       + length(CASE WHEN tool IS NOT NULL AND tool <> ''
+                                     THEN role || ':' || tool ELSE role END)
+                       + 1 AS hdr_len,
+                       length(coalesce(text, '')) AS content_len,
+                       length('<|im_start|>')
+                       + length(CASE WHEN tool IS NOT NULL AND tool <> ''
+                                     THEN role || ':' || tool ELSE role END)
+                       + 1 + length(coalesce(text, ''))
+                       + length('<|im_end|>') + 1 AS rl
+                FROM read_parquet('{transcripts}')
+            ), o AS (
+                SELECT *, coalesce(sum(rl) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                FROM t
+            )
+            SELECT conv_id, cast(turn_idx AS bigint) AS turn_idx,
+                   cast(off + hdr_len AS bigint) AS start_char,
+                   cast(off + hdr_len + content_len AS bigint) AS end_char
+            FROM o WHERE role = 'assistant'
         """,
         "conv_entity_salience": f"""
             WITH mc AS (

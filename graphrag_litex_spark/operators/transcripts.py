@@ -235,3 +235,115 @@ def conversation_entity_salience(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+# ---- SFT export: chat-template rendering + loss-span masks -----------------
+
+SFT_BOS = "<|im_start|>"
+SFT_EOS = "<|im_end|>"
+
+
+def _sft_header_role():
+    """Rendered role header: ``role`` or ``role:tool`` for tool turns —
+    agent transcripts keep which tool produced the turn."""
+    return F.when(
+        F.col("tool").isNotNull() & (F.col("tool") != ""),
+        F.concat_ws(":", "role", "tool"),
+    ).otherwise(F.col("role"))
+
+
+def _sft_turns(transcripts: DataFrame) -> DataFrame:
+    """Per-turn rendered string + the char span of the CONTENT within the
+    conversation's full rendering. Spans come from a running-sum window
+    over rendered-turn lengths — offsets are a pure function of the
+    (conv_id, turn_idx) order, no string re-scanning, no UDF."""
+    hdr = _sft_header_role()
+    content = F.coalesce(F.col("text"), F.lit(""))
+    rendered = F.concat(
+        F.lit(SFT_BOS), hdr, F.lit("\n"), content, F.lit(SFT_EOS), F.lit("\n")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    turns = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        rendered.alias("_r"),
+        (F.length(F.lit(SFT_BOS)) + F.length(hdr) + F.lit(1)).alias("_hdr_len"),
+        F.length(content).alias("_content_len"),
+    )
+    off = F.coalesce(F.sum(F.length("_r")).over(w), F.lit(0))
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "_r",
+        (off + F.col("_hdr_len")).cast("long").alias("start_char"),
+        (off + F.col("_hdr_len") + F.col("_content_len")).cast("long").alias(
+            "end_char"
+        ),
+    )
+
+
+def render_sft(transcripts: DataFrame) -> DataFrame:
+    """Render each conversation into ONE training sample -> (conv_id,
+    text, n_turns, n_assistant_turns, n_chars): the last-mile export step
+    that turns the transcript table into SFT data (feed the result to
+    `jobs/export_shards.py` for token-budget JSONL packing).
+
+    Template (ChatML-shaped, deterministic):
+        <|im_start|>{role[:tool]}\\n{text}<|im_end|>\\n   per turn,
+    concatenated in (conv_id, turn_idx) order. Loss-mask spans for the
+    assistant turns come from :func:`sft_loss_spans` (same offsets, same
+    single window — 0-indexed [start_char, end_char) into ``text``).
+
+    Plan: one per-conversation window for the offsets, one hash agg for
+    the concat (collect_list of (turn_idx, rendered) structs, array_sort,
+    then a codegen'd reduce) — conversations are session-bounded, so the
+    collected array is never corpus-proportional. Marker collisions:
+    turn text containing the template markers renders verbatim (the mask
+    spans stay correct because offsets are length-arithmetic, not
+    pattern matches).
+    """
+    turns = _sft_turns(transcripts)
+    agg = turns.groupBy("conv_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "_r"))),
+                lambda s: s["_r"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias(
+            "n_assistant_turns"
+        ),
+    )
+    return agg.select(
+        "conv_id",
+        "text",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_assistant_turns").cast("long").alias("n_assistant_turns"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def sft_loss_spans(transcripts: DataFrame, roles: tuple = ("assistant",)) -> DataFrame:
+    """Loss-mask spans -> (conv_id, turn_idx, start_char, end_char): the
+    0-indexed [start, end) character span of each ``roles`` turn's CONTENT
+    within :func:`render_sft`'s ``text`` (headers and markers excluded —
+    the standard assistant-only SFT loss). Exactly the window pass
+    `render_sft` uses, so the two outputs can never drift."""
+    return (
+        _sft_turns(transcripts)
+        .where(F.col("role").isin(list(roles)))
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "start_char",
+            "end_char",
+        )
+    )
