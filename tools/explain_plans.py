@@ -703,6 +703,62 @@ def main() -> int:
         )
     )
 
+    # Gopher n-gram repetition: one corpus scan generates every n (tagged
+    # flatten), then two hash aggs + a conditional-agg pivot; zero Python.
+    from graphrag_litex_spark.operators.scrub import ngram_repetition_stats
+
+    docs_df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    p = plan_of(ngram_repetition_stats(docs_df))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # formatted explain names each node twice (tree + details): 2 scan
+    # nodes (gram side + zero-fill side of the restore join) = 4 mentions.
+    assert p.count("Scan ") <= 4, "one scan per side of the zero-fill join"
+    sections.append(
+        (
+            "Gopher n-gram repetition signals",
+            "all n values from ONE projection (flatten of tagged per-n gram "
+            "arrays); (id,n,gram) + (id,n) hash aggs, conditional-agg pivot; "
+            "gram state doc-length-bounded",
+            p,
+        )
+    )
+
+    # SFT rendering + loss spans: one per-conversation window for offsets,
+    # one hash agg for the concat; pure codegen end to end.
+    from graphrag_litex_spark.operators.transcripts import (
+        render_sft,
+        sft_loss_spans,
+    )
+
+    tr_df = spark.read.parquet(paths["transcripts"])
+    p = plan_of(render_sft(tr_df))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "SFT chat-template rendering",
+            "per-conversation window (offsets) + one hash agg (ordered "
+            "concat via array_sort of (turn_idx, rendered) structs); "
+            "no Python, no join",
+            p,
+        )
+    )
+    p = plan_of(sft_loss_spans(tr_df))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    sections.append(
+        (
+            "SFT loss-mask spans",
+            "the SAME running-sum window as the rendering (offsets are "
+            "length arithmetic), then a role filter — spans can never "
+            "drift from the rendered text",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
