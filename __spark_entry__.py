@@ -1044,6 +1044,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _sp(_transcripts(spark, sf_dir))
 
+    def sft_packed_spans(spark, sf_dir):
+        """Packed-batch SFT metadata: whole conversations greedily packed
+        into ~2000-token bins (sharded, never split), every assistant loss
+        span re-based to the bin's concatenated text — what a trainer
+        needs for block-diagonal attention + loss masks without
+        re-tokenizing. Integer arithmetic end to end; full value compare
+        vs the identical render+pack+offset windows in SQL."""
+        from graphrag_litex_spark.operators.transcripts import pack_sft_spans
+
+        return pack_sft_spans(_transcripts(spark, sf_dir), budget=2000)
+
     def conv_role_transitions(spark, sf_dir):
         """Corpus-wide role-transition grammar under stable (conv_id,
         turn_idx) ordering (operators/transcripts.role_transitions)."""
@@ -1874,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         conv_entity_salience,
         sft_render,
         sft_loss_spans,
+        sft_packed_spans,
         conv_role_transitions,
         conv_tool_usage,
         conv_prefix_dups,
@@ -2766,6 +2778,64 @@ def oracle_sql() -> dict[str, str]:
                    cast(off + hdr_len AS bigint) AS start_char,
                    cast(off + hdr_len + content_len AS bigint) AS end_char
             FROM o WHERE role = 'assistant'
+        """,
+        "sft_packed_spans": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role,
+                       '<|im_start|>'
+                       || CASE WHEN tool IS NOT NULL AND tool <> ''
+                               THEN role || ':' || tool ELSE role END
+                       || chr(10) || coalesce(text, '') || '<|im_end|>'
+                       || chr(10) AS r,
+                       length('<|im_start|>')
+                       + length(CASE WHEN tool IS NOT NULL AND tool <> ''
+                                     THEN role || ':' || tool ELSE role END)
+                       + 1 AS hdr_len,
+                       length(coalesce(text, '')) AS content_len
+                FROM read_parquet('{transcripts}')
+            ), rend AS (
+                SELECT conv_id, string_agg(r, '' ORDER BY turn_idx) AS rt
+                FROM t GROUP BY conv_id
+            ), sized AS (
+                SELECT conv_id, length(rt) AS n_chars,
+                       CASE WHEN trim(regexp_replace(regexp_replace(lower(rt),
+                                '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g')) = ''
+                            THEN 0
+                            ELSE len(string_split(trim(regexp_replace(
+                                regexp_replace(lower(rt), '[^a-z0-9 ]+', ' ', 'g'),
+                                '\\s+', ' ', 'g')), ' ')) END AS n_tokens,
+                       substr(md5(conv_id), 1, 1) AS shard
+                FROM rend
+            ), packed AS (
+                SELECT conv_id, shard, n_chars, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+                                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM sized
+            ), bins AS (
+                SELECT conv_id, n_chars,
+                       shard || '_' || cast(cast(floor((cum - n_tokens) * 1.0 / 2000)
+                           AS bigint) AS varchar) AS bin_id
+                FROM packed
+            ), offs AS (
+                SELECT conv_id, bin_id,
+                       coalesce(sum(n_chars) OVER (
+                           PARTITION BY bin_id ORDER BY conv_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS off
+                FROM bins
+            ), o AS (
+                SELECT conv_id, turn_idx, role, hdr_len, content_len,
+                       coalesce(sum(length(r)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS toff
+                FROM t
+            )
+            SELECT bin_id, o.conv_id, cast(turn_idx AS bigint) AS turn_idx,
+                   cast(toff + hdr_len + off AS bigint) AS start_char,
+                   cast(toff + hdr_len + content_len + off AS bigint) AS end_char
+            FROM o JOIN offs ON o.conv_id = offs.conv_id
+            WHERE role = 'assistant'
         """,
         "conv_entity_salience": f"""
             WITH mc AS (

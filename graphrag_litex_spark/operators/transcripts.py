@@ -347,3 +347,53 @@ def sft_loss_spans(transcripts: DataFrame, roles: tuple = ("assistant",)) -> Dat
             "end_char",
         )
     )
+
+
+def pack_sft_spans(
+    transcripts: DataFrame, budget: int, shard_hex_digits: int = 1
+) -> DataFrame:
+    """Trainer-ready packing metadata: render (:func:`render_sft`), pack
+    whole conversations into ~``budget``-token bins (`sampling.pack_greedy`
+    — no conversation is ever split), and emit every assistant loss span
+    BIN-RELATIVE -> (bin_id, conv_id, turn_idx, start_char, end_char).
+
+    ``start_char``/``end_char`` index into the bin's concatenated text
+    (samples concatenated in conv_id order — the same deterministic order
+    the packer assigns), which is exactly what a trainer needs to build
+    the block-diagonal attention mask + loss mask for a packed batch
+    without re-tokenizing: sample boundaries are where consecutive spans'
+    conversations change.
+
+    Plan: rendering's window + agg, the packer's sharded window, one
+    per-bin window for the sample offsets (bins are budget-bounded — a
+    handful of samples each — so the window state is tiny), and two hash
+    joins on conv_id/bin keys. All integer arithmetic end to end.
+    """
+    from graphrag_litex_spark.operators.sampling import pack_greedy
+
+    rendered = render_sft(transcripts)
+    packed = pack_greedy(rendered, budget, id_col="conv_id", text_col="text")
+    w = (
+        Window.partitionBy("bin_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        packed.join(
+            rendered.select(F.col("conv_id").alias("doc_id"), "n_chars"),
+            "doc_id",
+        )
+        .withColumn("_off", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+        .select(F.col("doc_id").alias("conv_id"), "bin_id", "_off")
+    )
+    return (
+        sft_loss_spans(transcripts)
+        .join(offs, "conv_id")
+        .select(
+            "bin_id",
+            "conv_id",
+            "turn_idx",
+            (F.col("start_char") + F.col("_off")).cast("long").alias("start_char"),
+            (F.col("end_char") + F.col("_off")).cast("long").alias("end_char"),
+        )
+    )

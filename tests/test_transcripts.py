@@ -274,3 +274,44 @@ def test_render_sft_marker_injection_keeps_spans_exact(spark):
     text = render_sft(df).collect()[0]["text"]
     (s,) = sft_loss_spans(df).collect()
     assert text[s["start_char"]:s["end_char"]] == "real reply"
+
+
+def test_pack_sft_spans_bin_relative_offsets(spark):
+    """Spans re-based into the bin's concatenated text must still slice
+    out exactly the assistant content — including bins holding several
+    conversations (nonzero offsets)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from graphrag_litex_spark.operators.transcripts import (
+        pack_sft_spans,
+        render_sft,
+    )
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = []
+    for c in range(40):
+        rows += [
+            (f"c{c:02d}", 0, "user", f"question {c} with several words", None, ts),
+            (f"c{c:02d}", 1, "assistant", f"answer number {c}", None, ts),
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    spans = pack_sft_spans(df, budget=60).collect()
+    assert len(spans) == 40  # one assistant turn per conversation
+    rendered = {r["conv_id"]: r["text"] for r in render_sft(df).collect()}
+    bins = defaultdict(list)
+    for s in spans:
+        bins[s["bin_id"]].append(s)
+    multi = [b for b, ss in bins.items() if len(ss) > 1]
+    assert multi, "fixture must produce at least one multi-sample bin"
+    for b, ss in bins.items():
+        bin_text = "".join(rendered[c] for c in sorted({s["conv_id"] for s in ss}))
+        for s in ss:
+            seg = bin_text[s["start_char"]:s["end_char"]]
+            assert seg == f"answer number {int(s['conv_id'][1:])}"
+    # nonzero offsets really occurred
+    assert any(s["start_char"] > 200 for b in multi for s in bins[b])
