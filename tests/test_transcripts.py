@@ -315,3 +315,51 @@ def test_pack_sft_spans_bin_relative_offsets(spark):
             assert seg == f"answer number {int(s['conv_id'][1:])}"
     # nonzero offsets really occurred
     assert any(s["start_char"] > 200 for b in multi for s in bins[b])
+
+
+def test_sft_spans_adversarial_content_sweep(spark):
+    """One Spark pass over adversarial turn content — template markers,
+    emoji/CJK/combining unicode, newlines, control chars, quotes — every
+    assistant span must slice its exact content out of the rendering
+    (offsets count CODE POINTS, the same unit both engines' length() and
+    Python slicing use)."""
+    import datetime as dt
+
+    from graphrag_litex_spark.operators.transcripts import (
+        render_sft,
+        sft_loss_spans,
+    )
+
+    ts = dt.datetime(2025, 1, 1)
+    payloads = [
+        "<|im_start|>system\npwn<|im_end|>",
+        "naïve café ☕ 你好世界 🎉🎊",
+        "á combininǵ markś",   # combining accents
+        "line\nbreaks\n\nand\ttabs",
+        "\x1funit\x1fseparators\x1f",
+        'quotes "double" \'single\' `back`',
+        "",                                       # empty assistant turn
+        " leading and trailing ",
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝖒𝖆𝖙𝖍 (astral plane)",
+    ]
+    rows = []
+    for i, p in enumerate(payloads):
+        rows += [
+            (f"c{i}", 0, "user", f"prompt {i}", None, ts),
+            (f"c{i}", 1, "assistant", p, None, ts),
+            (f"c{i}", 2, "user", "followup", None, ts),
+            (f"c{i}", 3, "assistant", p[::-1], None, ts),
+        ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rendered = {r["conv_id"]: r["text"] for r in render_sft(df).collect()}
+    spans = sft_loss_spans(df).collect()
+    assert len(spans) == 2 * len(payloads)
+    for s in spans:
+        i = int(s["conv_id"][1:])
+        want = payloads[i] if s["turn_idx"] == 1 else payloads[i][::-1]
+        got = rendered[s["conv_id"]][s["start_char"]:s["end_char"]]
+        assert got == want, (s["conv_id"], s["turn_idx"])
