@@ -1055,6 +1055,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_sft_spans(_transcripts(spark, sf_dir), budget=2000)
 
+    def sft_token_spans(spark, sf_dir):
+        """Loss spans in corpus-BPE TOKEN space (HF offset-mapping overlap
+        semantics; straddling boundary merges included, never truncated).
+        The BPE encode loop is not SQL-expressible, so — like kg_ppmi —
+        the driver records the weaker rows-only check here; the integer
+        char-span inputs are fully value-checked via sft_loss_spans, the
+        tokenization via bpe_merged_lossless, and the span/coverage
+        invariants in tests/test_transcripts.py."""
+        from graphrag_litex_spark.operators.bpe_ops import train_bpe_merges
+        from graphrag_litex_spark.operators.transcripts import (
+            render_sft,
+            sft_token_spans as _tok,
+        )
+
+        tr = _transcripts(spark, sf_dir)
+        merges = train_bpe_merges(render_sft(tr), text_col="text", n_merges=256)
+        return _tok(tr, merges)
+
     def conv_role_transitions(spark, sf_dir):
         """Corpus-wide role-transition grammar under stable (conv_id,
         turn_idx) ordering (operators/transcripts.role_transitions)."""
@@ -1886,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sft_render,
         sft_loss_spans,
         sft_packed_spans,
+        sft_token_spans,
         conv_role_transitions,
         conv_tool_usage,
         conv_prefix_dups,

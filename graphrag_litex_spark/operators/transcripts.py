@@ -397,3 +397,104 @@ def pack_sft_spans(
             (F.col("end_char") + F.col("_off")).cast("long").alias("end_char"),
         )
     )
+
+
+def sft_token_spans(
+    transcripts: DataFrame,
+    merges: list,
+    roles: tuple = ("assistant",),
+) -> DataFrame:
+    """Loss-mask spans in TOKEN space -> (conv_id, turn_idx, start_tok,
+    end_tok, n_conv_tokens): each :func:`sft_loss_spans` char span mapped
+    into the corpus-trained byte-level BPE tokenization of the rendered
+    conversation (`bpe_ops` merges) — what a trainer masks at batch time.
+
+    Semantics are HF offset-mapping OVERLAP: [start_tok, end_tok) covers
+    every token whose byte span intersects the content's byte span, so a
+    punctuation token straddling the content/marker boundary (the BPE
+    pretokenizer can merge `.` with the following `<`) is INCLUDED rather
+    than silently truncating the loss region. Zero-width spans (empty
+    assistant turns) map to an empty token range at the content position.
+
+    Plan: rendering + spans are the two window passes those operators
+    already run; the char->byte->token mapping is one Arrow-batched
+    ``mapInPandas`` over conversations (per-worker encoder cache, numpy
+    prefix sums + searchsorted — no per-char Python loop in the hot path).
+    The BPE encode loop itself is not SQL-expressible, so this operator's
+    driver check is rows-only; the invariants (losslessness bridge, slice
+    coverage, alignment-exactness) are value-tested in
+    tests/test_transcripts.py against `bpe_ops.bpe_tokenize`.
+    """
+    import pandas as pd
+
+    rendered = render_sft(transcripts).select("conv_id", "text")
+    spans = sft_loss_spans(transcripts, roles)
+    grouped = spans.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "start_char", "end_char"))
+        ).alias("_spans")
+    )
+    inp = rendered.join(grouped, "conv_id")
+    _state: dict = {}
+
+    def batches(it):
+        import numpy as np
+
+        from graphrag_litex_spark.functions.bpe import encode_text, make_encoder
+        from graphrag_litex_spark.operators.bpe_ops import _pretokenize
+
+        if "enc" not in _state:
+            _state["enc"] = make_encoder(merges)
+        enc = _state["enc"]
+        for pdf in it:
+            conv, turn, st_l, en_l, ntok = [], [], [], [], []
+            for conv_id, text, sp in zip(
+                pdf["conv_id"], pdf["text"], pdf["_spans"]
+            ):
+                toks = encode_text(text, enc, _pretokenize)
+                n = len(toks)
+                tstarts = np.zeros(n + 1, dtype=np.int64)
+                if n:
+                    np.cumsum(
+                        np.fromiter((len(t) for t in toks), np.int64, n),
+                        out=tstarts[1:],
+                    )
+                # char index -> byte offset prefix (utf-8 widths)
+                cpre = np.zeros(len(text) + 1, dtype=np.int64)
+                if text:
+                    np.cumsum(
+                        np.fromiter(
+                            (len(ch.encode("utf-8")) for ch in text),
+                            np.int64,
+                            len(text),
+                        ),
+                        out=cpre[1:],
+                    )
+                for s in sp:
+                    b0 = int(cpre[s["start_char"]])
+                    b1 = int(cpre[s["end_char"]])
+                    if b1 > b0:
+                        st = int(np.searchsorted(tstarts, b0, side="right")) - 1
+                        en = int(np.searchsorted(tstarts, b1, side="left"))
+                    else:
+                        st = en = int(np.searchsorted(tstarts, b0, side="left"))
+                    conv.append(conv_id)
+                    turn.append(s["turn_idx"])
+                    st_l.append(st)
+                    en_l.append(en)
+                    ntok.append(n)
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": turn,
+                    "start_tok": st_l,
+                    "end_tok": en_l,
+                    "n_conv_tokens": ntok,
+                }
+            )
+
+    return inp.mapInPandas(
+        batches,
+        "conv_id string, turn_idx long, start_tok long, end_tok long, "
+        "n_conv_tokens long",
+    )

@@ -363,3 +363,94 @@ def test_sft_spans_adversarial_content_sweep(spark):
         want = payloads[i] if s["turn_idx"] == 1 else payloads[i][::-1]
         got = rendered[s["conv_id"]][s["start_char"]:s["end_char"]]
         assert got == want, (s["conv_id"], s["turn_idx"])
+
+
+def test_sft_token_spans_invariants(spark):
+    """Token spans cover the content bytes exactly when aligned, include
+    straddling punctuation tokens under overlap semantics, and agree with
+    bpe_tokenize on the conversation token count."""
+    import datetime as dt
+
+    from graphrag_litex_spark.operators.bpe_ops import (
+        bpe_tokenize,
+        train_bpe_merges,
+    )
+    from graphrag_litex_spark.operators.transcripts import (
+        render_sft,
+        sft_token_spans,
+    )
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "hello there friend", None, ts),
+        ("c1", 1, "assistant", "general kenobi. strike me down", None, ts),
+        ("c1", 2, "assistant", "", None, ts),          # zero-width
+        ("c2", 0, "user", "naïve café", None, ts),
+        ("c2", 1, "assistant", "unicode reply 你好", None, ts),
+        # content ends in '.' directly before the <|im_end|> marker: the
+        # BPE pretokenizer merges '.<|' into one punctuation pretoken, so
+        # the last content byte lives in a token that straddles the
+        # boundary — overlap semantics must include it.
+        ("c3", 0, "assistant", "ends with a period.", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    rend = render_sft(df)
+    merges = train_bpe_merges(rend, text_col="text", n_merges=64)
+    spans = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in sft_token_spans(df, merges).collect()
+    }
+    toks = {r["conv_id"]: r["bpe_tokens"] for r in bpe_tokenize(rend, merges).collect()}
+    content = {
+        ("c1", 1): "general kenobi. strike me down",
+        ("c1", 2): "",
+        ("c2", 1): "unicode reply 你好",
+        ("c3", 0): "ends with a period.",
+    }
+    assert set(spans) == set(content)
+    for key, want in content.items():
+        r = spans[key]
+        t = toks[key[0]]
+        assert r["n_conv_tokens"] == len(t)
+        seg = "".join(t[r["start_tok"]:r["end_tok"]]).encode("latin-1")
+        wb = want.encode("utf-8")
+        assert wb in seg  # content fully covered
+        # overlap slack is bounded by the two edge tokens
+        edge = (len(t[r["start_tok"]]) if r["start_tok"] < len(t) else 0) + (
+            len(t[r["end_tok"] - 1]) if r["end_tok"] > r["start_tok"] else 0
+        )
+        assert len(seg) - len(wb) <= edge
+        if want == "":
+            assert r["start_tok"] == r["end_tok"]
+
+
+def test_sft_token_spans_straddling_merge_included(spark):
+    """A merge crossing the content/marker boundary ('.'+'<' inside the
+    pretokenizer's '.<|' pretoken) yields a token that STRADDLES the span
+    edge; overlap semantics must include it rather than truncate the loss
+    region at the last aligned token."""
+    import datetime as dt
+
+    from graphrag_litex_spark.operators.bpe_ops import bpe_tokenize
+    from graphrag_litex_spark.operators.transcripts import (
+        render_sft,
+        sft_token_spans,
+    )
+
+    ts = dt.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", 0, "assistant", "ends with a period.", None, ts)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    merges = [(".", "<")]  # explicit: force the boundary-crossing token
+    (r,) = sft_token_spans(df, merges).collect()
+    toks = bpe_tokenize(render_sft(df), merges).collect()[0]["bpe_tokens"]
+    assert ".<" in toks  # the straddling token exists
+    seg = "".join(toks[r["start_tok"]:r["end_tok"]]).encode("latin-1")
+    want = b"ends with a period."
+    assert want in seg and seg.endswith(b".<")  # included, not truncated
