@@ -149,6 +149,9 @@ def main() -> None:
         "kg_node2vec_walks",
         "kg_component_sizes",
         "kg_neighborhood_function",
+        "ngram_repetition",
+        "sft_render",
+        "sft_packed_spans",
     ):
         t0 = time.time()
         try:

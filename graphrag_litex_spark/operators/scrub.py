@@ -344,7 +344,7 @@ def ngram_repetition_stats(
             g, lambda x: F.struct(F.lit(n).alias("n"), x.alias("gram"))
         )
         return F.when(F.size("__t") >= n, tagged).otherwise(
-            F.array().cast(f"array<struct<n:int,gram:string>>")
+            F.array().cast("array<struct<n:int,gram:string>>")
         )
 
     flat = base.select(
