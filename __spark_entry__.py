@@ -1073,6 +1073,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merges = train_bpe_merges(render_sft(tr), text_col="text", n_merges=256)
         return _tok(tr, merges)
 
+    def conv_sft_quality(spark, sf_dir):
+        """Per-conversation SFT-quality gates (assistant fraction, mean
+        assistant length, refusal-prefix rate, role-alternation rate,
+        ends-with-assistant) — the transcript-specific curation signals an
+        SFT pipeline filters on before rendering. One window + one hash
+        agg on the conv_id shuffle; full value compare in SQL."""
+        from graphrag_litex_spark.operators.transcripts import (
+            conversation_sft_quality,
+        )
+
+        return conversation_sft_quality(_transcripts(spark, sf_dir))
+
     def conv_role_transitions(spark, sf_dir):
         """Corpus-wide role-transition grammar under stable (conv_id,
         turn_idx) ordering (operators/transcripts.role_transitions)."""
@@ -1905,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sft_loss_spans,
         sft_packed_spans,
         sft_token_spans,
+        conv_sft_quality,
         conv_role_transitions,
         conv_tool_usage,
         conv_prefix_dups,
@@ -2032,6 +2045,15 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN lang = 'de' THEN '{_hex_threshold(1.0)}' "
         f"ELSE '{_hex_threshold(0.1)}' END"
     )
+    from graphrag_litex_spark.operators.transcripts import REFUSAL_PREFIXES
+
+    _DDB_REFUSAL = " OR ".join(
+        "starts_with(lower(coalesce(text, '')), '"
+        + p.replace("'", "''")
+        + "')"
+        for p in REFUSAL_PREFIXES
+    )
+
     ddb_ntokens = (
         f"CASE WHEN {_DDB_TEXT_NORM} = '' THEN 0 "
         f"ELSE len(string_split({_DDB_TEXT_NORM}, ' ')) END"
@@ -2855,6 +2877,36 @@ def oracle_sql() -> dict[str, str]:
                    cast(toff + hdr_len + content_len + off AS bigint) AS end_char
             FROM o JOIN offs ON o.conv_id = offs.conv_id
             WHERE role = 'assistant'
+        """,
+        "conv_sft_quality": f"""
+            WITH b AS (
+                SELECT conv_id, turn_idx, role,
+                       length(coalesce(text, '')) AS len,
+                       CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_a,
+                       CASE WHEN role = 'assistant' AND ({_DDB_REFUSAL})
+                            THEN 1 ELSE 0 END AS ref,
+                       lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+                       row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rev
+                FROM read_parquet('{transcripts}')
+            )
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   cast(sum(is_a) AS bigint) AS n_assistant,
+                   round(sum(is_a) * 1.0 / count(*), 6) AS assistant_frac,
+                   round(CASE WHEN sum(is_a) > 0
+                              THEN sum(is_a * len) * 1.0 / sum(is_a)
+                              ELSE 0 END, 6) AS mean_assistant_chars,
+                   round(CASE WHEN sum(is_a) > 0
+                              THEN sum(ref) * 1.0 / sum(is_a)
+                              ELSE 0 END, 6) AS refusal_frac,
+                   round(CASE WHEN count(*) > 1
+                              THEN sum(CASE WHEN prev_role IS NOT NULL
+                                            AND prev_role <> role
+                                       THEN 1 ELSE 0 END) * 1.0 / (count(*) - 1)
+                              ELSE 0 END, 6) AS alternation_frac,
+                   cast(max(CASE WHEN rev = 1 THEN is_a ELSE 0 END) AS boolean)
+                       AS ends_with_assistant
+            FROM b GROUP BY conv_id
         """,
         "conv_entity_salience": f"""
             WITH mc AS (

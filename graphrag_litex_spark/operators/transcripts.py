@@ -498,3 +498,84 @@ def sft_token_spans(
         "conv_id string, turn_idx long, start_tok long, end_tok long, "
         "n_conv_tokens long",
     )
+
+
+# Fixed refusal-prefix list (lowercased) for SFT quality gating — the
+# standard "assistant declined" heuristics; a fixed list keeps the signal
+# deterministic and SQL-expressible verbatim.
+REFUSAL_PREFIXES = (
+    "i can't",
+    "i cannot",
+    "i can not",
+    "i'm sorry",
+    "i am sorry",
+    "i'm unable",
+    "i am unable",
+    "as an ai",
+    "i won't",
+    "i will not",
+)
+
+
+def conversation_sft_quality(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation SFT-quality signals -> one row per conversation:
+
+    - ``n_turns``, ``n_assistant``, ``assistant_frac``
+    - ``mean_assistant_chars`` (6dp; 0 when no assistant turns)
+    - ``refusal_frac``: assistant turns whose lowercased text starts with
+      a :data:`REFUSAL_PREFIXES` entry / assistant turns (a corpus heavy
+      in refusals teaches refusing; the standard SFT filter signal)
+    - ``alternation_frac``: consecutive-turn pairs whose roles DIFFER /
+      pairs (1.0 = strictly alternating dialogue; low values flag
+      monologues and concatenation bugs); 0 for single-turn conversations
+    - ``ends_with_assistant``: the last turn is the trainable one —
+      conversations ending on a user turn contribute a dangling prompt
+
+    One window (role lag, per-conversation) + one hash agg, both on the
+    conv_id shuffle; every ratio is an integer division rounded at 6dp so
+    the DuckDB oracle matches value-for-value.
+    """
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    is_refusal = None
+    for p in REFUSAL_PREFIXES:
+        cond = low.startswith(p)
+        is_refusal = cond if is_refusal is None else (is_refusal | cond)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_len"),
+        (F.col("role") == "assistant").cast("int").alias("_is_a"),
+        ((F.col("role") == "assistant") & is_refusal).cast("int").alias("_ref"),
+        F.lag("role").over(w).alias("_prev_role"),
+        F.row_number().over(
+            Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+        ).alias("_rev"),
+    )
+    nz = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    return base.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("_is_a").cast("long").alias("n_assistant"),
+        F.round(nz(F.sum("_is_a"), F.count(F.lit(1))), 6).alias("assistant_frac"),
+        F.round(
+            nz(F.sum(F.col("_is_a") * F.col("_len")), F.sum("_is_a")), 6
+        ).alias("mean_assistant_chars"),
+        F.round(nz(F.sum("_ref"), F.sum("_is_a")), 6).alias("refusal_frac"),
+        F.round(
+            nz(
+                F.sum(
+                    F.when(
+                        F.col("_prev_role").isNotNull()
+                        & (F.col("_prev_role") != F.col("role")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.count(F.lit(1)) - 1,
+            ),
+            6,
+        ).alias("alternation_frac"),
+        F.max(
+            F.when(F.col("_rev") == 1, F.col("_is_a")).otherwise(0)
+        ).cast("boolean").alias("ends_with_assistant"),
+    )

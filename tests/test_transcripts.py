@@ -454,3 +454,43 @@ def test_sft_token_spans_straddling_merge_included(spark):
     seg = "".join(toks[r["start_tok"]:r["end_tok"]]).encode("latin-1")
     want = b"ends with a period."
     assert want in seg and seg.endswith(b".<")  # included, not truncated
+
+
+def test_conversation_sft_quality_hand_computed(spark):
+    """Hand-computed gates: refusal fraction, alternation, dangling-prompt
+    detection, single-turn edge case."""
+    import datetime as dt
+
+    from graphrag_litex_spark.operators.transcripts import (
+        conversation_sft_quality,
+    )
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "hi", None, ts),
+        ("c1", 1, "assistant", "hello!", None, ts),
+        ("c1", 2, "user", "help?", None, ts),
+        ("c1", 3, "assistant", "I can't help with that", None, ts),
+        ("c2", 0, "user", "solo prompt", None, ts),
+        ("c3", 0, "user", "a", None, ts),
+        ("c3", 1, "user", "b", None, ts),       # monologue: no alternation
+        ("c3", 2, "assistant", None, None, ts),  # null text, non-refusal
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r["conv_id"]: r.asDict() for r in conversation_sft_quality(df).collect()}
+    c1 = got["c1"]
+    assert c1["n_turns"] == 4 and c1["n_assistant"] == 2
+    assert c1["assistant_frac"] == 0.5
+    assert c1["mean_assistant_chars"] == 14.0  # (6 + 22) / 2
+    assert c1["refusal_frac"] == 0.5 and c1["alternation_frac"] == 1.0
+    assert c1["ends_with_assistant"] is True
+    c2 = got["c2"]
+    assert c2["n_assistant"] == 0 and c2["mean_assistant_chars"] == 0.0
+    assert c2["alternation_frac"] == 0.0 and c2["ends_with_assistant"] is False
+    c3 = got["c3"]
+    assert c3["alternation_frac"] == pytest.approx(0.5)  # user->user, user->assistant
+    assert c3["refusal_frac"] == 0.0 and c3["ends_with_assistant"] is True
