@@ -1,0 +1,170 @@
+"""spark-submit entry point: transcript table -> SFT training corpus —
+the one-command composition of the transcript toolbox (no reference
+analog; the reference stops at KG construction):
+
+    transcripts -> quality gates (operators/transcripts.
+                   conversation_sft_quality: assistant fraction, refusal
+                   rate, alternation, dangling-prompt)
+                -> chat-template rendering (render_sft, one sample per
+                   conversation, role:tool headers)
+                -> char-space loss spans (sft_loss_spans, assistant-only)
+                -> [optional] packed-bin spans (pack_sft_spans — whole
+                   conversations into ~budget-token bins, spans re-based)
+                -> [optional] token-space spans (sft_token_spans over a
+                   corpus-trained BPE; --token-spans N trains N merges)
+                -> parquet tables + JSON report
+
+Output layout under --out:
+
+    samples/       (conv_id, text, n_turns, n_assistant_turns, n_chars)
+    loss_spans/    (conv_id, turn_idx, start_char, end_char)
+    packed_spans/  (bin_id, conv_id, turn_idx, start_char, end_char)   [--budget]
+    token_spans/   (conv_id, turn_idx, start_tok, end_tok, n_conv_tokens) [--token-spans]
+    report.json    gate counts + span accounting
+
+Scale notes (100 TB stance): gates are one conv_id window + hash agg;
+rendering shares that shuffle; the gate filter is a semi-join on conv_id
+(broadcast when small, AQE otherwise); spans add no new corpus scan. The
+JSONL last mile is `jobs/export_shards.py --docs <out>/samples
+--id-col conv_id` — samples are (id, text) rows like any curated corpus.
+
+Usage:
+    spark-submit --py-files graphrag_litex_spark.zip jobs/export_sft.py \
+        --transcripts <parquet> --out <dir> [--min-assistant-frac 0.2]
+        [--max-refusal-frac 0.5] [--min-alternation 0.0]
+        [--require-ends-assistant] [--budget 2048] [--token-spans 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def export_sft(
+    spark: SparkSession,
+    transcripts,
+    out_dir: str,
+    min_assistant_frac: float = 0.0,
+    max_refusal_frac: float | None = None,
+    min_alternation: float = 0.0,
+    require_ends_assistant: bool = False,
+    budget: int | None = None,
+    token_spans_merges: int | None = None,
+) -> dict:
+    """Programmatic API: writes the layout, returns the report dict."""
+    from graphrag_litex_spark.operators.transcripts import (
+        conversation_sft_quality,
+        pack_sft_spans,
+        render_sft,
+        sft_loss_spans,
+        sft_token_spans,
+    )
+
+    q = conversation_sft_quality(transcripts)
+    keep = (F.col("assistant_frac") >= min_assistant_frac) & (
+        F.col("alternation_frac") >= min_alternation
+    )
+    if max_refusal_frac is not None:
+        keep = keep & (F.col("refusal_frac") <= max_refusal_frac)
+    if require_ends_assistant:
+        keep = keep & F.col("ends_with_assistant")
+    stats = q.agg(
+        F.count(F.lit(1)).alias("convs_in"),
+        F.sum(keep.cast("long")).alias("convs_kept"),
+    ).first()
+    kept_ids = q.where(keep).select("conv_id")
+    gated = transcripts.join(kept_ids, "conv_id", "left_semi")
+
+    samples = render_sft(gated)
+    samples.write.mode("overwrite").parquet(os.path.join(out_dir, "samples"))
+    spans = sft_loss_spans(gated)
+    spans.write.mode("overwrite").parquet(os.path.join(out_dir, "loss_spans"))
+    report = {
+        "convs_in": int(stats["convs_in"] or 0),
+        "convs_kept": int(stats["convs_kept"] or 0),
+        "loss_spans": spark.read.parquet(os.path.join(out_dir, "loss_spans")).count(),
+        "gates": {
+            "min_assistant_frac": min_assistant_frac,
+            "max_refusal_frac": max_refusal_frac,
+            "min_alternation": min_alternation,
+            "require_ends_assistant": require_ends_assistant,
+        },
+    }
+    if budget is not None:
+        pack_sft_spans(gated, budget=budget).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "packed_spans")
+        )
+        packed = spark.read.parquet(os.path.join(out_dir, "packed_spans"))
+        report["packed_bins"] = packed.select("bin_id").distinct().count()
+        report["budget"] = budget
+    if token_spans_merges is not None:
+        from graphrag_litex_spark.operators.bpe_ops import train_bpe_merges
+
+        merges = train_bpe_merges(
+            spark.read.parquet(os.path.join(out_dir, "samples")),
+            text_col="text",
+            n_merges=token_spans_merges,
+        )
+        sft_token_spans(gated, merges).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "token_spans")
+        )
+        report["token_spans"] = spark.read.parquet(
+            os.path.join(out_dir, "token_spans")
+        ).count()
+        report["bpe_merges"] = token_spans_merges
+    with open(os.path.join(out_dir, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=1)
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Transcripts -> SFT training corpus")
+    p.add_argument("--transcripts", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-assistant-frac", type=float, default=0.0)
+    p.add_argument("--max-refusal-frac", type=float, default=None)
+    p.add_argument("--min-alternation", type=float, default=0.0)
+    p.add_argument("--require-ends-assistant", action="store_true")
+    p.add_argument("--budget", type=int, default=None,
+                   help="also emit packed-bin spans at this token budget")
+    p.add_argument("--token-spans", type=int, default=None, metavar="N_MERGES",
+                   help="also emit token-space spans over an N-merge corpus BPE")
+    args = p.parse_args(argv)
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        try:
+            spark = SparkSession.builder.appName("kgx_sft").getOrCreate()
+        except Exception:
+            from graphrag_litex_spark.session import get_spark
+
+            spark = get_spark("kgx_sft")
+
+    os.makedirs(args.out, exist_ok=True)
+    report = export_sft(
+        spark,
+        spark.read.parquet(args.transcripts),
+        args.out,
+        min_assistant_frac=args.min_assistant_frac,
+        max_refusal_frac=args.max_refusal_frac,
+        min_alternation=args.min_alternation,
+        require_ends_assistant=args.require_ends_assistant,
+        budget=args.budget,
+        token_spans_merges=args.token_spans,
+    )
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -494,3 +494,39 @@ def test_conversation_sft_quality_hand_computed(spark):
     c3 = got["c3"]
     assert c3["alternation_frac"] == pytest.approx(0.5)  # user->user, user->assistant
     assert c3["refusal_frac"] == 0.0 and c3["ends_with_assistant"] is True
+
+
+def test_export_sft_job(spark, tmp_path):
+    """The one-command SFT export: gates drop the dangling-prompt
+    conversation, layout + report land on disk, spans reference kept
+    conversations only."""
+    import datetime as dt
+    import json
+
+    from jobs.export_sft import export_sft
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("keep", 0, "user", "hi", None, ts),
+        ("keep", 1, "assistant", "hello!", None, ts),
+        ("drop", 0, "user", "dangling prompt, no reply", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = str(tmp_path / "sft")
+    report = export_sft(
+        spark, df, out, min_assistant_frac=0.1, require_ends_assistant=True,
+        budget=50,
+    )
+    assert report["convs_in"] == 2 and report["convs_kept"] == 1
+    samples = spark.read.parquet(out + "/samples").collect()
+    assert [r["conv_id"] for r in samples] == ["keep"]
+    spans = spark.read.parquet(out + "/loss_spans").collect()
+    assert {s["conv_id"] for s in spans} == {"keep"}
+    packed = spark.read.parquet(out + "/packed_spans").collect()
+    assert {p["conv_id"] for p in packed} == {"keep"}
+    with open(out + "/report.json") as fh:
+        assert json.load(fh)["convs_kept"] == 1
