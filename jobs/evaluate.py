@@ -95,6 +95,47 @@ def transcripts_as_documents(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def preference_pairs(
+    spark: SparkSession,
+    questions: list[str],
+    answers_a: list[dict],
+    answers_b: list[dict],
+    eval_rows: list[dict],
+) -> DataFrame:
+    """Judged answers -> DPO/RLHF preference pairs: for each question,
+    majority-vote the per-criterion winners; a non-tie emits one
+    (question, chosen, rejected, margin, n_criteria) row — the training
+    artifact a preference-tuning run consumes. Ties produce no pair (a
+    tied pair teaches nothing and poisons the margin distribution).
+    Deterministic: the judge is deterministic, so the pair set is a pure
+    function of the two answer sets."""
+    per_q: dict[str, int] = {}
+    for r in eval_rows:
+        per_q.setdefault(r["question"], 0)
+        per_q[r["question"]] += 1 if r["winner"] == 1 else (-1 if r["winner"] == 2 else 0)
+    n_crit = len(CRITERIA)
+    rows = []
+    for q, ga, va in zip(questions, answers_a, answers_b):
+        net = per_q.get(q, 0)
+        if net == 0:
+            continue
+        chosen, rejected = (ga, va) if net > 0 else (va, ga)
+        rows.append(
+            {
+                "question": q,
+                "chosen": chosen["answer"],
+                "rejected": rejected["answer"],
+                "margin": abs(net),
+                "n_criteria": n_crit,
+            }
+        )
+    schema = (
+        "question string, chosen string, rejected string, "
+        "margin long, n_criteria long"
+    )
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
 def run_evaluation(
     spark: SparkSession,
     transcripts_path: str,
@@ -103,6 +144,7 @@ def run_evaluation(
     csv_path: str,
     level: int = 0,
     top_k: int = 5,
+    pairs_path: str | None = None,
 ) -> dict:
     """Full §3.3 lifecycle; returns {"csv": path, "tally": {system: wins}}."""
     from graphrag_litex_spark.plans.pipeline import run_pipeline
@@ -130,7 +172,13 @@ def run_evaluation(
         for r in evals.groupBy("winning_system").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     path = write_eval_csv(evals, csv_path)
-    return {"csv": path, "tally": tally}
+    out = {"csv": path, "tally": tally}
+    if pairs_path is not None:
+        pairs = preference_pairs(spark, questions, graph_answers, vector_answers, rows)
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        out["preference_pairs"] = spark.read.parquet(pairs_path).count()
+        out["pairs_path"] = pairs_path
+    return out
 
 
 def main() -> int:

@@ -162,3 +162,43 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     a = sorted((r["id"], r["band"]) for r in spark.read.parquet(src).collect())
     b = sorted((r["id"], r["band"]) for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_preference_pairs_export(spark, corpus_sf0001, tmp_path):
+    """Judged answers export as DPO pairs: majority-vote winner becomes
+    'chosen', ties emit nothing, margins are net criterion wins."""
+    from jobs.evaluate import CRITERIA, preference_pairs, run_evaluation
+
+    questions = ["who acquired acme corp", "who uses quantumdb"]
+    pairs_path = str(tmp_path / "pairs")
+    res = run_evaluation(
+        spark,
+        corpus_sf0001["transcripts"],
+        str(tmp_path / "kg"),
+        questions,
+        str(tmp_path / "eval.csv"),
+        pairs_path=pairs_path,
+    )
+    pairs = spark.read.parquet(pairs_path).collect()
+    assert res["preference_pairs"] == len(pairs)
+    for p in pairs:
+        assert p["chosen"] != p["rejected"]
+        assert 1 <= p["margin"] <= p["n_criteria"] == len(CRITERIA)
+        assert p["question"] in questions
+    # unit: a tie emits no pair; a sweep emits chosen=winner with full margin
+    evals = [
+        {"question": "q1", "winner": 1},
+        {"question": "q1", "winner": 1},
+        {"question": "q1", "winner": 1},
+        {"question": "q1", "winner": 1},
+        {"question": "q2", "winner": 1},
+        {"question": "q2", "winner": 2},
+        {"question": "q2", "winner": 0},
+        {"question": "q2", "winner": 0},
+    ]
+    a = [{"answer": "A1"}, {"answer": "A2"}]
+    b = [{"answer": "B1"}, {"answer": "B2"}]
+    got = preference_pairs(spark, ["q1", "q2"], a, b, evals).collect()
+    assert len(got) == 1  # q2 tied 1-1 -> dropped
+    assert got[0]["question"] == "q1" and got[0]["chosen"] == "A1"
+    assert got[0]["rejected"] == "B1" and got[0]["margin"] == 4
