@@ -307,6 +307,14 @@ def render_sft(transcripts: DataFrame) -> DataFrame:
     turn text containing the template markers renders verbatim (the mask
     spans stay correct because offsets are length-arithmetic, not
     pattern matches).
+
+    PRECONDITION (shared by every SFT operator here): (conv_id, turn_idx)
+    must be unique — duplicate turn indices make the offset window's tie
+    order partition-dependent, so spans could disagree with the rendering.
+    This is exactly the ingest gate's contract: run
+    `conversation_integrity` / `PipelineConfig(validate_ingest=True)`
+    first; quarantined conversations never reach the exporter
+    (`jobs/export_sft.py` consumes the gated table).
     """
     turns = _sft_turns(transcripts)
     agg = turns.groupBy("conv_id").agg(

@@ -58,15 +58,32 @@ def export_sft(
     require_ends_assistant: bool = False,
     budget: int | None = None,
     token_spans_merges: int | None = None,
+    validate: bool = True,
 ) -> dict:
-    """Programmatic API: writes the layout, returns the report dict."""
+    """Programmatic API: writes the layout, returns the report dict.
+
+    ``validate`` (default on) drops non-contiguous conversations first —
+    duplicate/missing turn indices are the one input class that breaks
+    the span operators' offset determinism (their documented
+    precondition), so the exporter enforces the ingest gate itself
+    instead of trusting the caller."""
     from graphrag_litex_spark.operators.transcripts import (
+        conversation_integrity,
         conversation_sft_quality,
         pack_sft_spans,
         render_sft,
         sft_loss_spans,
         sft_token_spans,
     )
+
+    quarantined = 0
+    if validate:
+        bad = conversation_integrity(transcripts).where(
+            ~F.col("is_contiguous")
+        ).select("conv_id")
+        quarantined = bad.count()
+        if quarantined:
+            transcripts = transcripts.join(bad, "conv_id", "left_anti")
 
     q = conversation_sft_quality(transcripts)
     keep = (F.col("assistant_frac") >= min_assistant_frac) & (
@@ -88,6 +105,7 @@ def export_sft(
     spans = sft_loss_spans(gated)
     spans.write.mode("overwrite").parquet(os.path.join(out_dir, "loss_spans"))
     report = {
+        "convs_quarantined": quarantined,
         "convs_in": int(stats["convs_in"] or 0),
         "convs_kept": int(stats["convs_kept"] or 0),
         "loss_spans": spark.read.parquet(os.path.join(out_dir, "loss_spans")).count(),

@@ -510,6 +510,10 @@ def test_export_sft_job(spark, tmp_path):
         ("keep", 0, "user", "hi", None, ts),
         ("keep", 1, "assistant", "hello!", None, ts),
         ("drop", 0, "user", "dangling prompt, no reply", None, ts),
+        # duplicate turn_idx: the offset-determinism precondition breaker —
+        # the exporter's built-in ingest gate must quarantine it
+        ("corrupt", 0, "user", "a", None, ts),
+        ("corrupt", 0, "assistant", "b", None, ts),
     ]
     df = spark.createDataFrame(
         rows,
@@ -521,6 +525,7 @@ def test_export_sft_job(spark, tmp_path):
         spark, df, out, min_assistant_frac=0.1, require_ends_assistant=True,
         budget=50,
     )
+    assert report["convs_quarantined"] == 1
     assert report["convs_in"] == 2 and report["convs_kept"] == 1
     samples = spark.read.parquet(out + "/samples").collect()
     assert [r["conv_id"] for r in samples] == ["keep"]
