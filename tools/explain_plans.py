@@ -759,6 +759,24 @@ def main() -> int:
         )
     )
 
+    # SFT quality gates: both windows (role lag asc, row_number desc) and
+    # the final agg cluster on conv_id — Catalyst plans ONE Exchange.
+    from graphrag_litex_spark.operators.transcripts import (
+        conversation_sft_quality,
+    )
+
+    p = plan_of(conversation_sft_quality(tr_df))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 2, "windows + agg must share the conv_id shuffle"
+    sections.append(
+        (
+            "SFT conversation quality gates",
+            "two windows + partial/final hash agg all clustered on conv_id "
+            "-> one Exchange; ratios are codegen integer divisions",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
