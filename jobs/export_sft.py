@@ -85,7 +85,13 @@ def export_sft(
         if quarantined:
             transcripts = transcripts.join(bad, "conv_id", "left_anti")
 
-    q = conversation_sft_quality(transcripts)
+    # Checkpoint the (conv-proportional, tiny) gate table: the stats agg
+    # and the keep semi-join both consume it, and without materialization
+    # each branch would re-scan the whole corpus through the quality
+    # window (the profiling.py lesson).
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
+
+    q = hard_checkpoint(conversation_sft_quality(transcripts))
     keep = (F.col("assistant_frac") >= min_assistant_frac) & (
         F.col("alternation_frac") >= min_alternation
     )
@@ -140,6 +146,7 @@ def export_sft(
         report["bpe_merges"] = token_spans_merges
     with open(os.path.join(out_dir, "report.json"), "w") as fh:
         json.dump(report, fh, indent=1)
+    release(q)  # every consumer of kept_ids has executed by here
     return report
 
 
