@@ -379,3 +379,62 @@ def streaming_dedup(
     return hashed.groupBy("text_hash").applyInPandasWithState(
         update, DEDUP_OUT_SCHEMA, DEDUP_STATE_SCHEMA, "append", timeout
     )
+
+
+def stream_sft_samples(
+    transcripts_stream: DataFrame,
+    gap_minutes: float = 30.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming SFT export: each conversation renders into ONE training
+    sample (`operators/transcripts.render_sft` template, byte-identical)
+    the moment its session CLOSES — last turn older than gap + watermark.
+    The streaming twin of the batch renderer for a continuously-ingested
+    transcript feed: samples flow to the SFT corpus as conversations end,
+    no batch re-scan of the whole table per export.
+
+    Per-turn rendering is a pure projection (no window — streaming can't
+    sort-window); ordering happens INSIDE the session aggregate via
+    array_sort over (turn_idx, rendered) structs, exactly the batch
+    operator's concat. State per live conversation is its rendered turns
+    (session-bounded); closed sessions flush on the watermark. A
+    conversation idle-split by the gap emits one sample per session —
+    the same semantics as sessionized ingest. Loss spans: run the batch
+    `sft_loss_spans` over the emitted (now static) conversations — spans
+    are a pure function of the turns, so streaming them adds nothing.
+    """
+    from graphrag_litex_spark.operators.transcripts import _sft_header_role
+
+    gap = f"{int(gap_minutes * 60_000_000) + 1} microseconds"
+    hdr = _sft_header_role()
+    content = F.coalesce(F.col("text"), F.lit(""))
+    rendered = F.concat(
+        F.lit("<|im_start|>"), hdr, F.lit("\n"), content,
+        F.lit("<|im_end|>"), F.lit("\n"),
+    )
+    turns = transcripts_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).select(
+        "conv_id",
+        "ts",
+        F.struct("turn_idx", rendered.alias("_r")).alias("_t"),
+        (F.col("role") == "assistant").cast("long").alias("_is_a"),
+    )
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window(F.col("ts"), gap))
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("_t")), lambda s: s["_r"])
+            ).alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum("_is_a").cast("long").alias("n_assistant_turns"),
+        )
+        .select(
+            "conv_id",
+            "text",
+            "n_turns",
+            "n_assistant_turns",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )

@@ -348,3 +348,49 @@ def test_conversation_integrity_stream_matches_batch(spark, split_corpus, tmp_pa
     # even though the corpus is clean at the end — cross-batch state worked.
     assert all(v[4] for v in want.values())  # clean corpus: all contiguous
     assert updates.where(~F.col("is_contiguous")).count() > 0
+
+
+def test_stream_sft_samples_matches_batch_render(spark, tmp_path_factory):
+    """Closed-session streaming SFT samples are byte-identical to batch
+    render_sft over the same conversations (single-session conversations,
+    gap wide enough to hold each conversation together)."""
+    import datetime as dt
+
+    from graphrag_litex_spark.operators.transcripts import render_sft
+    from graphrag_litex_spark.streaming.incremental import stream_sft_samples
+
+    tr = spark.read.parquet(
+        __import__("graphrag_litex_spark.datagen", fromlist=["datagen"])
+        .ensure_corpus(0.001)["transcripts"]
+    )
+    input_dir = str(tmp_path_factory.mktemp("sft_stream_in"))
+    tr.coalesce(1).write.mode("overwrite").parquet(input_dir)
+    out = str(tmp_path_factory.mktemp("sft_stream_out"))
+
+    stream = spark.readStream.schema(tr.schema).parquet(input_dir)
+    q = (
+        stream_sft_samples(stream, gap_minutes=24 * 60.0, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        r["conv_id"]: (r["text"], r["n_turns"], r["n_assistant_turns"], r["n_chars"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r["conv_id"]: (r["text"], r["n_turns"], r["n_assistant_turns"], r["n_chars"])
+        for r in render_sft(tr).collect()
+    }
+    # append mode flushes sessions whose end (last turn + gap) passed the
+    # final watermark; with a 24h gap only the old conversations emit.
+    assert streamed, "some conversations must have closed"
+    for cid, got in streamed.items():
+        assert got == batch[cid], cid
+    # streamed set is exactly the batch set restricted to closed sessions
+    assert set(streamed) <= set(batch)
