@@ -1524,12 +1524,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def decontamination(spark, sf_dir):
         """Train/test overlap audit: winnow-fingerprint contamination of a
         held-out slice (doc_id < 50) against the remaining corpus as
-        training data. Oracle = the same join over the bit-exact
-        pure-Python winnow fingerprint golden."""
+        training data. The test side is measured-small (a benchmark suite,
+        not a corpus), so the broadcast valve keeps the corpus-side
+        fingerprints shuffle-free past the winnow. Oracle = the same join
+        over the bit-exact pure-Python winnow fingerprint golden."""
         from graphrag_litex_spark.operators.scrub import decontaminate
 
         d = spark.read.parquet(_t(sf_dir, "documents"))
-        return decontaminate(d.where("doc_id < 50"), d.where("doc_id >= 50"))
+        return decontaminate(
+            d.where("doc_id < 50"), d.where("doc_id >= 50"), broadcast_test=True
+        )
 
     def sample_deterministic(spark, sf_dir):
         """Reproducible hash-threshold sampling: membership is a pure

@@ -183,6 +183,7 @@ def decontaminate(
     k: int = 5,
     window: int = 4,
     max_fp_df: int | None = None,
+    broadcast_test: bool = False,
 ) -> DataFrame:
     """Train/test contamination check — the decontamination step every
     benchmark-respecting training pipeline runs: winnowing fingerprints
@@ -199,10 +200,24 @@ def decontaminate(
     present in more than that many TRAIN docs are boilerplate shingles —
     uninformative for contamination and exactly the hot join keys — and
     are dropped before the shuffle (same family as n-gram `max_doc_freq`).
+
+    ``broadcast_test`` is the 100 TB valve (same caller-measured idiom as
+    the pipeline's canon-map valve): the usual regime is a megabyte-scale
+    benchmark suite vs a corpus-scale train side, where the default
+    shuffle join repartitions EVERY train fingerprint on fp just to meet a
+    handful of test fingerprints. With the hint, the test fingerprints
+    broadcast and the fp join runs map-side over the train winnow scan —
+    zero train-side Exchange past the winnow itself. Leave False when the
+    "test" side is itself corpus-scale (cross-corpus contamination audit);
+    asserted Exchange-free in tests/test_scrub.py.
     """
     from graphrag_litex_spark.operators.text_analysis import winnow_fingerprints
 
     tf = winnow_fingerprints(test, id_col, text_col, k, window)
+    # Hint only the fp-join probe side: hinting `tf` itself would leak the
+    # hint into the final totals-left-join (unsupported build side — Spark
+    # logs a HintErrorLogger warning per plan compile).
+    tf_probe = F.broadcast(tf) if broadcast_test else tf
     rf = winnow_fingerprints(train, id_col, text_col, k, window).select(
         F.col("id").alias("__tid"), "fp"
     )
@@ -213,7 +228,7 @@ def decontaminate(
         rf = rf.join(ok.select("fp"), "fp")
     totals = tf.groupBy("id").agg(F.count(F.lit(1)).alias("n_fps"))
     shared = (
-        tf.join(rf, "fp")
+        tf_probe.join(rf, "fp")
         .groupBy("id")
         .agg(
             F.count_distinct("fp").alias("n_shared_fps"),

@@ -160,6 +160,27 @@ def test_decontaminate_fp_df_valve(spark):
     assert raw["contamination"] > valved["contamination"]
 
 
+def test_decontaminate_broadcast_test_valve(spark):
+    """broadcast_test=True: identical results, and the fp join compiles to
+    a BroadcastHashJoin with NO Exchange on the train-fingerprint side
+    past the winnow's own doc-keyed shuffle — the 100 TB regime where the
+    benchmark suite is megabytes and train is the corpus."""
+    from graphrag_litex_spark.operators.scrub import decontaminate
+
+    leaked = "the secret benchmark answer is forty two and the question is unknown"
+    test = spark.createDataFrame([(1, leaked)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(100, leaked + " plus a tail"), (101, "unrelated pasta cooking text")],
+        "doc_id long, text string",
+    )
+    base = decontaminate(test, train).collect()
+    hinted_df = decontaminate(test, train, broadcast_test=True)
+    hinted = hinted_df.collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, hinted))
+    plan = hinted_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ngram_repetition_hand_computed(spark):
     """Hand-computed Gopher n-gram fractions: 'a b a b a b c' has
     2-gram 'a b'x3 (9/13 chars), 3-gram tie broken to 'a b a' (10/13),
