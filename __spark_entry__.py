@@ -1055,6 +1055,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_sft_spans(_transcripts(spark, sf_dir), budget=2000)
 
+    def sft_unrolled(spark, sf_dir):
+        """Per-turn SFT unrolling: every assistant turn becomes one
+        (prompt, completion) sample — prompt is the full preceding context
+        plus the opened assistant header (the generation cue), completion
+        is the turn's content closed with the end marker. prompt ||
+        completion is a prefix of the sft_render text by construction.
+        Full value compare vs the identical prefix window in SQL."""
+        from graphrag_litex_spark.operators.transcripts import unroll_sft
+
+        return unroll_sft(_transcripts(spark, sf_dir))
+
     def sft_token_spans(spark, sf_dir):
         """Loss spans in corpus-BPE TOKEN space (HF offset-mapping overlap
         semantics; straddling boundary merges included, never truncated).
@@ -1920,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sft_render,
         sft_loss_spans,
         sft_packed_spans,
+        sft_unrolled,
         sft_token_spans,
         conv_sft_quality,
         conv_role_transitions,
@@ -2823,6 +2835,39 @@ def oracle_sql() -> dict[str, str]:
                    cast(off + hdr_len AS bigint) AS start_char,
                    cast(off + hdr_len + content_len AS bigint) AS end_char
             FROM o WHERE role = 'assistant'
+        """,
+        "sft_unrolled": f"""
+            WITH r AS (
+                SELECT conv_id, turn_idx, role,
+                       '<|im_start|>'
+                       || CASE WHEN tool IS NOT NULL AND tool <> ''
+                               THEN role || ':' || tool ELSE role END
+                       || chr(10) AS hdrs,
+                       coalesce(text, '') || '<|im_end|>' || chr(10) AS compl,
+                       '<|im_start|>'
+                       || CASE WHEN tool IS NOT NULL AND tool <> ''
+                               THEN role || ':' || tool ELSE role END
+                       || chr(10) || coalesce(text, '') || '<|im_end|>'
+                       || chr(10) AS rend
+                FROM read_parquet('{transcripts}')
+            ), p AS (
+                SELECT conv_id, turn_idx, role, hdrs, compl,
+                       coalesce(string_agg(rend, '') OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           '') AS prefix,
+                       count(*) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS n_ctx
+                FROM r
+            )
+            SELECT conv_id, cast(turn_idx AS bigint) AS turn_idx,
+                   prefix || hdrs AS prompt, compl AS completion,
+                   cast(n_ctx AS bigint) AS n_context_turns,
+                   cast(length(prefix || hdrs) AS bigint) AS n_prompt_chars,
+                   cast(length(compl) AS bigint) AS n_completion_chars
+            FROM p WHERE role = 'assistant'
         """,
         "sft_packed_spans": f"""
             WITH t AS (

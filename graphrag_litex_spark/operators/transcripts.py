@@ -357,6 +357,76 @@ def sft_loss_spans(transcripts: DataFrame, roles: tuple = ("assistant",)) -> Dat
     )
 
 
+def unroll_sft(
+    transcripts: DataFrame,
+    roles: tuple = ("assistant",),
+    max_prompt_chars: int | None = None,
+) -> DataFrame:
+    """Per-turn SFT unrolling — the multi-turn recipe that trains on EVERY
+    ``roles`` turn with its full preceding context, not one sample per
+    conversation: for each matching turn emit
+    -> (conv_id, turn_idx, prompt, completion, n_context_turns,
+        n_prompt_chars, n_completion_chars)
+    where ``prompt`` is the rendering of every earlier turn PLUS the
+    target turn's opened header (``<|im_start|>{role[:tool]}\\n`` — the
+    generation cue), and ``completion`` is the turn's content closed with
+    ``<|im_end|>\\n``. Invariant (tested): ``prompt || completion`` equals
+    the :func:`render_sft` text truncated at the end of the target turn,
+    so unrolled samples and whole-conversation samples can never drift.
+
+    ``max_prompt_chars`` left-truncates the prompt (keep the most recent
+    context — the trainer-budget valve; both engines' ``right()``).
+
+    Plan: ONE per-conversation window (ordered rows frame) carrying a
+    running ``collect_list`` of rendered turns — same single hash shuffle
+    as `render_sft`. Each emitted row materializes its own prefix, so a
+    conversation's output is O(turns x chars) — quadratic in SESSION
+    length, never corpus-proportional (sessions are bounded by the same
+    argument as `render_sft`'s collected array; pathological transcripts
+    are exactly what the ingest gate's `conversation_stats` length caps
+    are for). Same (conv_id, turn_idx)-uniqueness precondition as every
+    SFT operator here.
+    """
+    hdr = _sft_header_role()
+    content = F.coalesce(F.col("text"), F.lit(""))
+    rendered = F.concat(
+        F.lit(SFT_BOS), hdr, F.lit("\n"), content, F.lit(SFT_EOS), F.lit("\n")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        rendered.alias("_r"),
+        F.concat(F.lit(SFT_BOS), hdr, F.lit("\n")).alias("_hdr"),
+        F.concat(content, F.lit(SFT_EOS), F.lit("\n")).alias("_completion"),
+    )
+    unrolled = (
+        base.withColumn(
+            "_prefix",
+            F.concat_ws("", F.coalesce(F.collect_list("_r").over(w), F.array())),
+        )
+        .withColumn("_n_ctx", F.count(F.lit(1)).over(w))
+        .where(F.col("role").isin(list(roles)))
+    )
+    prompt = F.concat(F.col("_prefix"), F.col("_hdr"))
+    if max_prompt_chars is not None:
+        prompt = F.right(prompt, F.lit(max_prompt_chars))
+    return unrolled.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        prompt.alias("prompt"),
+        F.col("_completion").alias("completion"),
+        F.col("_n_ctx").cast("long").alias("n_context_turns"),
+        F.length(prompt).cast("long").alias("n_prompt_chars"),
+        F.length("_completion").cast("long").alias("n_completion_chars"),
+    )
+
+
 def pack_sft_spans(
     transcripts: DataFrame, budget: int, shard_hex_digits: int = 1
 ) -> DataFrame:

@@ -20,6 +20,7 @@ Output layout under --out:
     loss_spans/    (conv_id, turn_idx, start_char, end_char)
     packed_spans/  (bin_id, conv_id, turn_idx, start_char, end_char)   [--budget]
     token_spans/   (conv_id, turn_idx, start_tok, end_tok, n_conv_tokens) [--token-spans]
+    unrolled/      (conv_id, turn_idx, prompt, completion, ...)           [--unroll]
     report.json    gate counts + span accounting
 
 Scale notes (100 TB stance): gates are one conv_id window + hash agg;
@@ -58,6 +59,8 @@ def export_sft(
     require_ends_assistant: bool = False,
     budget: int | None = None,
     token_spans_merges: int | None = None,
+    unroll: bool = False,
+    max_prompt_chars: int | None = None,
     validate: bool = True,
 ) -> dict:
     """Programmatic API: writes the layout, returns the report dict.
@@ -129,6 +132,17 @@ def export_sft(
         packed = spark.read.parquet(os.path.join(out_dir, "packed_spans"))
         report["packed_bins"] = packed.select("bin_id").distinct().count()
         report["budget"] = budget
+    if unroll:
+        from graphrag_litex_spark.operators.transcripts import unroll_sft
+
+        unroll_sft(gated, max_prompt_chars=max_prompt_chars).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "unrolled"))
+        report["unrolled_samples"] = spark.read.parquet(
+            os.path.join(out_dir, "unrolled")
+        ).count()
+        if max_prompt_chars is not None:
+            report["max_prompt_chars"] = max_prompt_chars
     if token_spans_merges is not None:
         from graphrag_litex_spark.operators.bpe_ops import train_bpe_merges
 
@@ -162,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also emit packed-bin spans at this token budget")
     p.add_argument("--token-spans", type=int, default=None, metavar="N_MERGES",
                    help="also emit token-space spans over an N-merge corpus BPE")
+    p.add_argument("--unroll", action="store_true",
+                   help="also emit per-assistant-turn (prompt, completion) samples")
+    p.add_argument("--max-prompt-chars", type=int, default=None,
+                   help="left-truncate unrolled prompts to the most recent N chars")
     args = p.parse_args(argv)
 
     active = SparkSession.getActiveSession()
@@ -186,6 +204,8 @@ def main(argv: list[str] | None = None) -> int:
         require_ends_assistant=args.require_ends_assistant,
         budget=args.budget,
         token_spans_merges=args.token_spans,
+        unroll=args.unroll,
+        max_prompt_chars=args.max_prompt_chars,
     )
     print(json.dumps(report))
     return 0

@@ -204,6 +204,66 @@ def test_conversation_entity_salience_hand_computed(spark):
     assert got[("c3", 2)] == ("acme", 333_333, 1, 3)
 
 
+def test_unroll_sft_prefix_invariant_and_truncation(spark):
+    """Every unrolled sample's prompt || completion is a prefix of the
+    whole-conversation rendering ending exactly at the target turn; a
+    conversation-opening assistant turn gets an empty context; the
+    max_prompt_chars valve keeps the MOST RECENT context."""
+    import datetime as dt
+
+    from graphrag_litex_spark.operators.transcripts import render_sft, unroll_sft
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "hello", None, ts),
+        ("c1", 1, "assistant", "hi there", None, ts),
+        ("c1", 2, "tool", '{"result": 42}', "calc", ts),
+        ("c1", 3, "assistant", "the answer is 42", None, ts),
+        ("c2", 0, "assistant", "unprompted opener", None, ts),
+        ("c2", 1, "assistant", None, None, ts),  # null content -> empty
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    full = {r["conv_id"]: r["text"] for r in render_sft(df).collect()}
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in unroll_sft(df).collect()
+    }
+    assert set(got) == {("c1", 1), ("c1", 3), ("c2", 0), ("c2", 1)}
+    for (cid, _), r in got.items():
+        joined = r["prompt"] + r["completion"]
+        assert full[cid].startswith(joined)
+        assert r["prompt"].endswith("<|im_start|>assistant\n")
+        assert r["completion"].endswith("<|im_end|>\n")
+        assert r["n_prompt_chars"] == len(r["prompt"])
+        assert r["n_completion_chars"] == len(r["completion"])
+    # c1 turn 3: prompt+completion IS the full rendering (last turn)
+    r13 = got[("c1", 3)]
+    assert r13["prompt"] + r13["completion"] == full["c1"]
+    assert r13["n_context_turns"] == 3
+    assert r13["completion"] == "the answer is 42<|im_end|>\n"
+    # conversation-opening assistant: empty context, header-only prompt
+    r20 = got[("c2", 0)]
+    assert r20["n_context_turns"] == 0
+    assert r20["prompt"] == "<|im_start|>assistant\n"
+    # null content -> empty completion body
+    assert got[("c2", 1)]["completion"] == "<|im_end|>\n"
+    # truncation valve keeps the suffix (most recent context)
+    trunc = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in unroll_sft(df, max_prompt_chars=25).collect()
+    }
+    for key, r in trunc.items():
+        assert len(r["prompt"]) <= 25
+        assert got[key]["prompt"].endswith(r["prompt"])
+    # roles knob: unroll user turns instead
+    users = unroll_sft(df, roles=("user",)).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in users} == {("c1", 0)}
+
+
 def test_render_sft_and_spans_slice_exactly(spark):
     """The loss spans, applied to the rendered text, must slice out
     exactly the assistant turns' content — headers, markers, and tool
