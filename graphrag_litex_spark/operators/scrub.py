@@ -184,6 +184,7 @@ def decontaminate(
     window: int = 4,
     max_fp_df: int | None = None,
     broadcast_test: bool = False,
+    broadcast_train: bool = False,
 ) -> DataFrame:
     """Train/test contamination check — the decontamination step every
     benchmark-respecting training pipeline runs: winnowing fingerprints
@@ -209,10 +210,16 @@ def decontaminate(
     broadcast and the fp join runs map-side over the train winnow scan —
     zero train-side Exchange past the winnow itself. Leave False when the
     "test" side is itself corpus-scale (cross-corpus contamination audit);
-    asserted Exchange-free in tests/test_scrub.py.
+    asserted Exchange-free in tests/test_scrub.py. ``broadcast_train`` is
+    the mirror valve for the FLIPPED regime — scoring every corpus
+    document against a small benchmark (test = corpus, train = benchmark,
+    as `contaminated_ids` does): the benchmark fingerprints broadcast
+    instead. The two hints are mutually exclusive.
     """
     from graphrag_litex_spark.operators.text_analysis import winnow_fingerprints
 
+    if broadcast_test and broadcast_train:
+        raise ValueError("broadcast_test and broadcast_train are mutually exclusive")
     tf = winnow_fingerprints(test, id_col, text_col, k, window)
     # Hint only the fp-join probe side: hinting `tf` itself would leak the
     # hint into the final totals-left-join (unsupported build side — Spark
@@ -226,6 +233,8 @@ def decontaminate(
             F.col("__df") <= max_fp_df
         )
         rf = rf.join(ok.select("fp"), "fp")
+    if broadcast_train:
+        rf = F.broadcast(rf)
     totals = tf.groupBy("id").agg(F.count(F.lit(1)).alias("n_fps"))
     shared = (
         tf_probe.join(rf, "fp")
@@ -246,6 +255,41 @@ def decontaminate(
                 F.coalesce("n_shared_fps", F.lit(0)) / F.col("n_fps"), 6
             ).alias("contamination"),
         )
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_contamination: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """The DROP LIST of benchmark decontamination -> (``id_col``) of
+    corpus documents whose winnow-fingerprint contamination against the
+    ``benchmark`` table EXCEEDS ``max_contamination`` (0.0 = any shared
+    fingerprint drops the document). This is :func:`decontaminate` run in
+    the flipped regime — every corpus doc scored against a small
+    benchmark — with the benchmark fingerprints broadcast, so the corpus
+    winnow scan never shuffles on fp. Anti-join the result against the
+    corpus to train benchmark-clean. ``benchmark`` needs the same
+    (``id_col``, ``text_col``) columns. Threshold note: shingles are
+    character-grain, so unrelated English texts share a stray fingerprint
+    (~0.03 observed on short docs) — 0.0 is maximally conservative;
+    ~0.1-0.3 separates verbatim leakage from gram noise."""
+    scores = decontaminate(
+        corpus,
+        benchmark,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        window=window,
+        broadcast_train=True,
+    )
+    return scores.where(F.col("contamination") > max_contamination).select(
+        F.col("test_id").alias(id_col)
     )
 
 

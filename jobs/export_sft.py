@@ -7,6 +7,9 @@ analog; the reference stops at KG construction):
                    rate, alternation, dangling-prompt)
                 -> chat-template rendering (render_sft, one sample per
                    conversation, role:tool headers)
+                -> [optional] benchmark decontamination
+                   (scrub.contaminated_ids over the renderings vs a
+                   (doc_id, text) benchmark table; --decontaminate-against)
                 -> char-space loss spans (sft_loss_spans, assistant-only)
                 -> [optional] packed-bin spans (pack_sft_spans — whole
                    conversations into ~budget-token bins, spans re-based)
@@ -61,6 +64,8 @@ def export_sft(
     token_spans_merges: int | None = None,
     unroll: bool = False,
     max_prompt_chars: int | None = None,
+    decontaminate_against: str | None = None,
+    max_contamination: float = 0.0,
     validate: bool = True,
 ) -> dict:
     """Programmatic API: writes the layout, returns the report dict.
@@ -110,6 +115,20 @@ def export_sft(
     gated = transcripts.join(kept_ids, "conv_id", "left_semi")
 
     samples = render_sft(gated)
+    contaminated = 0
+    if decontaminate_against is not None:
+        from graphrag_litex_spark.operators.scrub import contaminated_ids
+
+        bench = spark.read.parquet(decontaminate_against)
+        drop_ids = contaminated_ids(
+            samples.select(F.col("conv_id").alias("doc_id"), "text"),
+            bench,
+            max_contamination=max_contamination,
+        ).select(F.col("doc_id").alias("conv_id"))
+        contaminated = drop_ids.count()
+        if contaminated:
+            gated = gated.join(drop_ids, "conv_id", "left_anti")
+            samples = samples.join(drop_ids, "conv_id", "left_anti")
     samples.write.mode("overwrite").parquet(os.path.join(out_dir, "samples"))
     spans = sft_loss_spans(gated)
     spans.write.mode("overwrite").parquet(os.path.join(out_dir, "loss_spans"))
@@ -117,6 +136,7 @@ def export_sft(
         "convs_quarantined": quarantined,
         "convs_in": int(stats["convs_in"] or 0),
         "convs_kept": int(stats["convs_kept"] or 0),
+        "convs_contaminated": contaminated,
         "loss_spans": spark.read.parquet(os.path.join(out_dir, "loss_spans")).count(),
         "gates": {
             "min_assistant_frac": min_assistant_frac,
@@ -180,6 +200,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="also emit per-assistant-turn (prompt, completion) samples")
     p.add_argument("--max-prompt-chars", type=int, default=None,
                    help="left-truncate unrolled prompts to the most recent N chars")
+    p.add_argument("--decontaminate-against", default=None, metavar="PARQUET",
+                   help="drop conversations whose rendering shares winnow "
+                        "fingerprints with this (doc_id, text) benchmark table")
+    p.add_argument("--max-contamination", type=float, default=0.0,
+                   help="contamination share above which a conversation drops")
     args = p.parse_args(argv)
 
     active = SparkSession.getActiveSession()
@@ -206,6 +231,8 @@ def main(argv: list[str] | None = None) -> int:
         token_spans_merges=args.token_spans,
         unroll=args.unroll,
         max_prompt_chars=args.max_prompt_chars,
+        decontaminate_against=args.decontaminate_against,
+        max_contamination=args.max_contamination,
     )
     print(json.dumps(report))
     return 0

@@ -595,3 +595,69 @@ def test_export_sft_job(spark, tmp_path):
     assert {p["conv_id"] for p in packed} == {"keep"}
     with open(out + "/report.json") as fh:
         assert json.load(fh)["convs_kept"] == 1
+
+
+def test_export_sft_decontamination_gate(spark, tmp_path):
+    """--decontaminate-against drops the conversation whose rendering
+    shares winnow fingerprints with the benchmark; spans/samples/unrolled
+    outputs agree on the surviving set."""
+    import datetime as dt
+
+    from jobs.export_sft import export_sft
+
+    ts = dt.datetime(2025, 1, 1)
+    leaked = (
+        "the capital of freedonia is sylvania city according to the "
+        "official atlas of fictional nations published long ago"
+    )
+    rows = [
+        ("clean", 0, "user", "what time is it", None, ts),
+        ("clean", 1, "assistant", "it is noon somewhere in the world", None, ts),
+        ("leaky", 0, "user", "tell me a fact", None, ts),
+        ("leaky", 1, "assistant", leaked, None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(900, leaked + " and some extra benchmark framing text")],
+        "doc_id long, text string",
+    ).write.parquet(bench_path)
+    out = str(tmp_path / "sft")
+    # char-shingle winnowing shares a stray gram or two between ANY English
+    # texts (clean scores ~0.03 here, leaky ~0.64) — gate above the noise
+    report = export_sft(
+        spark, df, out, unroll=True, decontaminate_against=bench_path,
+        max_contamination=0.2,
+    )
+    assert report["convs_contaminated"] == 1
+    assert {r["conv_id"] for r in spark.read.parquet(out + "/samples").collect()} == {
+        "clean"
+    }
+    assert {r["conv_id"] for r in spark.read.parquet(out + "/loss_spans").collect()} == {
+        "clean"
+    }
+    assert {r["conv_id"] for r in spark.read.parquet(out + "/unrolled").collect()} == {
+        "clean"
+    }
+
+
+def test_contaminated_ids_drop_list(spark):
+    """contaminated_ids returns exactly the planted doc and broadcasts the
+    benchmark fingerprints (no corpus-side fp shuffle)."""
+    from graphrag_litex_spark.operators.scrub import contaminated_ids
+
+    secret = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, secret + " plus trailing corpus words here"),
+         (2, "entirely unrelated text about spark shuffles and joins today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(77, secret)], "doc_id long, text string")
+    drop = contaminated_ids(corpus, bench)
+    assert [r["doc_id"] for r in drop.collect()] == [1]
+    plan = drop._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
