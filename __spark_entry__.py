@@ -1025,6 +1025,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return conversation_entity_salience(mc, top_k=3)
 
+    def conv_related(spark, sf_dir):
+        """Per-conversation top-3 entity-similar neighbors: inverted-index
+        self-join on canonical entities, integer-micro Jaccard over the
+        distinct-entity sets, symmetrized and ranked per conversation
+        (jaccard desc, neighbor asc). min_shared=2 prunes single-entity
+        coincidences before the pair aggregate. Full value compare vs the
+        identical join+window in SQL over the golden mentions."""
+        from graphrag_litex_spark.operators.transcripts import (
+            top_related_conversations,
+        )
+
+        kg = _kg(spark, _sf_from_dir(sf_dir))
+        mc = (
+            kg["mentions"]
+            .join(F.broadcast(kg["canon_map"]), "norm_name")
+            .select(F.col("source_id").alias("conv_id"), "canonical")
+        )
+        return top_related_conversations(mc, top_k=3, min_shared=2)
+
     def sft_render(spark, sf_dir):
         """SFT export: each conversation rendered into one ChatML-shaped
         training sample under stable (conv_id, turn_idx) ordering
@@ -1928,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         conv_stats,
         conv_integrity,
         conv_entity_salience,
+        conv_related,
         sft_render,
         sft_loss_spans,
         sft_packed_spans,
@@ -2981,6 +3001,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT conv_id, canonical, tf, df, salience_micro,
+                   cast(rnk AS bigint) AS rnk
+            FROM ranked WHERE rnk <= 3
+        """,
+        "conv_related": f"""
+            WITH mc AS (
+                SELECT DISTINCT conv_id, canonical
+                FROM read_parquet('{mentions}') WHERE norm_name <> ''
+            ), sizes AS (
+                SELECT conv_id, count(*) AS n FROM mc GROUP BY conv_id
+            ), pairs AS (
+                SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                       count(*) AS n_shared
+                FROM mc a JOIN mc b USING (canonical)
+                WHERE a.conv_id < b.conv_id
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), scored AS (
+                SELECT conv_a, conv_b, n_shared,
+                       (n_shared * 1000000) // (sa.n + sb.n - n_shared) AS jm
+                FROM pairs
+                JOIN sizes sa ON sa.conv_id = conv_a
+                JOIN sizes sb ON sb.conv_id = conv_b
+            ), sym AS (
+                SELECT conv_a AS conv_id, conv_b AS neighbor, n_shared, jm
+                FROM scored
+                UNION ALL
+                SELECT conv_b, conv_a, n_shared, jm FROM scored
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id ORDER BY jm DESC, neighbor ASC
+                ) AS rnk
+                FROM sym
+            )
+            SELECT conv_id, neighbor, cast(n_shared AS bigint) AS n_shared,
+                   cast(jm AS bigint) AS jaccard_micro,
                    cast(rnk AS bigint) AS rnk
             FROM ranked WHERE rnk <= 3
         """,

@@ -237,6 +237,143 @@ def conversation_entity_salience(
     )
 
 
+def related_conversations(
+    mentions_canon: DataFrame,
+    min_shared: int = 1,
+    max_entity_df: int | None = None,
+) -> DataFrame:
+    """Conversation-to-conversation similarity via SHARED CANONICAL
+    ENTITIES — the "sessions about the same things" join of a transcript
+    browser (the complement of :func:`conversation_entity_salience`:
+    that says what a conversation is about, this says which other
+    conversations are about it too). ->
+    (conv_a, conv_b, n_shared, n_a, n_b, jaccard_micro), conv_a < conv_b,
+    one row per unordered pair sharing >= ``min_shared`` entities.
+
+    ``jaccard_micro`` = ``n_shared * 1e6 div (n_a + n_b - n_shared)`` —
+    Jaccard over the conversations' distinct canonical-entity sets in
+    truncating integer micro-units (exact in ANSI SQL; no float paths),
+    the same determinism stance as `conversation_entity_salience`.
+
+    Plan: an entity-inverted-index self-join — distinct (conv, entity)
+    rows, equi-join on the entity, pair-key aggregate. The per-conv set
+    sizes are a conv-cardinality aggregate joined back (AQE-broadcast
+    regime). Never a cartesian: pairs exist only where an entity is
+    shared. The quadratic landmine is the HOT ENTITY — an entity
+    mentioned in d conversations mints d*(d-1)/2 candidate rows, and at
+    corpus scale a celebrity entity has corpus-proportional df —
+    ``max_entity_df`` is the valve (the same family as n-gram dedup's
+    ``max_doc_freq`` boilerplate-shingle cap, operators/dedup.py): drop
+    entities above the df cap from the INDEX ONLY, keeping full set
+    sizes, so capped ``n_shared``/``jaccard_micro`` are LOWER BOUNDS and
+    pairs linked solely by ubiquitous entities (least informative — the
+    ones tf-over-df salience also sinks) drop first. Default None =
+    exact; at 100 TB always set it (the cap also bounds join-key skew,
+    so no salting is needed on the pair aggregate).
+
+    ``mentions_canon``: (conv_id, canonical) as produced by joining the
+    pipeline's mentions stage to the canon map (duplicate mention rows
+    are fine — the index is distinct'd here). The distinct'd index is
+    ``hard_checkpoint``-ed: it feeds FOUR subtrees (both self-join sides
+    + both set-size lookups), and without the checkpoint Catalyst plans
+    four full mentions scans+distincts (no exchange reuse across the
+    union/self-join aliases — observed in the executed plan); one
+    materialization is the same one-corpus-pass stance as the pipeline's
+    distinct-names checkpoint (plans/pipeline.py).
+    """
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint
+
+    ents = hard_checkpoint(
+        mentions_canon.select("conv_id", "canonical").distinct()
+    )
+    sizes = ents.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_ents"))
+    idx = ents
+    if max_entity_df is not None:
+        dfc = ents.groupBy("canonical").agg(F.count(F.lit(1)).alias("__df"))
+        idx = ents.join(
+            dfc.where(F.col("__df") <= max_entity_df).select("canonical"),
+            "canonical",
+        )
+    pairs = (
+        idx.select("canonical", F.col("conv_id").alias("conv_a"))
+        .join(idx.select("canonical", F.col("conv_id").alias("conv_b")), "canonical")
+        .where(F.col("conv_a") < F.col("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    na = sizes.select(F.col("conv_id").alias("conv_a"), F.col("n_ents").alias("n_a"))
+    nb = sizes.select(F.col("conv_id").alias("conv_b"), F.col("n_ents").alias("n_b"))
+    return (
+        pairs.join(na, "conv_a")
+        .join(nb, "conv_b")
+        .select(
+            "conv_a",
+            "conv_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(n_shared * 1000000) div (n_a + n_b - n_shared)")
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+    )
+
+
+def top_related_conversations(
+    mentions_canon: DataFrame,
+    top_k: int = 3,
+    min_shared: int = 1,
+    max_entity_df: int | None = None,
+) -> DataFrame:
+    """Per-conversation nearest neighbors over :func:`related_conversations`
+    -> (conv_id, neighbor, n_shared, jaccard_micro, rnk): each
+    conversation's ``top_k`` most entity-similar peers under the total
+    order (jaccard_micro desc, neighbor asc) — the bounded, browsable form
+    of the pair table (output is O(convs x k) regardless of how dense the
+    shared-entity graph is; on a small entity vocabulary the raw pair
+    graph degenerates toward complete, as the sf0.01 corpus does at
+    124,750/124,750 pairs). Same valves as the pair operator; the ranking
+    window partitions by conv_id (neighbor lists are conv-bounded after
+    ``min_shared``/``max_entity_df``, never corpus-proportional)."""
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint
+
+    # The pair table feeds both union branches; checkpoint so the
+    # inverted-index self-join runs once, not once per direction.
+    pairs = hard_checkpoint(
+        related_conversations(
+            mentions_canon, min_shared=min_shared, max_entity_df=max_entity_df
+        )
+    )
+    sym = pairs.select(
+        F.col("conv_a").alias("conv_id"),
+        F.col("conv_b").alias("neighbor"),
+        "n_shared",
+        "jaccard_micro",
+    ).unionByName(
+        pairs.select(
+            F.col("conv_b").alias("conv_id"),
+            F.col("conv_a").alias("neighbor"),
+            "n_shared",
+            "jaccard_micro",
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("jaccard_micro").desc(), F.col("neighbor").asc()
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            "conv_id",
+            "neighbor",
+            "n_shared",
+            "jaccard_micro",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 # ---- SFT export: chat-template rendering + loss-span masks -----------------
 
 SFT_BOS = "<|im_start|>"

@@ -661,3 +661,83 @@ def test_contaminated_ids_drop_list(spark):
     assert [r["doc_id"] for r in drop.collect()] == [1]
     plan = drop._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_related_conversations_hand_computed(spark):
+    """Tiny fixture: sets A={e1,e2,e3}, B={e2,e3,e4}, C={e4} ->
+    (A,B) shares {e2,e3} J=2/4, (B,C) shares {e4} J=1/3, (A,C) none.
+    Duplicate mention rows must not inflate n_shared."""
+    from graphrag_litex_spark.operators.transcripts import related_conversations
+
+    mc = spark.createDataFrame(
+        [("A", "e1"), ("A", "e2"), ("A", "e2"), ("A", "e3"),
+         ("B", "e2"), ("B", "e3"), ("B", "e4"),
+         ("C", "e4")],
+        "conv_id string, canonical string",
+    )
+    got = {
+        (r["conv_a"], r["conv_b"]): r.asDict()
+        for r in related_conversations(mc).collect()
+    }
+    assert set(got) == {("A", "B"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert ab["n_shared"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 3
+    assert ab["jaccard_micro"] == 2 * 1_000_000 // 4  # 500000
+    bc = got[("B", "C")]
+    assert bc["n_shared"] == 1 and bc["jaccard_micro"] == 1_000_000 // 3
+    # min_shared prunes the single-entity pair.
+    only = related_conversations(mc, min_shared=2).collect()
+    assert [(r["conv_a"], r["conv_b"]) for r in only] == [("A", "B")]
+
+
+def test_related_conversations_df_valve_is_lower_bound(spark):
+    """max_entity_df drops hot entities from the INDEX only: pairs linked
+    solely by the hot entity vanish, surviving pairs keep full set sizes,
+    so n_shared/jaccard_micro never exceed the exact values."""
+    from graphrag_litex_spark.operators.transcripts import related_conversations
+
+    # "hot" appears in all four conversations; e1 links only (A, B).
+    rows = [(c, "hot") for c in "ABCD"] + [("A", "e1"), ("B", "e1")]
+    mc = spark.createDataFrame(rows, "conv_id string, canonical string")
+    exact = {
+        (r["conv_a"], r["conv_b"]): r.asDict()
+        for r in related_conversations(mc).collect()
+    }
+    assert len(exact) == 6  # hot makes the pair graph complete
+    capped = {
+        (r["conv_a"], r["conv_b"]): r.asDict()
+        for r in related_conversations(mc, max_entity_df=3).collect()
+    }
+    assert set(capped) == {("A", "B")}
+    got = capped[("A", "B")]
+    assert got["n_shared"] == 1  # hot excised from the index...
+    assert got["n_a"] == 2 and got["n_b"] == 2  # ...but sizes stay full
+    assert got["n_shared"] <= exact[("A", "B")]["n_shared"]
+    assert got["jaccard_micro"] <= exact[("A", "B")]["jaccard_micro"]
+
+
+def test_top_related_conversations_rank_order(spark):
+    """Symmetrized per-conversation ranking under (jaccard desc,
+    neighbor asc): B's best neighbor is A (J=1/2) before C (J=1/3);
+    every (conv, neighbor) edge appears in both directions."""
+    from graphrag_litex_spark.operators.transcripts import (
+        top_related_conversations,
+    )
+
+    mc = spark.createDataFrame(
+        [("A", "e1"), ("A", "e2"),
+         ("B", "e1"), ("B", "e2"), ("B", "e3"),
+         ("C", "e3")],
+        "conv_id string, canonical string",
+    )
+    rows = top_related_conversations(mc, top_k=2).collect()
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for v in by_conv.values():
+        v.sort(key=lambda r: r["rnk"])
+    assert [r["neighbor"] for r in by_conv["B"]] == ["A", "C"]
+    assert by_conv["B"][0]["jaccard_micro"] == 2 * 1_000_000 // 3
+    assert by_conv["A"][0]["neighbor"] == "B"
+    assert by_conv["C"][0]["neighbor"] == "B"
+    assert all(r["rnk"] <= 2 for r in rows)
