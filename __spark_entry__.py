@@ -1122,6 +1122,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return role_transitions(_transcripts(spark, sf_dir))
 
+    def conv_turn_latency(spark, sf_dir):
+        """Inter-turn latency profile per (from_role, to_role) transition:
+        exact integer-micros gap sums and extrema under stable (conv_id,
+        turn_idx) ordering — the agent-ops "how long does each speaker
+        take" fingerprint (operators/transcripts.turn_latency). Full value
+        compare vs the identical window+aggregate in SQL."""
+        from graphrag_litex_spark.operators.transcripts import turn_latency
+
+        return turn_latency(_transcripts(spark, sf_dir))
+
     def conv_tool_usage(spark, sf_dir):
         """Per-tool usage rollup over tool turns
         (operators/transcripts.tool_usage)."""
@@ -1955,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sft_token_spans,
         conv_sft_quality,
         conv_role_transitions,
+        conv_turn_latency,
         conv_tool_usage,
         conv_prefix_dups,
         conv_sessions,
@@ -3037,6 +3048,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(jm AS bigint) AS jaccard_micro,
                    cast(rnk AS bigint) AS rnk
             FROM ranked WHERE rnk <= 3
+        """,
+        "conv_turn_latency": f"""
+            WITH g AS (
+                SELECT conv_id,
+                       lag(role) OVER w AS from_role, role AS to_role,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                FROM read_parquet('{transcripts}')
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT from_role, to_role, cast(count(*) AS bigint) AS n,
+                   cast(sum(gap_us) AS bigint) AS sum_gap_us,
+                   cast(max(gap_us) AS bigint) AS max_gap_us,
+                   cast(min(gap_us) AS bigint) AS min_gap_us
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY 1, 2
         """,
         "conv_stats": f"""
             WITH g AS (

@@ -237,6 +237,47 @@ def conversation_entity_salience(
     )
 
 
+def turn_latency(transcripts: DataFrame, keys: tuple = ("role",)) -> DataFrame:
+    """Corpus-wide inter-turn latency profile per transition ->
+    (from_<k>..., to_<k>..., n, sum_gap_us, max_gap_us, min_gap_us): for
+    every consecutive turn pair under stable (conv_id, turn_idx) ordering,
+    the timestamp gap in exact integer microseconds, aggregated by the
+    (previous-turn, current-turn) values of ``keys`` — the agent-ops
+    latency fingerprint ("how long does the assistant take after a user
+    turn vs after a tool result"). ``keys=("role", "tool")`` refines to
+    per-tool latency; null keys group as null. Gaps can be negative on
+    clock-skewed ingest (the rows `conversation_integrity` counts as
+    regressions) — they aggregate exactly rather than silently clamping,
+    so the min_gap_us column IS the skew signal. No averages/divisions:
+    sums and extrema only, so every value is engine-exact in ANSI SQL
+    (avg = sum/n is the caller's one division). A conversation's first
+    turn has no predecessor and is excluded.
+
+    Plan: one conv_id window (same Exchange family as `role_transitions`)
+    then a map-side-combined aggregate whose output cardinality is the
+    key-vocabulary square — partial rows only ever cross the wire."""
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cur = transcripts.select(
+        "conv_id", "turn_idx", *keys, us.alias("_us")
+    ).withColumn("_gap_us", F.col("_us") - F.lag("_us").over(w))
+    for k in keys:
+        cur = cur.withColumn(f"from_{k}", F.lag(k).over(w))
+    out_keys = [f"from_{k}" for k in keys] + [
+        F.col(k).alias(f"to_{k}") for k in keys
+    ]
+    return (
+        cur.where(F.col("_gap_us").isNotNull())
+        .groupBy(*out_keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_gap_us").cast("long").alias("sum_gap_us"),
+            F.max("_gap_us").cast("long").alias("max_gap_us"),
+            F.min("_gap_us").cast("long").alias("min_gap_us"),
+        )
+    )
+
+
 def related_conversations(
     mentions_canon: DataFrame,
     min_shared: int = 1,

@@ -741,3 +741,43 @@ def test_top_related_conversations_rank_order(spark):
     assert by_conv["A"][0]["neighbor"] == "B"
     assert by_conv["C"][0]["neighbor"] == "B"
     assert all(r["rnk"] <= 2 for r in rows)
+
+
+def test_turn_latency_hand_computed(spark, tr):
+    """On the module fixture: c1 gaps 10s/1s/30s (system->user, user->tool,
+    tool->assistant), c2 includes a duplicate turn_idx (1s then 0s under
+    the stable ordering) and a NEGATIVE gap (ts regression at idx 3),
+    c3 user->assistant 2s. First turns never contribute."""
+    from graphrag_litex_spark.operators.transcripts import turn_latency
+
+    got = {
+        (r["from_role"], r["to_role"]): r.asDict()
+        for r in turn_latency(tr).collect()
+    }
+    assert got[("system", "user")]["sum_gap_us"] == 10_000_000
+    assert got[("user", "tool")]["sum_gap_us"] == 1_000_000
+    assert got[("tool", "assistant")]["sum_gap_us"] == 30_000_000
+    # c2: user->assistant 1s; c3: user->assistant 2s -> n=2, sum=3s.
+    ua = got[("user", "assistant")]
+    assert ua["n"] == 2 and ua["sum_gap_us"] == 3_000_000
+    assert ua["max_gap_us"] == 2_000_000 and ua["min_gap_us"] == 1_000_000
+    # c2 idx 1 duplicate: assistant->assistant gap 1s; regression at idx 3
+    # gives assistant->user NEGATIVE -4s (ts 7 -> 3), kept exactly.
+    assert got[("assistant", "assistant")]["sum_gap_us"] == 1_000_000
+    au = got[("assistant", "user")]
+    assert au["min_gap_us"] == -4_000_000 and au["n"] == 1
+    # total contributing pairs = turns - conversations = 10 - 3.
+    assert sum(v["n"] for v in got.values()) == 7
+
+
+def test_turn_latency_by_tool_granularity(spark, tr):
+    """keys=("role", "tool") refines the fingerprint: the tool turn's
+    latency rows carry the tool name on the matching side."""
+    from graphrag_litex_spark.operators.transcripts import turn_latency
+
+    got = {
+        (r["from_role"], r["from_tool"], r["to_role"], r["to_tool"]): r.asDict()
+        for r in turn_latency(tr, keys=("role", "tool")).collect()
+    }
+    assert got[("user", None, "tool", "search")]["sum_gap_us"] == 1_000_000
+    assert got[("tool", "search", "assistant", None)]["sum_gap_us"] == 30_000_000
