@@ -1887,6 +1887,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = hash_weights(spark, 4096)
         return quality_classifier_scores(d, w, n_buckets=4096).orderBy("doc_id")
 
+    def embedding_pca(spark, sf_dir):
+        """Distributed PCA: one-pass Arrow-batched moment aggregation ->
+        driver eigendecomposition -> whitened top-4 projection as a single
+        codegen'd literal-matrix expression (operators/pca.py). Rows/schema
+        check only — an eigendecomposition has no ANSI-SQL oracle; the
+        value-level witnesses are the numpy differential tests
+        (tests/test_pca.py: moments/eigvecs vs numpy, projected variance ==
+        eigenvalues, whitened variance == 1, repartition determinism)."""
+        from graphrag_litex_spark.operators.pca import pca_model, project_embeddings
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        model = pca_model(e, k=4)
+        return (
+            project_embeddings(e, model, whiten=True)
+            .select("vec_id", "proj")
+            .orderBy("vec_id")
+        )
+
     def semantic_dedup(spark, sf_dir):
         """SemDeDup: IVF-cluster embeddings, prune within-cluster near-dups
         (keep the farthest-from-centroid member of each duplicate group)."""
@@ -1988,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity_topk,
         knn_join_sample,
         embedding_dup_pairs,
+        embedding_pca,
         semantic_dedup,
         quality_classifier,
         ann_pq_topk,
