@@ -51,17 +51,49 @@ def build_index(
     lloyd_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pca_k: int | None = None,
+    whiten: bool = False,
 ) -> dict:
     """Train quantizers, encode the corpus, persist the layout. Returns the
     meta dict. One corpus pass for seeds (+1 per Lloyd round), one encode
     pass; the write shuffles on _cid once so each inverted list is
-    contiguous parquet."""
+    contiguous parquet.
+
+    ``pca_k``: FAISS-style PCA pre-transform (``PCAMatrixR`` semantics):
+    fit a ``pca_k``-component model on the corpus (one extra Arrow-batched
+    moments pass, operators/pca.py), project (optionally whitened) and
+    train/encode the QUANTIZERS IN PROJECTED SPACE — coarse lists and PQ
+    subspaces work on the decorrelated, energy-compacted axes, which is
+    where product quantization's independent-subspace assumption actually
+    holds. The model rides in ``meta.json``; append/query project through
+    it automatically, and exact re-rank still scores RAW cosine against
+    the full-precision vectors (PCA is candidate generation only)."""
     from graphrag_litex_spark.operators.similarity import (
         ivf_assign,
         ivf_centroids,
         pq_codebooks,
         pq_encode,
     )
+
+    pca = None
+    if pca_k is not None:
+        from graphrag_litex_spark.operators.pca import pca_model, project_embeddings
+
+        pmodel = pca_model(embeddings, pca_k, id_col=id_col, vec_col=vec_col)
+        pca = {
+            "mean": pmodel["mean"],
+            "components": pmodel["components"],
+            "eigvals": pmodel["eigvals"],
+            "whiten": bool(whiten),
+        }
+        embeddings = (
+            project_embeddings(
+                embeddings, pmodel, vec_col=vec_col, out_col="_pvec",
+                whiten=whiten,
+            )
+            .drop(vec_col)
+            .withColumnRenamed("_pvec", vec_col)
+        )
 
     cents = ivf_centroids(
         embeddings, n_centroids, id_col, vec_col, lloyd_iters=lloyd_iters
@@ -86,10 +118,52 @@ def build_index(
         "ksub": ksub,
         "id_col": id_col,
         "vec_col": vec_col,
+        "pca": pca,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
+
+
+def _apply_pca(df: DataFrame, meta: dict, vec_col: str) -> DataFrame:
+    """Project ``vec_col`` through the index's persisted PCA model (no-op
+    for indexes built without one) — append/query must encode in the same
+    space the quantizers were trained in."""
+    pca = meta.get("pca")
+    if not pca:
+        return df
+    from graphrag_litex_spark.operators.pca import project_embeddings
+
+    model = {
+        "mean": pca["mean"],
+        "components": pca["components"],
+        "eigvals": pca["eigvals"],
+    }
+    return (
+        project_embeddings(
+            df, model, vec_col=vec_col, out_col="_pvec", whiten=pca["whiten"]
+        )
+        .drop(vec_col)
+        .withColumnRenamed("_pvec", vec_col)
+    )
+
+
+def _project_query(q: list[float], meta: dict) -> list[float]:
+    """Driver-side mirror of :func:`_apply_pca` for the single query vector
+    (same summation order and the same 1e-12 whitening epsilon as
+    ``pca.project_embeddings``)."""
+    pca = meta.get("pca")
+    if not pca:
+        return q
+    out = []
+    for ci, comp in enumerate(pca["components"]):
+        s = 0.0
+        for x, m, c in zip(q, pca["mean"], comp):
+            s = s + (x - m) * c
+        if pca["whiten"]:
+            s = s / (pca["eigvals"][ci] + 1e-12) ** 0.5
+        out.append(s)
+    return out
 
 
 def append_index(
@@ -121,6 +195,7 @@ def append_index(
     books = [
         [[float(x) for x in cent] for cent in sub] for sub in meta["codebooks"]
     ]
+    new_embeddings = _apply_pca(new_embeddings, meta, vec_col)
     assigned = ivf_assign(new_embeddings, cents, vec_col=vec_col)
     codes = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col,
                       keep_cols=["_cid"])
@@ -163,7 +238,10 @@ def query_index(
 
     with open(os.path.join(index_dir, "meta.json")) as fh:
         meta = json.load(fh)
-    q = [float(x) for x in query_vec]
+    q_raw = [float(x) for x in query_vec]
+    # Candidate generation runs in the index's (possibly PCA'd) space;
+    # exact re-rank below scores raw cosine on the full-precision vectors.
+    q = _project_query(q_raw, meta)
     probes = sorted(
         range(len(meta["centroids"])),
         key=lambda c: (-_cosine(meta["centroids"][c], q), c),
@@ -192,7 +270,8 @@ def query_index(
             F.col(id_col),
             "adist",
             F.round(
-                cosine_col(F.col(vec_col).cast("array<double>"), _query_lit(q)), 6
+                cosine_col(F.col(vec_col).cast("array<double>"), _query_lit(q_raw)),
+                6,
             ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -212,6 +291,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--lloyd", type=int, default=0)
     b.add_argument("--id-col", default="vec_id")
     b.add_argument("--vec-col", default="embedding")
+    b.add_argument("--pca", type=int, default=None, metavar="K",
+                   help="PCA pre-transform: train/encode in top-K space")
+    b.add_argument("--whiten", action="store_true",
+                   help="unit-variance the PCA components (with --pca)")
     a = sub.add_parser("append")
     a.add_argument("--embeddings", required=True, help="the NEW vectors")
     a.add_argument("--index", required=True)
@@ -241,11 +324,12 @@ def main(argv: list[str] | None = None) -> int:
         meta = build_index(
             spark, emb, args.out, n_centroids=args.centroids, m=args.m,
             ksub=args.ksub, lloyd_iters=args.lloyd, id_col=args.id_col,
-            vec_col=args.vec_col,
+            vec_col=args.vec_col, pca_k=args.pca, whiten=args.whiten,
         )
         print(json.dumps({
             "indexed": spark.read.parquet(os.path.join(args.out, "codes")).count(),
             "n_centroids": meta["n_centroids"], "m": meta["m"], "ksub": meta["ksub"],
+            "pca_k": len(meta["pca"]["components"]) if meta.get("pca") else None,
         }))
         return 0
 

@@ -169,3 +169,68 @@ def test_appended_vector_found_with_rerank(spark, appended_index):
     got = query_index(spark, out, q, k=5, nprobe=4, rerank=20,
                       embeddings=df).collect()
     assert got[0]["vec_id"] == vec_id and got[0]["cosine"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def pca_index(spark, emb_df, tmp_path_factory):
+    """Index built with the FAISS-style PCA pre-transform (16 -> 8 dims,
+    whitened): quantizers trained/encoded in projected space, model in
+    meta.json."""
+    from jobs.index_embeddings import build_index
+
+    rows, df = emb_df
+    out = str(tmp_path_factory.mktemp("ivfpq_pca"))
+    meta = build_index(
+        spark, df, out, n_centroids=4, m=4, ksub=8, pca_k=8, whiten=True
+    )
+    return out, meta, rows, df
+
+
+def test_pca_index_meta_and_projected_space(spark, pca_index):
+    out, meta, rows, df = pca_index
+    with open(os.path.join(out, "meta.json")) as fh:
+        disk = json.load(fh)
+    assert disk["pca"]["whiten"] is True
+    assert len(disk["pca"]["components"]) == 8
+    assert all(len(c) == 16 for c in disk["pca"]["components"])
+    # Quantizers live in the 8-dim projected space, not the raw 16.
+    assert all(len(c) == 8 for c in disk["centroids"])
+
+
+def test_pca_query_self_retrieves_with_rerank(spark, pca_index):
+    from jobs.index_embeddings import query_index
+
+    out, meta, rows, df = pca_index
+    qid, qvec = rows[5]
+    got = query_index(
+        spark, out, qvec, k=5, nprobe=4, rerank=20, embeddings=df
+    ).collect()
+    assert got[0]["vec_id"] == qid and got[0]["cosine"] == 1.0
+
+
+def test_pca_append_projects_through_frozen_model(spark, pca_index, tmp_path_factory):
+    """Appended vectors must encode through the persisted PCA model: an
+    appended raw vector self-retrieves, and its codes row has the same
+    _cid the frozen model+quantizers assign."""
+    import shutil
+
+    from jobs.index_embeddings import append_index, query_index
+
+    out, meta, rows, df = pca_index
+    idx = str(tmp_path_factory.mktemp("ivfpq_pca_app"))
+    shutil.rmtree(idx)
+    shutil.copytree(out, idx)
+    import numpy as np
+
+    rng = np.random.RandomState(99)
+    new_rows = [(1000 + i, [float(x) for x in rng.randn(16)]) for i in range(5)]
+    new_df = spark.createDataFrame(
+        pd.DataFrame(new_rows, columns=["vec_id", "embedding"])
+    )
+    append_index(spark, new_df, idx)
+    union = df.unionByName(new_df)
+    qid, qvec = new_rows[2]
+    got = query_index(
+        spark, idx, qvec, k=5, nprobe=4, rerank=30, embeddings=union
+    ).collect()
+    assert got[0]["vec_id"] == qid and got[0]["cosine"] == 1.0
