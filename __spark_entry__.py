@@ -1887,6 +1887,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = hash_weights(spark, 4096)
         return quality_classifier_scores(d, w, n_buckets=4096).orderBy("doc_id")
 
+    def embedding_sq8(spark, sf_dir):
+        """Int8 scalar quantization of the embedding column: per-vector
+        symmetric scale (max|x|/127) + rounded int codes — 4x embedding
+        storage compression (operators/similarity.sq8_quantize). Codes are
+        integer-exact across engines (HALF_UP == away-from-zero on the
+        identical IEEE divisions), so this is a full value compare; scale
+        reports as integer micro-units."""
+        from graphrag_litex_spark.operators.similarity import sq8_quantize
+
+        e = spark.read.parquet(_t(sf_dir, "embeddings"))
+        return sq8_quantize(e).select(
+            "vec_id",
+            F.round(F.col("scale") * 1e6).cast("long").alias("scale_micro"),
+            "q",
+        )
+
     def embedding_pca(spark, sf_dir):
         """Distributed PCA: one-pass Arrow-batched moment aggregation ->
         driver eigendecomposition -> whitened top-4 projection as a single
@@ -2006,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity_topk,
         knn_join_sample,
         embedding_dup_pairs,
+        embedding_sq8,
         embedding_pca,
         semantic_dedup,
         quality_classifier,
@@ -3612,6 +3629,21 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merged_lossless": """
             SELECT doc_id, CAST(strlen(text) AS bigint) AS n_bytes
             FROM documents
+        """,
+        "embedding_sq8": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> cast(x AS double)) AS vv
+                FROM embeddings
+            ), s AS (
+                SELECT vec_id, vv,
+                       list_max(list_transform(vv, x -> abs(x))) / 127.0 AS sc
+                FROM v
+            )
+            SELECT vec_id,
+                   cast(round(sc * 1000000) AS bigint) AS scale_micro,
+                   list_transform(vv, x -> cast(round(x / sc) AS int)) AS q
+            FROM s
         """,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

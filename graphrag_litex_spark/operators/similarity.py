@@ -670,3 +670,51 @@ def ivf_pq_topk(
     )
     codes = pq_encode(assigned, books, id_col=id_col, vec_col=vec_col)
     return pq_adc_topk(codes, q, books, k=k, id_col=id_col)
+
+
+def sq8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization ->
+    (``id_col``, scale, q): ``scale`` = max|x| / 127 (double), ``q[i]`` =
+    round(x[i] / scale) as int in [-127, 127] — the standard SQ8 embedding
+    compression (FAISS ``ScalarQuantizer`` family): 4x smaller at rest than
+    float32, reconstruction error <= scale/2 per coordinate, and cosine is
+    scale-invariant so ranking degrades only by the rounding. At 100 TB of
+    embeddings this is the difference between 25 TB and 100 TB of vector
+    I/O per index build/scan.
+
+    One narrow projection, zero shuffles, whole-stage codegen (transform/
+    array_max lambdas — no UDF). HALF_UP rounding matches ANSI round()
+    away-from-zero on every engine tested, so the codes have an EXACT SQL
+    oracle (contract `embedding_sq8`), unlike the float-summation PCA path.
+    All-zero vectors quantize to zeros at scale 0 (not NaN); null vectors
+    propagate null."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return embeddings.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+    )
+
+
+def sq8_dequantize(
+    codes: DataFrame,
+    scale_col: str = "scale",
+    q_col: str = "q",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`sq8_quantize`: ``out_col[i] = q[i] * scale``
+    (array<double>) — feed the reconstruction anywhere the toolbox takes a
+    vector column (cosine/topk/kNN); same codegen-only stance."""
+    return codes.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

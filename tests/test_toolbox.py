@@ -592,3 +592,38 @@ def test_pq_empty_corpus(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert S.pq_codebooks(df, m=4, ksub=4) == []
     assert S.ivf_pq_topk(df, [0.0] * 16, m=4, ksub=4).count() == 0
+
+
+def test_sq8_roundtrip_error_bound_and_envelope(spark):
+    """Dequantized coordinates are within scale/2 of the originals; cosine
+    survives quantization; zero vectors -> zero codes at scale 0; null
+    vectors propagate null; the whole path stays codegen (no Python)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = [[float(x) for x in rng.randn(16)] for _ in range(50)]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    rows.append((98, [0.0] * 16))
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = S.sq8_quantize(df)
+    deq = {
+        r["vec_id"]: r.asDict()
+        for r in S.sq8_dequantize(q, out_col="rec").collect()
+    }
+    for i, v in enumerate(vecs):
+        v32 = np.asarray(v, dtype=np.float32).astype(np.float64)
+        got = deq[i]
+        assert got["scale"] > 0
+        assert all(-127 <= c <= 127 for c in got["q"])
+        err = np.abs(np.asarray(got["rec"]) - v32).max()
+        assert err <= got["scale"] / 2 + 1e-12
+        cos = float(
+            v32 @ np.asarray(got["rec"])
+            / (np.linalg.norm(v32) * np.linalg.norm(got["rec"]))
+        )
+        assert cos > 0.999
+    assert deq[98]["scale"] == 0.0 and deq[98]["q"] == [0] * 16
+    assert deq[99]["scale"] is None and deq[99]["q"] is None
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
