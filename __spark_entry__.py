@@ -1887,6 +1887,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = hash_weights(spark, 4096)
         return quality_classifier_scores(d, w, n_buckets=4096).orderBy("doc_id")
 
+    def zorder_events(spark, sf_dir):
+        """Morton keys for multi-column data skipping (operators/zorder.py,
+        the Delta OPTIMIZE ZORDER idiom): (value, user_id) rank-bucketed to
+        8 bits each via min-max scaling and bit-interleaved into one long —
+        sorting a write on this key gives every file tight min-max stats on
+        BOTH columns. Full value compare vs the identical bit expression in
+        SQL."""
+        from graphrag_litex_spark.operators.zorder import zorder_key
+
+        e = spark.read.parquet(_t(sf_dir, "events"))
+        return zorder_key(e, ["value", "user_id"], bits=8).select(
+            "event_id", "zkey"
+        )
+
     def embedding_sq8(spark, sf_dir):
         """Int8 scalar quantization of the embedding column: per-vector
         symmetric scale (max|x|/127) + rounded int codes — 4x embedding
@@ -2022,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity_topk,
         knn_join_sample,
         embedding_dup_pairs,
+        zorder_events,
         embedding_sq8,
         embedding_pca,
         semantic_dedup,
@@ -2081,6 +2096,40 @@ def oracle_sql() -> dict[str, str]:
     claims = _gold(sf, "golden_claims")
     transcripts = _gold(sf, "transcripts") + "/*.parquet"  # multi-file table dir
     norm_ename = _DDB_NORM.format(col="c.ename")
+
+    # zorder_events: the identical Morton bit-interleave built term by term
+    # (8 bits x 2 cols), over the same min-max bucketing arithmetic — the
+    # floor/IEEE-division sequence matches operators/zorder.py exactly.
+    def _zterms(bcol: str, ncols: int, idx: int, bits: int) -> str:
+        return " | ".join(
+            f"((({bcol} >> {bit}) & 1) << {bit * ncols + idx})"
+            for bit in range(bits)
+        )
+
+    zorder_events_sql = f"""
+        WITH b AS (
+            SELECT min(cast(value AS double)) AS lo0,
+                   max(cast(value AS double)) AS hi0,
+                   min(cast(user_id AS double)) AS lo1,
+                   max(cast(user_id AS double)) AS hi1
+            FROM events
+        ), k AS (
+            SELECT event_id,
+                   CASE WHEN value IS NULL OR hi0 - lo0 <= 0 THEN 0
+                        ELSE least(greatest(cast(floor(
+                            (cast(value AS double) - lo0) / (hi0 - lo0) * 255.0
+                        ) AS bigint), 0), 255) END AS b0,
+                   CASE WHEN user_id IS NULL OR hi1 - lo1 <= 0 THEN 0
+                        ELSE least(greatest(cast(floor(
+                            (cast(user_id AS double) - lo1) / (hi1 - lo1) * 255.0
+                        ) AS bigint), 0), 255) END AS b1
+            FROM events, b
+        )
+        SELECT event_id,
+               cast({_zterms("b0", 2, 0, 8)} | {_zterms("b1", 2, 1, 8)}
+                    AS bigint) AS zkey
+        FROM k
+    """
 
     # Pure-Python goldens for the LSH family over the driver testdata tables
     # (xxhash64 replicated bit-for-bit in functions/xxh64.py; cached on disk).
@@ -3645,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
                    list_transform(vv, x -> cast(round(x / sc) AS int)) AS q
             FROM s
         """,
+        "zorder_events": zorder_events_sql,
         "similarity_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
                  e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id != 0)
