@@ -152,6 +152,13 @@ def main() -> None:
         "ngram_repetition",
         "sft_render",
         "sft_packed_spans",
+        # conv_related deliberately NOT here: the synthetic corpus has a
+        # 52-entity vocabulary, so every conv pair shares entities and the
+        # unvalved pair table is quadratic in conversations — a datagen
+        # artifact, not an operator cost (real vocabularies are
+        # corpus-proportional and the max_entity_df valve caps the rest).
+        "embedding_sq8",
+        "zorder_events",
     ):
         t0 = time.time()
         try:
