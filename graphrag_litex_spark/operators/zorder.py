@@ -112,3 +112,55 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def layout_quality(path: str, cols: list[str]) -> dict:
+    """Footer-level layout audit -> {col: mean_width_share} over every
+    row group of the parquet dataset at ``path``: mean (rowgroup min-max
+    width) / (global domain width) per column — the quantity parquet
+    pruning actually feeds on (a share near 1.0 means predicates on that
+    column skip nothing; z-ordering drives every z-column's share down).
+    Driver-side metadata reads only (footers, never data pages); numeric
+    and timestamp columns."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    spans: dict[str, list] = {c: [] for c in cols}
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    files = (
+        [path]
+        if _os.path.isfile(path)
+        else sorted(
+            _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        names = md.schema.names
+        for c in cols:
+            idx = names.index(c)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.min is None:
+                    continue
+                spans[c].append((st.min, st.max))
+                lo[c] = st.min if c not in lo else min(lo[c], st.min)
+                hi[c] = st.max if c not in hi else max(hi[c], st.max)
+
+    def _num(v):
+        return v.timestamp() if hasattr(v, "timestamp") else float(v)
+
+    out = {}
+    for c in cols:
+        dom = _num(hi[c]) - _num(lo[c])
+        if dom <= 0 or not spans[c]:
+            out[c] = 0.0
+            continue
+        widths = [(_num(b) - _num(a)) / dom for a, b in spans[c]]
+        out[c] = round(sum(widths) / len(widths), 6)
+    return out

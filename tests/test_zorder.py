@@ -97,3 +97,47 @@ def test_write_zordered_narrows_file_ranges(spark, tmp_path):
     back = spark.read.parquet(z_dir)
     assert back.count() == ev.count()
     assert back.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+
+
+def test_layout_job_cli_zorder_report(spark, tmp_path, capsys):
+    """jobs/layout.py zorder: rows preserved and the report's measured
+    width_share drops on user_id (the clustering win is reported, not
+    assumed)."""
+    import json as _json
+
+    from jobs.layout import main
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "zout")
+    (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("event_id", "ts", "user_id")
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    rc = main(["zorder", "--in", src, "--out", out, "--by", "ts,user_id",
+               "--files", "8"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 10000
+    assert rep["width_share_before"]["user_id"] > 0.8
+    assert rep["width_share_after"]["user_id"] < 0.5
+    assert rep["width_share_after"]["ts"] < 0.8
+
+
+def test_layout_job_cli_compact_report(spark, tmp_path, capsys):
+    import json as _json
+
+    from jobs.layout import main
+
+    src = str(tmp_path / "many")
+    out = str(tmp_path / "few")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    ev.repartition(24).write.mode("overwrite").parquet(src)
+    rc = main(["compact", "--in", src, "--out", out, "--target-mb", "256"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_in"] == 24 and rep["files_out"] < 24
+    assert spark.read.parquet(out).count() == ev.count()
