@@ -777,6 +777,101 @@ def main() -> int:
         )
     )
 
+    # SQ8 quantization: map-only codegen — no Python eval, no Exchange,
+    # 2-column pruned scan.
+    from graphrag_litex_spark.operators.similarity import sq8_quantize
+
+    emb_df = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    p = plan_of(sq8_quantize(emb_df))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p, "sq8 is a narrow projection"
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+    sections.append(
+        (
+            "SQ8 int8 quantization",
+            "narrow codegen projection (transform/array_max lambdas): no "
+            "Python, no shuffle, pruned scan",
+            p,
+        )
+    )
+
+    # PCA projection: the literal component matrix runs as pure codegen —
+    # the only Python in the PCA path is the one-pass moments job.
+    from graphrag_litex_spark.operators.pca import pca_model, project_embeddings
+
+    model = pca_model(emb_df, k=4)
+    p = plan_of(project_embeddings(emb_df, model, whiten=True))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+    sections.append(
+        (
+            "PCA projection (literal component matrix)",
+            "aggregate(zip_with(...)) dot products per component, "
+            "whole-stage codegen; moments were a separate one-pass "
+            "mapInPandas job at fit time",
+            p,
+        )
+    )
+
+    # Z-order key: one codegen bit-interleave expression, map-only.
+    from graphrag_litex_spark.operators.zorder import zorder_key
+
+    ev_df = spark.read.parquet(os.path.join(TESTDATA, "events.parquet"))
+    p = plan_of(zorder_key(ev_df, ["value", "user_id"], bits=8))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p, "the key is a narrow projection"
+    sections.append(
+        (
+            "Z-order Morton key",
+            "shift/and/or bit terms as one codegen expression; the min/max "
+            "bounds came from one tiny agg job at construction",
+            p,
+        )
+    )
+
+    # Turn latency: the conv_id window Exchange + a partial-rows aggregate
+    # Exchange (output cardinality = role-vocab square) — nothing else.
+    from graphrag_litex_spark.operators.transcripts import turn_latency
+
+    p = plan_of(turn_latency(tr_df))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # "Exchange (" counts tree nodes once (the formatted detail section
+    # repeats each as "(n) Exchange").
+    assert p.count("Exchange (") <= 2, "window shuffle + tiny agg shuffle only"
+    sections.append(
+        (
+            "Turn latency profile",
+            "one conv_id window + map-side-combined aggregate whose "
+            "shuffled rows are partial counts over the key-vocab square",
+            p,
+        )
+    )
+
+    # Related conversations (top-k): everything downstream of the
+    # hard-checkpointed index/pair tables — the final plan must contain NO
+    # parquet rescan of the mentions (the naive plan scans it 4x).
+    from graphrag_litex_spark.operators.transcripts import (
+        top_related_conversations,
+    )
+
+    mc = (
+        kg["mentions"]
+        .join(F.broadcast(kg["canon_map"]), "norm_name")
+        .select(F.col("source_id").alias("conv_id"), "canonical")
+    )
+    p = plan_of(top_related_conversations(mc, top_k=3, min_shared=2))
+    assert "FileScan parquet" not in p, (
+        "index + pairs are checkpointed: no corpus rescan in the final plan"
+    )
+    sections.append(
+        (
+            "Related conversations (top-k)",
+            "reads only the checkpointed pair table; the mentions distinct "
+            "ran exactly once at checkpoint time",
+            p,
+        )
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# Physical plans of key operators (auto-generated by tools/explain_plans.py)\n")
         f.write("\nAll asserted properties held when generated.\n")
