@@ -24,6 +24,8 @@ Output layout under --out:
     packed_spans/  (bin_id, conv_id, turn_idx, start_char, end_char)   [--budget]
     token_spans/   (conv_id, turn_idx, start_tok, end_tok, n_conv_tokens) [--token-spans]
     unrolled/      (conv_id, turn_idx, prompt, completion, ...)           [--unroll]
+    jsonl/         one record per conversation: {conv_id, text,
+                   loss_spans: [{start_char, end_char}...]}               [--jsonl N]
     report.json    gate counts + span accounting
 
 Scale notes (100 TB stance): gates are one conv_id window + hash agg;
@@ -66,6 +68,7 @@ def export_sft(
     max_prompt_chars: int | None = None,
     decontaminate_against: str | None = None,
     max_contamination: float = 0.0,
+    jsonl_shards: int | None = None,
     validate: bool = True,
 ) -> dict:
     """Programmatic API: writes the layout, returns the report dict.
@@ -163,6 +166,38 @@ def export_sft(
         ).count()
         if max_prompt_chars is not None:
             report["max_prompt_chars"] = max_prompt_chars
+    if jsonl_shards is not None:
+        # Trainer-stream form: one JSON record per conversation fusing the
+        # rendering with its loss spans ({conv_id, text, loss_spans:
+        # [{start_char, end_char}...]}) — what an SFT dataloader actually
+        # consumes, written directly by executors (df.write.json). The
+        # span array is assistant-turn-bounded (session-scale, never
+        # corpus-scale); repartition(conv_id) sizes the shard files.
+        spans_arr = spans.groupBy("conv_id").agg(
+            F.sort_array(
+                F.collect_list(F.struct("start_char", "end_char"))
+            ).alias("loss_spans")
+        )
+        rec = (
+            samples.select("conv_id", "text")
+            .join(spans_arr, "conv_id", "left")
+            .select(
+                "conv_id",
+                "text",
+                F.coalesce(
+                    "loss_spans",
+                    F.array().cast(
+                        "array<struct<start_char:bigint,end_char:bigint>>"
+                    ),
+                ).alias("loss_spans"),
+            )
+        )
+        rec.repartition(jsonl_shards, "conv_id").write.mode("overwrite").json(
+            os.path.join(out_dir, "jsonl")
+        )
+        report["jsonl_records"] = spark.read.json(
+            os.path.join(out_dir, "jsonl")
+        ).count()
     if token_spans_merges is not None:
         from graphrag_litex_spark.operators.bpe_ops import train_bpe_merges
 
@@ -205,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
                         "fingerprints with this (doc_id, text) benchmark table")
     p.add_argument("--max-contamination", type=float, default=0.0,
                    help="contamination share above which a conversation drops")
+    p.add_argument("--jsonl", type=int, default=None, metavar="N_SHARDS",
+                   help="also write trainer-stream JSONL (text + loss spans "
+                        "fused per conversation) in N shard files")
     args = p.parse_args(argv)
 
     active = SparkSession.getActiveSession()
@@ -233,6 +271,7 @@ def main(argv: list[str] | None = None) -> int:
         max_prompt_chars=args.max_prompt_chars,
         decontaminate_against=args.decontaminate_against,
         max_contamination=args.max_contamination,
+        jsonl_shards=args.jsonl,
     )
     print(json.dumps(report))
     return 0

@@ -781,3 +781,39 @@ def test_turn_latency_by_tool_granularity(spark, tr):
     }
     assert got[("user", None, "tool", "search")]["sum_gap_us"] == 1_000_000
     assert got[("tool", "search", "assistant", None)]["sum_gap_us"] == 30_000_000
+
+
+def test_export_sft_jsonl_trainer_stream(spark, tmp_path):
+    """--jsonl fuses rendering + spans per conversation; slicing the JSONL
+    text with its own spans reproduces the assistant contents exactly."""
+    import datetime as dt
+    import glob as _glob
+    import json as _json
+
+    from jobs.export_sft import export_sft
+
+    ts = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c1", 0, "user", "hi", None, ts),
+        ("c1", 1, "assistant", "hello!", None, ts),
+        ("c1", 2, "user", "and?", None, ts),
+        ("c1", 3, "assistant", "bye", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = str(tmp_path / "sft")
+    report = export_sft(spark, df, out, jsonl_shards=2)
+    assert report["jsonl_records"] == 1
+    recs = []
+    for f in _glob.glob(out + "/jsonl/part-*"):
+        with open(f) as fh:
+            recs += [_json.loads(l) for l in fh if l.strip()]
+    assert len(recs) == 1 and recs[0]["conv_id"] == "c1"
+    got = [
+        recs[0]["text"][s["start_char"]:s["end_char"]]
+        for s in recs[0]["loss_spans"]
+    ]
+    assert got == ["hello!", "bye"]
