@@ -3691,7 +3691,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id,
                    cast(round(sc * 1000000) AS bigint) AS scale_micro,
-                   list_transform(vv, x -> cast(round(x / sc) AS int)) AS q
+                   CASE WHEN sc > 0
+                        THEN list_transform(vv, x -> cast(round(x / sc) AS int))
+                        ELSE list_transform(vv, x -> 0)
+                   END AS q
             FROM s
         """,
         "zorder_events": zorder_events_sql,

@@ -320,7 +320,10 @@ def related_conversations(
     four full mentions scans+distincts (no exchange reuse across the
     union/self-join aliases — observed in the executed plan); one
     materialization is the same one-corpus-pass stance as the pipeline's
-    distinct-names checkpoint (plans/pipeline.py).
+    distinct-names checkpoint (plans/pipeline.py). Call
+    ``iterutils.release(result)`` after consuming the result to unpin the
+    checkpoint blocks (long-lived sessions; same convention as
+    `top_related_conversations` and the export jobs).
     """
     from graphrag_litex_spark.operators.iterutils import hard_checkpoint
 
@@ -345,7 +348,7 @@ def related_conversations(
     )
     na = sizes.select(F.col("conv_id").alias("conv_a"), F.col("n_ents").alias("n_a"))
     nb = sizes.select(F.col("conv_id").alias("conv_b"), F.col("n_ents").alias("n_b"))
-    return (
+    out = (
         pairs.join(na, "conv_a")
         .join(nb, "conv_b")
         .select(
@@ -359,6 +362,13 @@ def related_conversations(
             .alias("jaccard_micro"),
         )
     )
+    # The lazy result still reads the checkpointed index; hand its backing
+    # RDD to the caller so `iterutils.release(result)` can unpin it once
+    # consumed (the repo's checkpoint hygiene convention — see
+    # jobs/export_sft.py) instead of pinning executor storage for the
+    # session lifetime.
+    out._graft_ckpt = getattr(ents, "_graft_ckpt", None)
+    return out
 
 
 def top_related_conversations(
@@ -377,15 +387,18 @@ def top_related_conversations(
     124,750/124,750 pairs). Same valves as the pair operator; the ranking
     window partitions by conv_id (neighbor lists are conv-bounded after
     ``min_shared``/``max_entity_df``, never corpus-proportional)."""
-    from graphrag_litex_spark.operators.iterutils import hard_checkpoint
+    from graphrag_litex_spark.operators.iterutils import hard_checkpoint, release
 
     # The pair table feeds both union branches; checkpoint so the
-    # inverted-index self-join runs once, not once per direction.
-    pairs = hard_checkpoint(
-        related_conversations(
-            mentions_canon, min_shared=min_shared, max_entity_df=max_entity_df
-        )
+    # inverted-index self-join runs once, not once per direction. The
+    # eager pair materialization fully consumes the inner entity-index
+    # checkpoint, so release it here rather than pinning it for the
+    # session (checkpoint hygiene: every pinned block has an owner).
+    inner = related_conversations(
+        mentions_canon, min_shared=min_shared, max_entity_df=max_entity_df
     )
+    pairs = hard_checkpoint(inner)
+    release(inner)
     sym = pairs.select(
         F.col("conv_a").alias("conv_id"),
         F.col("conv_b").alias("neighbor"),
@@ -402,7 +415,7 @@ def top_related_conversations(
     w = Window.partitionBy("conv_id").orderBy(
         F.col("jaccard_micro").desc(), F.col("neighbor").asc()
     )
-    return (
+    out = (
         sym.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= top_k)
         .select(
@@ -413,6 +426,9 @@ def top_related_conversations(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+    # Callers release(result) once consumed — unpins the pair checkpoint.
+    out._graft_ckpt = getattr(pairs, "_graft_ckpt", None)
+    return out
 
 
 # ---- SFT export: chat-template rendering + loss-span masks -----------------

@@ -157,8 +157,14 @@ def layout_quality(path: str, cols: list[str]) -> dict:
 
     out = {}
     for c in cols:
+        # No row group carried min/max stats for this column (e.g. an
+        # all-null column): nothing to measure — report 0.0, don't index
+        # the never-populated lo/hi maps.
+        if not spans[c]:
+            out[c] = 0.0
+            continue
         dom = _num(hi[c]) - _num(lo[c])
-        if dom <= 0 or not spans[c]:
+        if dom <= 0:
             out[c] = 0.0
             continue
         widths = [(_num(b) - _num(a)) / dom for a, b in spans[c]]

@@ -173,13 +173,19 @@ def export_sft(
         # consumes, written directly by executors (df.write.json). The
         # span array is assistant-turn-bounded (session-scale, never
         # corpus-scale); repartition(conv_id) sizes the shard files.
-        spans_arr = spans.groupBy("conv_id").agg(
+        # Read the just-written stage tables back (same stance as the
+        # token_spans branch below): reusing the samples/spans LINEAGES
+        # here would re-run the gate/render/decontamination passes over
+        # the full corpus a second time.
+        samples_disk = spark.read.parquet(os.path.join(out_dir, "samples"))
+        spans_disk = spark.read.parquet(os.path.join(out_dir, "loss_spans"))
+        spans_arr = spans_disk.groupBy("conv_id").agg(
             F.sort_array(
                 F.collect_list(F.struct("start_char", "end_char"))
             ).alias("loss_spans")
         )
         rec = (
-            samples.select("conv_id", "text")
+            samples_disk.select("conv_id", "text")
             .join(spans_arr, "conv_id", "left")
             .select(
                 "conv_id",
