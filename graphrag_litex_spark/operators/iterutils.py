@@ -80,6 +80,34 @@ class loop_shuffle_partitions:
         return False
 
 
+def scale_out(df: DataFrame, key_col: str | None = None, factor: int = 2) -> DataFrame:
+    """Fan a narrow input out to cluster parallelism before expensive
+    per-row work.
+
+    A small parquet table arrives as ONE input split (one file, one row
+    group => one task), which serializes every downstream per-row
+    expression onto a single core until the first exchange — the "input
+    skew" case of the optimization playbook (guide §2.5). This helper
+    repartitions ONLY when the scan under-parallelizes (same valve as the
+    pipeline's chunk stage): a well-partitioned warehouse table passes
+    through untouched, so at cluster scale this is a no-op, while the
+    one-file case fans out for the cost of shuffling the (tiny, by
+    premise) input once.
+
+    ``key_col`` hash-partitions on a real key (deterministic under task
+    retry); omitted, round-robin with its sort-before-repartition guard.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism * factor, 8)
+    if df.rdd.getNumPartitions() >= max(target // 2, 2):
+        return df
+    if key_col is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, F.col(key_col))
+    return df.repartition(target)
+
+
 def release(df: DataFrame) -> None:
     """Unpersist the checkpoint backing a ``hard_checkpoint`` result."""
     ck = getattr(df, "_graft_ckpt", None)

@@ -302,18 +302,26 @@ def hashed_ngram_features(
     the pure-Python XXH64 and by any offline trainer that hashes the same
     way (fastText's own hashing trick, different hash function).
     """
-    toks = F.split(norm_text_col(text_col), " ")
-    feats = toks
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
+    # Tokenize in a SELECT BELOW the explode: inlined into the generator,
+    # the split(regex-normalize) chain is re-evaluated for every reference
+    # (size + two slices + concat), and the one-file scan case runs it all
+    # on one core — measured 8.6s vs 2.0s over 50k docs at local[32].
+    base = scale_out(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.split(norm_text_col(text_col), " ").alias("_toks")
+    )
+    feats = F.col("_toks")
     if bigrams:
-        n = F.size(toks)
+        n = F.size("_toks")
         bi = F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
+            F.slice("_toks", 1, n - 1),
+            F.slice("_toks", 2, n - 1),
             lambda x, y: F.concat(x, F.lit(" "), y),
         )
-        feats = F.concat(toks, bi)
+        feats = F.concat("_toks", bi)
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(feats).alias("feature"))
+        base.select("doc_id", F.explode(feats).alias("feature"))
         .groupBy("doc_id", F.pmod(F.xxhash64("feature"), F.lit(n_buckets)).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
