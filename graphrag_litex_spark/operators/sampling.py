@@ -151,6 +151,9 @@ def pack_greedy(
     the cluster (1 -> 16-way for tests, 3 -> 4096-way at 100 TB) — the
     per-shard window is the only shuffle either way.
     """
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
+    docs = scale_out(docs, id_col)
     toks = token_count(text_col) if token_count else token_count_col(text_col)
     shard = F.substring(F.md5(F.col(id_col).cast("string")), 1, shard_hex_digits)
     base = docs.select(
@@ -270,6 +273,9 @@ def sample_mixture_by_tokens(
     prefix, one boundary row per bucket) — budgets are per-source, so the
     prefix-sum composes. Adds ``cum_tokens`` for audit.
     """
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
+    docs = scale_out(docs, id_col)
     spark = docs.sparkSession
     budget_rows = [(str(k), int(v)) for k, v in sorted(budgets.items())]
     bdf = F.broadcast(

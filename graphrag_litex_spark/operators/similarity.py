@@ -58,9 +58,11 @@ def brute_force_topk(
     orderBy+limit compiles to TakeOrderedAndProject: each partition keeps a
     k-heap, the driver merges — no global sort shuffle.
     """
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
     q = _query_lit(query_vec)
     return (
-        embeddings.select(
+        scale_out(embeddings, id_col).select(
             F.col(id_col),
             F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
         )
@@ -117,8 +119,10 @@ def lsh_bucketed_topk(
     ``planes`` (fewer planes = bigger buckets = higher recall) and
     ``probe_bits`` (0 = exact-bucket only, the previous behavior).
     """
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
     dim = len(query_vec)
-    sigged = embeddings.withColumn(
+    sigged = scale_out(embeddings, id_col).withColumn(
         "_sig", hyperplane_signature(F.col(vec_col), dim, planes)
     )
     # Query signature computed the same way on a literal one-row frame.
@@ -220,8 +224,11 @@ def ivf_assign(
     index build: write the assigned corpus partitioned by ``out_col`` once,
     and every probe after that is partition-pruned I/O.
     """
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
     if not centroids:
         raise ValueError("ivf_assign needs at least one centroid")
+    embeddings = scale_out(embeddings)
     scored = F.array(
         *[
             F.struct(
@@ -505,6 +512,9 @@ def pq_encode(
     projection — no join, no Python; at 100 TB this runs once at ingest
     and the codes table (m small ints per vector) replaces the corpus.
     ``unroll_term_limit`` picks the expression strategy (see below)."""
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
+    embeddings = scale_out(embeddings, id_col)
     m = len(codebooks)
     ksub = max(len(b) for b in codebooks)  # max: ragged books must not unroll-undercount
     d = len(codebooks[0][0])

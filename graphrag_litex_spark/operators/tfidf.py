@@ -40,10 +40,18 @@ def doc_terms(
     """-> (doc_id, term, tf) postings over normalized whitespace tokens
     (same normalization as the dedup family: lower, strip non-alnum,
     collapse whitespace)."""
+    from graphrag_litex_spark.operators.iterutils import scale_out
+
+    # One normalization pass per row: explode first and drop the empty
+    # term AFTER (an empty normalized doc explodes to exactly one ""
+    # token; non-empty norms never produce one) — the doc-level
+    # ``where(norm != "")`` form evaluated the regex normalization twice
+    # per row, and on a one-file corpus ran it all on one core.
     toks = F.split(norm_text_col(text_col), " ")
     return (
-        docs.where(norm_text_col(text_col) != "")
+        scale_out(docs, id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
