@@ -263,12 +263,28 @@ def k_core(
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
 
 
+def _probe_small_und(und: DataFrame, driver_threshold: int) -> set | None:
+    """One bounded collect deciding the driver-local regime: the undirected
+    simple edge set as ``{(a, b)}`` when it holds at most
+    ``driver_threshold // 4`` edges (the cc/pagerank state-sizing stance:
+    edges×2 directions + ≤2 vertices per edge), else None. ``limit(cap+1)``
+    bounds the driver transfer for huge graphs to cap+1 rows."""
+    cap = driver_threshold // 4
+    if cap <= 0:
+        return None
+    rows = und.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return {(r["a"], r["b"]) for r in rows}
+
+
 def k_truss(
     edges: DataFrame,
     k: int,
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 100,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """The k-truss of the undirected simple graph: the maximal subgraph in
     which every edge participates in >= k-2 triangles WITHIN the subgraph
@@ -291,8 +307,26 @@ def k_truss(
     """
     spark = edges.sparkSession
     thresh = max(k - 2, 0)
-    und = hard_checkpoint(undirected_simple(edges, src, dst))
     empty = spark.createDataFrame([], "a string, b string, support long")
+    # Adaptive driver-local peel (same stance and threshold as cc/pagerank/
+    # communities): below ``driver_threshold`` state rows the dozens of
+    # checkpointed round jobs are pure scheduler overhead; truss peeling is
+    # confluent, so the sequential golden reaches the identical fixpoint
+    # (differentially asserted at threshold 0 in tests). One bounded
+    # limit-probe collect decides the regime — no checkpoint, no count job
+    # on the small-graph path.
+    probe = _probe_small_und(undirected_simple(edges, src, dst), driver_threshold)
+    if probe is not None:
+        from graphrag_litex_spark.oracle_graph import k_truss_golden
+
+        supp = k_truss_golden(probe, k)
+        if not supp:
+            return empty
+        return spark.createDataFrame(
+            [(a, b, int(s)) for (a, b), s in sorted(supp.items())],
+            "a string, b string, support long",
+        )
+    und = hard_checkpoint(undirected_simple(edges, src, dst))
     for _ in range(max_iters):
         deg = _degrees(und)
         tri = _triangles(und, deg)
@@ -435,6 +469,7 @@ def neighborhood_function(
     lg_k: int = 12,
     src: str = "src",
     dst: str = "dst",
+    driver_threshold: int = 600,
 ) -> DataFrame:
     """HyperBall / HyperANF (Boldi, Rosa & Vigna, "HyperANF: Approximating
     the Neighbourhood Function of Very Large Graphs", WWW 2011): the
@@ -461,6 +496,25 @@ def neighborhood_function(
     driver.
     """
     spark = edges.sparkSession
+    # Adaptive driver-local exact BFS — the valve is gated on the VERTEX
+    # count (``driver_threshold`` vertices, default 600, deliberately
+    # tighter than the other graph valves): the sketch estimates equal the
+    # exact counts only while every ball stays in the sketches' exact
+    # coupon regime (balls << 2^lg_k), and the largest possible ball is the
+    # whole vertex set. The golden replicates the same early-exit row set
+    # (differentially asserted in tests).
+    probe = (
+        # 100k is the module-wide driver-transfer bound (edge rows); the
+        # exactness gate below is the tighter, vertex-count one.
+        _probe_small_und(undirected_simple(edges, src, dst), 100_000)
+        if lg_k >= 12
+        else None
+    )
+    if probe is not None and len({x for p in probe for x in p}) <= driver_threshold:
+        from graphrag_litex_spark.oracle_graph import neighborhood_golden
+
+        totals_local = neighborhood_golden(probe, max_t)
+        return spark.createDataFrame(totals_local, "t int, reachable_pairs double")
     und = undirected_simple(edges, src, dst)
     adj = hard_checkpoint(
         und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
@@ -558,6 +612,7 @@ def hop_distances(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Multi-source BFS over the undirected simple graph -> one row per
     (vertex, source, dist) with dist <= ``max_hops`` (sources themselves at
@@ -572,13 +627,41 @@ def hop_distances(
     frontier empties. Same hard_checkpoint-per-round discipline as
     PageRank/CC (iterutils.py).
     """
+    spark = edges.sparkSession
+    # Adaptive driver-local BFS (same stance and threshold as cc/pagerank):
+    # the per-hop join loop spends one checkpointed job per hop, which is
+    # pure overhead when the whole edge set fits on the driver. BFS has a
+    # unique fixpoint, so the local result is row-identical (source rows at
+    # dist 0 per occurrence, one row per reached (vertex, source), dist <=
+    # max_hops; asserted at threshold 0 in tests).
+    probe = _probe_small_und(undirected_simple(edges, src, dst), driver_threshold)
+    if probe is not None:
+        adj: dict[str, list[str]] = {}
+        for a, b in probe:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        rows: list[tuple[str, str, int]] = [(str(s), str(s), 0) for s in sources]
+        for s in {str(s) for s in sources}:
+            dist = {s: 0}
+            frontier = [s]
+            for hop in range(1, max_hops + 1):
+                nxt = []
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in dist:
+                            dist[v] = hop
+                            nxt.append(v)
+                            rows.append((v, s, hop))
+                if not nxt:
+                    break
+                frontier = nxt
+        return spark.createDataFrame(rows, "vertex string, source string, dist int")
     und = undirected_simple(edges, src, dst)
     sym = hard_checkpoint(
         und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             und.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
     )
-    spark = edges.sparkSession
     import pandas as pd
 
     dist = hard_checkpoint(

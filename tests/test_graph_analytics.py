@@ -686,3 +686,78 @@ def test_sparsify_topk_hand_computed(spark):
         for r in sparsify_topk(df2, k=2).collect()
     }
     assert got2 == {("u", "v"): 2.0, ("u", "w"): 1.0}
+
+
+# ---- driver-local valves: distributed (threshold 0) == driver-local ----
+
+
+def _rand_graph(n=14, p=0.3, seed=11):
+    rng = random.Random(seed)
+    verts = [f"v{i}" for i in range(n)]
+    return [
+        (a, b)
+        for a, b in itertools.combinations(verts, 2)
+        if rng.random() < p
+    ]
+
+
+def test_k_truss_driver_local_matches_distributed(spark):
+    from graphrag_litex_spark.operators.graph_analytics import k_truss
+
+    pairs = _rand_graph()
+    for k in (3, 4):
+        local = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(_edges_df(spark, pairs), k).collect()
+        }
+        dist = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(_edges_df(spark, pairs), k, driver_threshold=0).collect()
+        }
+        assert local == dist
+
+
+def test_hop_distances_driver_local_matches_distributed(spark):
+    from graphrag_litex_spark.operators.graph_analytics import hop_distances
+
+    pairs = _rand_graph(seed=5)
+    e = _edges_df(spark, pairs)
+    # duplicate source: both paths must emit the dist-0 row per occurrence
+    srcs = ["v0", "v3", "v0", "zz_not_in_graph"]
+    local = sorted(
+        (r["vertex"], r["source"], r["dist"])
+        for r in hop_distances(e, srcs, max_hops=3).collect()
+    )
+    dist = sorted(
+        (r["vertex"], r["source"], r["dist"])
+        for r in hop_distances(e, srcs, max_hops=3, driver_threshold=0).collect()
+    )
+    assert local == dist and local
+
+
+def test_neighborhood_driver_local_matches_distributed(spark):
+    from graphrag_litex_spark.operators.graph_analytics import neighborhood_function
+
+    pairs = _rand_graph(seed=7)
+    e = _edges_df(spark, pairs)
+    local = [(r["t"], r["reachable_pairs"]) for r in neighborhood_function(e).collect()]
+    dist = [
+        (r["t"], r["reachable_pairs"])
+        for r in neighborhood_function(e, driver_threshold=0).collect()
+    ]
+    assert sorted(local) == sorted(dist) and local
+
+
+def test_harmonic_closeness_rides_the_bfs_valve(spark):
+    from graphrag_litex_spark.operators.graph_analytics import harmonic_closeness
+
+    pairs = _rand_graph(seed=3)
+    e = _edges_df(spark, pairs)
+    rows = {
+        r["name"]: (r["n_reached"], r["harmonic60"], r["closeness"])
+        for r in harmonic_closeness(e, n_sources=4, max_hops=6).collect()
+    }
+    from graphrag_litex_spark.oracle_graph import harmonic_closeness_golden
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    assert rows == harmonic_closeness_golden(und, n_sources=4, max_hops=6)
