@@ -240,6 +240,42 @@ def ppmi_weights(
     )
 
 
+def _probe_small_sym(
+    edges: DataFrame, src_col: str, dst_col: str, driver_threshold: int
+) -> dict[str, list[str]] | None:
+    """One bounded collect deciding the walks' driver-local regime: the
+    symmetric simple adjacency as ``{node: sorted neighbors}`` when the
+    directed-deduped edge list holds at most ``driver_threshold // 4``
+    rows, else None (``limit(cap+1)`` bounds the transfer)."""
+    cap = driver_threshold // 4
+    if cap <= 0:
+        return None
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = (
+        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rows = sym.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    adj: dict[str, list[str]] = {}
+    for r in rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+    return {v: sorted(ns) for v, ns in adj.items()}
+
+
+def _md5_key(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+_WALK_SCHEMA = (
+    "start string, walk_idx int, nodes array<string>, path string, end_node string"
+)
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 4,
@@ -249,6 +285,7 @@ def random_walks(
     seed: str = "",
     checkpoint_every: int = 4,
     sep: str = " -> ",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Deterministic fixed-length walks over the undirected simple graph.
 
@@ -275,6 +312,29 @@ def random_walks(
         # sequence(0, walks_per_node - 1) would DESCEND for 0 (Spark
         # infers step -1), silently emitting walk_idx 0 AND -1.
         raise ValueError("walks_per_node must be >= 1")
+    # Adaptive driver-local walker (same stance as the cc/pagerank/graph
+    # valves): each distributed step is a checkpointed join+agg job, pure
+    # scheduler overhead on a tiny graph. The md5 rank keys are replicated
+    # bit-for-bit (lowercase hex compared as ASCII == UTF8String binary
+    # order), so the walks are row-identical — asserted at threshold 0 in
+    # tests.
+    adj = _probe_small_sym(edges, src_col, dst_col, driver_threshold)
+    if adj is not None:
+        rows = []
+        for start in adj:
+            for widx in range(walks_per_node):
+                cur, nodes = start, [start]
+                for step in range(1, length + 1):
+                    cur = min(
+                        adj[cur],
+                        key=lambda d: (
+                            _md5_key(f"{seed}|{start}|{widx}|{step}|{d}"),
+                            d,
+                        ),
+                    )
+                    nodes.append(cur)
+                rows.append((start, widx, nodes, sep.join(nodes), cur))
+        return edges.sparkSession.createDataFrame(rows, _WALK_SCHEMA)
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = (
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -362,6 +422,7 @@ def node2vec_walks(
     seed: str = "",
     checkpoint_every: int = 4,
     sep: str = " -> ",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Deterministic BIASED walks — node2vec's second-order transition
     (Grover & Leskovec 2016) with INTEGER weights, exactly: from (prev,
@@ -396,6 +457,39 @@ def node2vec_walks(
         raise ValueError("walks_per_node must be >= 1")
     if min(w_return, w_common, w_far) < 1:
         raise ValueError("weights must be >= 1 (scale the others up instead)")
+    # Adaptive driver-local walker — replica-argmin replicated exactly
+    # (same md5 draw keys incl. the replica index; step 1 carries replica
+    # 0 like the distributed single-replica explode). Asserted against the
+    # threshold-0 distributed loop in tests.
+    adj_local = _probe_small_sym(edges, src_col, dst_col, driver_threshold)
+    if adj_local is not None:
+        nbr = {v: set(ns) for v, ns in adj_local.items()}
+        rows = []
+        for start in adj_local:
+            for widx in range(walks_per_node):
+                prev, cur, nodes = None, start, [start]
+                for step in range(1, length + 1):
+                    best = None
+                    for d in adj_local[cur]:
+                        if step == 1:
+                            w = 1
+                        elif d == prev:
+                            w = w_return
+                        elif d in nbr[prev]:
+                            w = w_common
+                        else:
+                            w = w_far
+                        for r in range(w):
+                            key = (
+                                _md5_key(f"{seed}|{start}|{widx}|{step}|{d}|{r}"),
+                                d,
+                            )
+                            if best is None or key < best[0]:
+                                best = (key, d)
+                    prev, cur = cur, best[1]
+                    nodes.append(cur)
+                rows.append((start, widx, nodes, sep.join(nodes), cur))
+        return edges.sparkSession.createDataFrame(rows, _WALK_SCHEMA)
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = hard_checkpoint(
         fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -96,9 +96,27 @@ def scale_out(df: DataFrame, key_col: str | None = None, factor: int = 2) -> Dat
 
     ``key_col`` hash-partitions on a real key (deterministic under task
     retry); omitted, round-robin with its sort-before-repartition guard.
+
+    Applies ONLY to scan-rooted frames (optionally under Filter/Project
+    wrappers): a derived frame has had its parallelism shaped by upstream
+    exchanges already, and merely ASKING for its partition count
+    (``df.rdd``) forces a full physical planning pass — measured ~0.7s on
+    a window+agg input, more than the fan-out could save.
     """
     sc = df.sparkSession.sparkContext
     target = max(sc.defaultParallelism * factor, 8)
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(8):
+            name = node.getClass().getSimpleName()
+            if name in ("Filter", "Project", "SubqueryAlias", "GlobalLimit", "LocalLimit"):
+                node = node.children().head()
+            else:
+                break
+        if not node.children().isEmpty():
+            return df  # derived frame (join/agg/window/exchange upstream)
+    except Exception:
+        pass  # private API unavailable: fall through to the partition probe
     if df.rdd.getNumPartitions() >= max(target // 2, 2):
         return df
     if key_col is not None:

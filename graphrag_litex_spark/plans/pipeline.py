@@ -1098,6 +1098,26 @@ class KGPipeline:
         # computed ONCE and shared by stats and summaries.
         graph_rows = manifest.get("nodes", {}).get("rows", 0) * cfg.levels
 
+        # Size shuffle partitions to the GRAPH, not the corpus, for every
+        # post-claims stage: these joins/windows move node- and
+        # edge-proportional rows (the deduplicated entity graph), and
+        # corpus-sized partition counts just multiply per-task scheduling
+        # overhead across their many small exchanges (same stance as the
+        # linking loop's loop_shuffle_partitions). Output checksums are
+        # partition-count-invariant (measured at local[2..32]).
+        from graphrag_litex_spark.operators.iterutils import loop_shuffle_partitions
+
+        graph_state = max(
+            graph_rows, manifest.get("edges", {}).get("rows", 0), 1
+        )
+        with loop_shuffle_partitions(self.spark, graph_state):
+            return self._run_graph_stages(results, manifest, mat, until, graph_rows)
+
+    def _run_graph_stages(
+        self, results: dict, manifest: dict, mat, until: str | None, graph_rows: int
+    ) -> dict[str, DataFrame]:
+        cfg = self.config
+
         def build_communities() -> DataFrame:
             seed = None
             if cfg.community_warm_start:

@@ -612,3 +612,37 @@ def test_metapath_counts_excludes_backtrack_and_applies_valve(spark):
     assert {(r["subj_type"], r["obj_type"]) for r in rows} == {("x", "z")}
     # valve: B has out-degree 2; capping at 1 removes every path through it
     assert metapath_counts(triples, types, max_mid_degree=1).count() == 0
+
+
+def test_walks_driver_local_matches_distributed(spark):
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.graph_ml import node2vec_walks, random_walks
+
+    rng = random.Random(23)
+    verts = [f"n{i}" for i in range(12)]
+    pairs = [
+        (a, b) for a, b in itertools.combinations(verts, 2) if rng.random() < 0.35
+    ]
+    e = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+
+    def rows(df):
+        return sorted(
+            (r["start"], r["walk_idx"], tuple(r["nodes"]), r["path"], r["end_node"])
+            for r in df.collect()
+        )
+
+    local = rows(random_walks(e, length=4, walks_per_node=2, seed="s"))
+    dist = rows(
+        random_walks(e, length=4, walks_per_node=2, seed="s", driver_threshold=0)
+    )
+    assert local == dist and local
+
+    local2 = rows(node2vec_walks(e, length=3, walks_per_node=2, seed="q"))
+    dist2 = rows(
+        node2vec_walks(e, length=3, walks_per_node=2, seed="q", driver_threshold=0)
+    )
+    assert local2 == dist2 and local2
