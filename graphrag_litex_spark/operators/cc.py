@@ -51,6 +51,13 @@ def _cc_driver_local(
     """
     ids = [r[0] for r in vertices.select(id_col).collect()]
     pairs = [(r[0], r[1]) for r in edges.select(src_col, dst_col).collect()]
+    return _cc_union_find_df(vertices.sparkSession, ids, pairs, id_col)
+
+
+def _cc_union_find_df(spark, ids: list, pairs: list, id_col: str) -> DataFrame:
+    """Union-find over collected (ids, pairs) -> (id_col, label) frame —
+    the shared kernel of the driver-local paths (byte-identical labels to
+    the distributed loops, asserted in tests/test_cc.py)."""
     parent: dict = {v: v for v in ids}
 
     def find(x):
@@ -79,7 +86,6 @@ def _cc_driver_local(
         if r not in comp_min or x < comp_min[r]:
             comp_min[r] = x
     rows = [(v, comp_min[find(v)]) for v in ids]
-    spark = vertices.sparkSession
     # pandas/Arrow path: a list-backed createDataFrame is a pickled-rows RDD
     # that round-trips Python workers on every downstream scan (see
     # communities._local_df).
@@ -124,20 +130,34 @@ def connected_components(
 
     Both produce byte-identical output (asserted in tests/test_cc.py).
     """
-    sym = hard_checkpoint(
+    sym_plan = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
+    # Driver-local regime decided by bounded limit-probe collects (no eager
+    # checkpoints, no count jobs — those cost more than the whole
+    # union-find on a linking-sized graph); identical threshold semantics:
+    # |sym| + |vertices| <= driver_threshold.
+    if driver_threshold > 0:
+        sym_rows = sym_plan.limit(driver_threshold + 1).collect()
+        if len(sym_rows) <= driver_threshold:
+            vert_budget = driver_threshold - len(sym_rows)
+            vert_rows = (
+                vertices.select(F.col(id_col).alias("u"))
+                .limit(vert_budget + 1)
+                .collect()
+            )
+            if len(vert_rows) <= vert_budget:
+                return _cc_union_find_df(
+                    vertices.sparkSession,
+                    [r["u"] for r in vert_rows],
+                    [(r["u"], r["v"]) for r in sym_rows],
+                    id_col,
+                )
+    sym = hard_checkpoint(sym_plan)
     verts = hard_checkpoint(vertices.select(F.col(id_col).alias("u")))
     n_state = verts.count() + sym.count()
-    if n_state <= driver_threshold:
-        out = _cc_driver_local(verts, sym, "u", "u", "v").withColumnRenamed(
-            "u", id_col
-        )
-        release(sym)
-        release(verts)
-        return out
     if algorithm == "alternating":
         return _cc_alternating(verts, sym, id_col, max_iter, n_state)
     if algorithm != "minlabel":

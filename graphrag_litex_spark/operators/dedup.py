@@ -119,6 +119,7 @@ def shingle_rows(
     text_col: str = "text",
     k: int = 3,
     extra_cols: list[str] | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct k-word shingles as ROWS: (id, [extra_cols...], s).
 
@@ -151,7 +152,12 @@ def shingle_rows(
     short = base.where(F.size(F.split("norm", " ")) < k).select(
         "id", *extra, F.col("norm").alias("s")
     )
-    return full.unionByName(short).distinct()
+    out = full.unionByName(short)
+    # distinct=False skips the global (id, s) dedup shuffle for consumers
+    # whose aggregates are duplicate-invariant (min-hash, collect_set) —
+    # the signature pipeline; counting consumers (ngram_jaccard_pairs)
+    # keep the default.
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -164,7 +170,9 @@ def minhash_signatures(
     """-> (id, shingles array, sig array<long>) via shingle rows + one
     groupBy with k min-aggregations + collect_set. Single shuffle after the
     shingle window; everything stays in whole-stage codegen."""
-    rows = shingle_rows(docs, id_col, text_col, shingle_k)
+    # distinct=False: min() and collect_set() are duplicate-invariant, so
+    # the per-(id, s) dedup shuffle bought nothing on this path.
+    rows = shingle_rows(docs, id_col, text_col, shingle_k, distinct=False)
     agg = rows.groupBy("id").agg(
         F.collect_set("s").alias("shingles"),
         *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)],

@@ -115,15 +115,18 @@ def pagerank(
     one-shuffle-per-round hash-join loop unchanged."""
     spark = edges.sparkSession
     a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    und = hard_checkpoint(
+    und_plan = (
         edges.select(a.alias("a"), b.alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    n_und = und.count()
-    if n_und * 4 <= driver_threshold:
-        pairs = [(r["a"], r["b"]) for r in und.collect()]
-        release(und)
+    # Driver-local regime decided by one bounded limit-probe collect (the
+    # eager checkpoint + count it replaces cost more than the local power
+    # iteration itself on a linking-sized graph); same threshold.
+    cap = driver_threshold // 4
+    probe = und_plan.limit(cap + 1).collect() if cap > 0 else None
+    if probe is not None and len(probe) <= cap:
+        pairs = [(r["a"], r["b"]) for r in probe]
         if seeds is None:
             seed_set = None
         elif isinstance(seeds, DataFrame):
@@ -144,6 +147,7 @@ def pagerank(
         return _pagerank_driver_local(spark, pairs, damping, iters, seed_set)
     # Both directions, partitioned by the join side once and pinned; the
     # per-iteration join then shuffles only the vertex-sized rank state.
+    und = hard_checkpoint(und_plan)
     n_part = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
     adj = hard_checkpoint(
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
