@@ -37,27 +37,16 @@ from graphrag_litex_spark.operators.iterutils import (
 )
 
 
-def _cc_driver_local(
-    vertices: DataFrame, edges: DataFrame, id_col: str, src_col: str, dst_col: str
-) -> DataFrame:
-    """Small-graph physical strategy: collect, union-find, broadcast back.
+def _cc_union_find_df(spark, ids: list, pairs: list, id_col: str) -> DataFrame:
+    """Small-graph physical strategy: union-find over the probe-collected
+    (ids, pairs), result broadcast back as a local frame.
 
     Same adaptive stance as Catalyst's broadcast-vs-shuffle join choice: the
     label graph is ALREADY reduced (distinct names, not mentions), so when it
     fits on the driver a union-find beats dozens of tiny shuffle jobs by ~3x
     wall. Produces byte-identical output to the distributed loop (label =
     minimum over the component's full id set, rows = vertices) — asserted in
-    tests/test_cc.py.
-    """
-    ids = [r[0] for r in vertices.select(id_col).collect()]
-    pairs = [(r[0], r[1]) for r in edges.select(src_col, dst_col).collect()]
-    return _cc_union_find_df(vertices.sparkSession, ids, pairs, id_col)
-
-
-def _cc_union_find_df(spark, ids: list, pairs: list, id_col: str) -> DataFrame:
-    """Union-find over collected (ids, pairs) -> (id_col, label) frame —
-    the shared kernel of the driver-local paths (byte-identical labels to
-    the distributed loops, asserted in tests/test_cc.py)."""
+    tests/test_cc.py."""
     parent: dict = {v: v for v in ids}
 
     def find(x):
@@ -135,24 +124,37 @@ def connected_components(
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
     )
-    # Driver-local regime decided by bounded limit-probe collects (no eager
-    # checkpoints, no count jobs — those cost more than the whole
-    # union-find on a linking-sized graph); identical threshold semantics:
-    # |sym| + |vertices| <= driver_threshold.
+    # Driver-local regime decided by bounded limit-probes over the RAW
+    # inputs (narrow limits — no shuffle, no eager checkpoints, no count
+    # jobs, and an over-threshold graph pays only a cap-bounded scan before
+    # the distributed loop). The symmetrize+dedup then happens locally —
+    # identical edge set, so identical union-find labels. Raw edge rows
+    # bound the deduped state (|sym| <= 2x raw), so the regime condition
+    # `raw_edges*2 + |vertices| <= driver_threshold` implies the old
+    # |sym| + |vertices| <= driver_threshold one.
     if driver_threshold > 0:
-        sym_rows = sym_plan.limit(driver_threshold + 1).collect()
-        if len(sym_rows) <= driver_threshold:
-            vert_budget = driver_threshold - len(sym_rows)
+        edge_cap = driver_threshold // 2
+        edge_rows = (
+            edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+            .limit(edge_cap + 1)
+            .collect()
+        )
+        if len(edge_rows) <= edge_cap:
+            vert_budget = driver_threshold - 2 * len(edge_rows)
             vert_rows = (
                 vertices.select(F.col(id_col).alias("u"))
-                .limit(vert_budget + 1)
+                .limit(max(vert_budget, 0) + 1)
                 .collect()
             )
             if len(vert_rows) <= vert_budget:
+                sym_local = set()
+                for r in edge_rows:
+                    sym_local.add((r["u"], r["v"]))
+                    sym_local.add((r["v"], r["u"]))
                 return _cc_union_find_df(
                     vertices.sparkSession,
                     [r["u"] for r in vert_rows],
-                    [(r["u"], r["v"]) for r in sym_rows],
+                    sorted(sym_local),
                     id_col,
                 )
     sym = hard_checkpoint(sym_plan)

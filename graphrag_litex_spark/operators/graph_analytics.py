@@ -263,19 +263,42 @@ def k_core(
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
 
 
-def _probe_small_und(und: DataFrame, driver_threshold: int) -> set | None:
+def _probe_small_und(
+    edges: DataFrame, src: str, dst: str, driver_threshold: int
+) -> set | None:
     """One bounded collect deciding the driver-local regime: the undirected
-    simple edge set as ``{(a, b)}`` when it holds at most
-    ``driver_threshold // 4`` edges (the cc/pagerank state-sizing stance:
-    edges×2 directions + ≤2 vertices per edge), else None. ``limit(cap+1)``
-    bounds the driver transfer for huge graphs to cap+1 rows."""
+    simple edge set as ``{(a, b)}``, a < b, computed LOCALLY from at most
+    ``driver_threshold // 4`` RAW edge rows, else None.
+
+    Probing the raw rows (a narrow ``limit`` — no shuffle) instead of the
+    distinct-deduped plan means a large graph pays only a cap-bounded scan
+    before falling through to the distributed loop, never a full
+    symmetrize+distinct map pass that the loop then recomputes. A graph
+    whose raw rows exceed the cap but whose deduped set is tiny goes
+    distributed — the threshold is a heuristic, the OUTPUT contract is
+    per-path identity.
+    """
     cap = driver_threshold // 4
     if cap <= 0:
         return None
-    rows = und.limit(cap + 1).collect()
+    rows = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).limit(
+        cap + 1
+    ).collect()
     if len(rows) > cap:
         return None
-    return {(r["a"], r["b"]) for r in rows}
+    # String ids only: the local replicas build hardcoded string-schema
+    # frames and compare with Python string ordering (== UTF8String byte
+    # order, since UTF-8 preserves code-point order). Non-string ids take
+    # the distributed path unchanged.
+    if any(
+        not (isinstance(r["a"], str) and isinstance(r["b"], str)) for r in rows
+    ):
+        return None
+    return {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        for r in rows
+        if r["a"] != r["b"]
+    }
 
 
 def k_truss(
@@ -315,11 +338,28 @@ def k_truss(
     # (differentially asserted at threshold 0 in tests). One bounded
     # limit-probe collect decides the regime — no checkpoint, no count job
     # on the small-graph path.
-    probe = _probe_small_und(undirected_simple(edges, src, dst), driver_threshold)
+    probe = _probe_small_und(edges, src, dst, driver_threshold)
     if probe is not None:
-        from graphrag_litex_spark.oracle_graph import k_truss_golden
-
-        supp = k_truss_golden(probe, k)
+        # Same peel as oracle_graph.k_truss_golden, but honoring max_iters
+        # exactly like the distributed loop (a peel cascade must abort with
+        # the same RuntimeError, not stall the driver unbounded).
+        local = set(probe)
+        supp: dict = {}
+        for _ in range(max_iters):
+            adj_l: dict[str, set] = {}
+            for ea, eb in local:
+                adj_l.setdefault(ea, set()).add(eb)
+                adj_l.setdefault(eb, set()).add(ea)
+            supp = {(ea, eb): len(adj_l[ea] & adj_l[eb]) for ea, eb in local}
+            bad = {e for e, s in supp.items() if s < thresh}
+            if not bad:
+                break
+            local -= bad
+            if not local:
+                supp = {}
+                break
+        else:
+            raise RuntimeError(f"k_truss did not converge in {max_iters} rounds")
         if not supp:
             return empty
         return spark.createDataFrame(
@@ -469,7 +509,7 @@ def neighborhood_function(
     lg_k: int = 12,
     src: str = "src",
     dst: str = "dst",
-    driver_threshold: int = 600,
+    driver_threshold: int = 256,
 ) -> DataFrame:
     """HyperBall / HyperANF (Boldi, Rosa & Vigna, "HyperANF: Approximating
     the Neighbourhood Function of Very Large Graphs", WWW 2011): the
@@ -497,16 +537,17 @@ def neighborhood_function(
     """
     spark = edges.sparkSession
     # Adaptive driver-local exact BFS — the valve is gated on the VERTEX
-    # count (``driver_threshold`` vertices, default 600, deliberately
+    # count (``driver_threshold`` vertices, default 256, deliberately
     # tighter than the other graph valves): the sketch estimates equal the
     # exact counts only while every ball stays in the sketches' exact
-    # coupon regime (balls << 2^lg_k), and the largest possible ball is the
-    # whole vertex set. The golden replicates the same early-exit row set
-    # (differentially asserted in tests).
+    # coupon regime (DataSketches HLL leaves the exact SET mode around
+    # k/8 = 512 coupons at lg_k=12, so 256 keeps the largest possible
+    # ball — the whole vertex set — at half that bound). The golden
+    # replicates the same early-exit row set (asserted in tests).
     probe = (
         # 100k is the module-wide driver-transfer bound (edge rows); the
         # exactness gate below is the tighter, vertex-count one.
-        _probe_small_und(undirected_simple(edges, src, dst), 100_000)
+        _probe_small_und(edges, src, dst, 100_000)
         if lg_k >= 12
         else None
     )
@@ -634,7 +675,7 @@ def hop_distances(
     # unique fixpoint, so the local result is row-identical (source rows at
     # dist 0 per occurrence, one row per reached (vertex, source), dist <=
     # max_hops; asserted at threshold 0 in tests).
-    probe = _probe_small_und(undirected_simple(edges, src, dst), driver_threshold)
+    probe = _probe_small_und(edges, src, dst, driver_threshold)
     if probe is not None:
         adj: dict[str, list[str]] = {}
         for a, b in probe:

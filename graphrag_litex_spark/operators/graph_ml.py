@@ -244,24 +244,33 @@ def _probe_small_sym(
     edges: DataFrame, src_col: str, dst_col: str, driver_threshold: int
 ) -> dict[str, list[str]] | None:
     """One bounded collect deciding the walks' driver-local regime: the
-    symmetric simple adjacency as ``{node: sorted neighbors}`` when the
-    directed-deduped edge list holds at most ``driver_threshold // 4``
-    rows, else None (``limit(cap+1)`` bounds the transfer)."""
+    symmetric simple adjacency as ``{node: sorted neighbors}``, computed
+    LOCALLY from at most ``driver_threshold // 4`` RAW edge rows, else
+    None. Probing the raw rows (a narrow ``limit``, no shuffle) keeps the
+    over-threshold fall-through free of wasted symmetrize+distinct work."""
     cap = driver_threshold // 4
     if cap <= 0:
         return None
-    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = (
-        fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    rows = sym.limit(cap + 1).collect()
+    rows = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).limit(cap + 1).collect()
     if len(rows) > cap:
         return None
-    adj: dict[str, list[str]] = {}
+    # String ids only (the local walker builds a string-schema frame and
+    # uses Python string ordering == UTF8String byte order); non-string
+    # ids take the distributed path unchanged.
+    if any(
+        not (isinstance(r["src"], str) and isinstance(r["dst"], str)) for r in rows
+    ):
+        return None
+    sym = set()
     for r in rows:
-        adj.setdefault(r["src"], []).append(r["dst"])
+        if r["src"] != r["dst"]:
+            sym.add((r["src"], r["dst"]))
+            sym.add((r["dst"], r["src"]))
+    adj: dict[str, set] = {}
+    for u, v in sym:
+        adj.setdefault(u, set()).add(v)
     return {v: sorted(ns) for v, ns in adj.items()}
 
 

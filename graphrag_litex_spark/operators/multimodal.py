@@ -530,7 +530,12 @@ def dhash_near_dup_pairs(
     )
 
 
-_FIXTURE_RNG = None  # lazy singleton; re-seeded per image (see fixture_image)
+import threading as _threading
+
+# Thread-LOCAL lazy RandomState, re-seeded per image (see fixture_image):
+# a shared instance would interleave seed/draw pairs across driver threads
+# (the pipeline runs stages from a thread pool) and produce wrong pixels.
+_FIXTURE_TLS = _threading.local()
 
 
 def fixture_image(doc_id: int):
@@ -550,10 +555,9 @@ def fixture_image(doc_id: int):
     # module-level RandomState yields the identical stream to constructing
     # a fresh one (same init_by_array path) at ~1/70th the per-image cost
     # — construction dominated the whole fixture render.
-    global _FIXTURE_RNG
-    if _FIXTURE_RNG is None:
-        _FIXTURE_RNG = np.random.RandomState(0)
-    rng = _FIXTURE_RNG
+    rng = getattr(_FIXTURE_TLS, "rng", None)
+    if rng is None:
+        rng = _FIXTURE_TLS.rng = np.random.RandomState(0)
     rng.seed(base_id % 100003)
     img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
     if base_id != doc_id:

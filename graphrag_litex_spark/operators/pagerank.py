@@ -120,13 +120,34 @@ def pagerank(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    # Driver-local regime decided by one bounded limit-probe collect (the
-    # eager checkpoint + count it replaces cost more than the local power
-    # iteration itself on a linking-sized graph); same threshold.
+    # Driver-local regime decided by one bounded limit-probe over the RAW
+    # edges (narrow limit — no shuffle; the eager checkpoint + count this
+    # replaces cost more than the local power iteration itself on a
+    # linking-sized graph, and an over-threshold graph now pays only a
+    # cap-bounded scan). The least/greatest+dedup happens locally —
+    # identical undirected edge set (Python string ordering == UTF8String
+    # byte order), so bit-identical ranks. Raw rows bound the deduped set,
+    # so raw <= cap implies the old |und|*4 <= driver_threshold condition.
     cap = driver_threshold // 4
-    probe = und_plan.limit(cap + 1).collect() if cap > 0 else None
-    if probe is not None and len(probe) <= cap:
-        pairs = [(r["a"], r["b"]) for r in probe]
+    probe = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .limit(cap + 1)
+        .collect()
+        if cap > 0
+        else None
+    )
+    if (
+        probe is not None
+        and len(probe) <= cap
+        and all(isinstance(r["a"], str) and isinstance(r["b"], str) for r in probe)
+    ):
+        pairs = sorted(
+            {
+                (min(r["a"], r["b"]), max(r["a"], r["b"]))
+                for r in probe
+                if r["a"] != r["b"]
+            }
+        )
         if seeds is None:
             seed_set = None
         elif isinstance(seeds, DataFrame):

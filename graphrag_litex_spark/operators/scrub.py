@@ -413,6 +413,14 @@ def ngram_repetition_stats(
                 nch: list[int] = []
                 cols: dict[str, list[int]] = {f"_{k}{n}": [] for k, n in out_fields}
                 for s in rb.column(1).to_pylist():
+                    if s is None:
+                        # NULL text: NULL n_chars, zero counts — exactly the
+                        # sql path's row for an all-null normalization.
+                        nch.append(None)
+                        for n in ns:
+                            cols[f"_top{n}"].append(0)
+                            cols[f"_dup{n}"].append(0)
+                        continue
                     nch.append(len(s))
                     toks = s.split(" ") if s else []
                     length = len(toks)

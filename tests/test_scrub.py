@@ -224,3 +224,65 @@ def test_ngram_repetition_partitioning_invariant(spark):
     a = {r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df.repartition(1)).collect()}
     b = {r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df.repartition(13)).collect()}
     assert a == b
+
+
+def test_ngram_engines_agree_on_adversarial_corpus(spark):
+    """arrow (default kernel) == sql (relational formulation), including
+    NULL text, empty text, unicode junk, whitespace runs, and tie-broken
+    top grams - the differential the docstring promises."""
+    import pandas as pd
+
+    from graphrag_litex_spark.operators.scrub import ngram_repetition_stats
+
+    rows = [
+        (1, "a b a b a b c"),
+        (2, ""),
+        (3, None),
+        (4, "x"),
+        (5, "q q q q q q q q q q q q"),
+        (6, "Tabs\tand\nnewlines  spaces"),
+        (7, "unicode \u00e9\u00e9 junk   here"),
+        (8, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype({"doc_id": "int64"})
+    )
+    a = ngram_repetition_stats(docs)
+    b = ngram_repetition_stats(docs, engine="sql")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() == len(rows)
+
+
+def test_norm_text_col_fused_equals_two_pass(spark):
+    """The fused single-regex normalizer is input-for-input identical to
+    the original two-pass spelling (junk-class replace, then whitespace
+    collapse) over adversarial strings."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from graphrag_litex_spark.operators.dedup import norm_text_col
+
+    strings = [
+        "",
+        "   ",
+        "a  b\tc\nd",
+        "!!!",
+        "a!!!b",
+        "Hello, World!  123",
+        "tab\tseparated\x0bvertical",
+        "nbsp\xa0and\u2028line-sep\u2029para",
+        "\u00e9\u00df\u0130 mixed \u20ac cases",
+        "-leading and trailing-",
+        "a" * 500 + "!" + "b" * 500,
+    ]
+    docs = spark.createDataFrame(pd.DataFrame({"text": strings}))
+    two_pass = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " "), r"\s+", " "
+        )
+    )
+    got = docs.select(
+        norm_text_col("text").alias("fused"), two_pass.alias("orig")
+    ).collect()
+    for r in got:
+        assert r["fused"] == r["orig"], (r["fused"], r["orig"])
